@@ -1,0 +1,171 @@
+"""GraphCatalog — the engine's physical graph model.
+
+The reference stores the whole graph in two row-oriented SQLite tables with
+JSON property bags (reference src/db.ts:47-70) and no property indexes. That
+design caps out on one node. Here the property graph is a *catalog of typed,
+per-label columnar tables*:
+
+- one node DataFrame per label: ``_id: STRING`` + one typed column per
+  property key (parquet-backed → predicate pushdown + column pruning);
+- one edge DataFrame per (type, src_label, dst_label) triple:
+  ``_id, _src, _dst`` + typed property columns. Keeping endpoint labels in
+  the catalog lets the compiler prune whole edge tables when the pattern
+  constrains an endpoint's label — the distributed analogue of the
+  reference's composite ``edges(source_id, type)`` indexes (src/db.ts:64-68).
+
+At cluster scale each table is a parquet/Delta path, bucketed by ``_src``
+(edges) / ``_id`` (nodes) so expansion joins co-locate; on local[32] tests
+they're plain DataFrames.
+
+Multi-label nodes (reference stores a JSON label array) are modeled by the
+same ``_id`` appearing in several label tables; ``labels(n)`` is resolved at
+compile time from catalog membership.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ID_COL = "_id"
+SRC_COL = "_src"
+DST_COL = "_dst"
+META_COLS = {ID_COL, SRC_COL, DST_COL}
+
+
+@dataclass
+class NodeTable:
+    label: str
+    df: DataFrame
+
+    @property
+    def prop_cols(self) -> list[str]:
+        return [c for c in self.df.columns if c not in META_COLS]
+
+
+@dataclass
+class EdgeTable:
+    type: str
+    src_label: str
+    dst_label: str
+    df: DataFrame
+
+    @property
+    def prop_cols(self) -> list[str]:
+        return [c for c in self.df.columns if c not in META_COLS]
+
+
+@dataclass
+class GraphCatalog:
+    """Registry of node/edge tables; the compiler's source of truth."""
+
+    spark: SparkSession
+    _nodes: dict[str, NodeTable] = field(default_factory=dict)
+    _edges: list[EdgeTable] = field(default_factory=list)
+
+    # -- registration -----------------------------------------------------
+    def register_node(self, label: str, df: DataFrame) -> None:
+        if ID_COL not in df.columns:
+            raise ValueError(f"node table {label!r} missing {ID_COL}")
+        self._nodes[label] = NodeTable(label, df)
+
+    def register_edge(
+        self, type_: str, src_label: str, dst_label: str, df: DataFrame
+    ) -> None:
+        for c in (ID_COL, SRC_COL, DST_COL):
+            if c not in df.columns:
+                raise ValueError(f"edge table {type_!r} missing {c}")
+        self._edges.append(EdgeTable(type_, src_label, dst_label, df))
+
+    # -- lookup -----------------------------------------------------------
+    @property
+    def labels(self) -> list[str]:
+        return sorted(self._nodes)
+
+    @property
+    def edge_types(self) -> list[str]:
+        return sorted({e.type for e in self._edges})
+
+    def node(self, label: str) -> NodeTable:
+        if label not in self._nodes:
+            raise KeyError(f"unknown node label {label!r}; have {self.labels}")
+        return self._nodes[label]
+
+    def has_label(self, label: str) -> bool:
+        return label in self._nodes
+
+    def edge_tables(
+        self,
+        types: list[str] | None = None,
+        src_label: str | None = None,
+        dst_label: str | None = None,
+    ) -> list[EdgeTable]:
+        """All edge tables matching the constraint — label constraints prune
+        entire tables (the scan never happens; cf. reference's reliance on
+        SQLite edges(type) indexes)."""
+        out = []
+        for e in self._edges:
+            if types and e.type not in types:
+                continue
+            if src_label and e.src_label != src_label:
+                continue
+            if dst_label and e.dst_label != dst_label:
+                continue
+            out.append(e)
+        return out
+
+    # -- schema helpers ---------------------------------------------------
+    def node_prop_schema(self, labels: list[str] | None) -> dict[str, T.DataType]:
+        """Union of property name→type over the given labels (all if None).
+        First-seen type wins on conflict; conflicting-typed props are cast to
+        string in union scans."""
+        tables = (
+            [self._nodes[lbl] for lbl in labels if lbl in self._nodes]
+            if labels
+            else list(self._nodes.values())
+        )
+        schema: dict[str, T.DataType] = {}
+        for t in tables:
+            for f_ in t.df.schema.fields:
+                if f_.name in META_COLS:
+                    continue
+                schema.setdefault(f_.name, f_.dataType)
+        return schema
+
+    def union_nodes(self, labels: list[str] | None = None) -> DataFrame:
+        """A single scan over one-or-more label tables with a common schema:
+        ``_id, _label`` + union-of-props (missing props NULL of the right
+        type). Used for untyped ``(n)`` scans and multi-label predicates."""
+        tables = (
+            [self.node(lbl) for lbl in labels] if labels else list(self._nodes.values())
+        )
+        if not tables:
+            raise ValueError("no node tables registered")
+        schema = self.node_prop_schema([t.label for t in tables])
+        parts = []
+        for t in tables:
+            cols = [F.col(ID_COL), F.lit(t.label).alias("_label")]
+            have = {f_.name: f_.dataType for f_ in t.df.schema.fields}
+            for name, dtype in sorted(schema.items()):
+                if name in have:
+                    col = F.col(name)
+                    if have[name] != dtype:
+                        col = col.cast(T.StringType())
+                        dtype = T.StringType()  # noqa: PLW2901
+                    parts_col = col.alias(name)
+                else:
+                    parts_col = F.lit(None).cast(dtype).alias(name)
+                cols.append(parts_col)
+            parts.append(t.df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def labels_of(self, label: str) -> list[str]:
+        """All labels that a node of the given primary table carries (here:
+        one table per label; multi-label = same _id in several tables)."""
+        return [label]

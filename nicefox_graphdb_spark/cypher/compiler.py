@@ -1,0 +1,1136 @@
+"""Cypher AST → DataFrame plan compiler.
+
+The reference translates its AST to SQLite SQL *text* and interleaves JS
+interpreters for the cases SQL can't express (reference src/translator.ts,
+src/executor.ts:494-651). Here every clause is a function
+``(CompileState) -> CompileState`` over a single binding-table DataFrame —
+Catalyst is the analyzer/optimizer, so there is no phase machinery:
+WITH/aggregate/HAVING chains are just chained transformations, and only
+variable-length traversal drops to a driver-side loop (operators/var_length).
+
+Pattern-matching strategy (reference emits nested-loop JOINs over SQLite
+indexes, src/translator.ts:1560-1610): each hop is an equi-join
+``binding ⋈ edges ⋈ nodes`` on ids. Catalyst/AQE choose broadcast vs
+shuffled-hash vs sort-merge per side statistics; label constraints prune
+entire edge tables at compile time (see catalog.EdgeTable).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nicefox_graphdb_spark.catalog import GraphCatalog
+from nicefox_graphdb_spark.cypher import ast
+from nicefox_graphdb_spark.cypher.expressions import (
+    AGGREGATE_FUNCTIONS,
+    CypherCompileError,
+    ExprCompiler,
+    ExprCtx,
+    TypedCol,
+    contains_aggregate,
+)
+from nicefox_graphdb_spark.cypher.scope import Scope, VarInfo, pcol, vcol
+from nicefox_graphdb_spark.operators import var_length as vl
+
+
+@dataclass
+class CompileState:
+    df: DataFrame | None
+    scope: Scope
+
+    def require_df(self) -> DataFrame:
+        if self.df is None:
+            raise CypherCompileError("no driving table at this point in the query")
+        return self.df
+
+
+class CypherToSpark:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: GraphCatalog,
+        params: dict | None = None,
+        max_hops: int = vl.DEFAULT_MAX_HOPS,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.params = params or {}
+        self.max_hops = max_hops
+        self._sym = itertools.count()
+
+    def gensym(self, prefix: str) -> str:
+        return f"_{prefix}{next(self._sym)}"
+
+    # ------------------------------------------------------------------
+    def compile_query(self, q: ast.Query) -> DataFrame:
+        out = self._compile_single(q)
+        for all_, uq in q.unions:
+            right = self._compile_single(uq)
+            if set(out.columns) != set(right.columns):
+                raise CypherCompileError(
+                    "UNION requires identical column names: "
+                    f"{out.columns} vs {right.columns}"
+                )
+            out = out.unionByName(right)
+            if not all_:
+                out = out.dropDuplicates()
+        return out
+
+    def _compile_single(self, q: ast.Query) -> DataFrame:
+        state = CompileState(df=None, scope=Scope())
+        final: DataFrame | None = None
+        for i, clause in enumerate(q.clauses):
+            if isinstance(clause, ast.Match):
+                state = self.compile_match(state, clause)
+            elif isinstance(clause, ast.Unwind):
+                state = self.compile_unwind(state, clause)
+            elif isinstance(clause, ast.With):
+                state = self.compile_projection(state, clause, is_return=False)
+            elif isinstance(clause, ast.Return):
+                if i != len(q.clauses) - 1:
+                    raise CypherCompileError("RETURN must be the final clause")
+                final = self.compile_return(state, clause)
+            elif isinstance(clause, ast.CallProc):
+                state = self.compile_call(state, clause)
+            elif isinstance(
+                clause, (ast.Create, ast.Merge, ast.SetClause, ast.Remove, ast.Delete)
+            ):
+                raise CypherCompileError(
+                    f"write clause {type(clause).__name__} requires a mutable graph "
+                    "store (use MutableGraph)"
+                )
+            else:
+                raise CypherCompileError(
+                    f"unsupported clause {type(clause).__name__}"
+                )
+        if final is None:
+            raise CypherCompileError("query must end with RETURN")
+        return final
+
+    # -- helpers ------------------------------------------------------------
+    def _ctx(self, state: CompileState) -> ExprCtx:
+        return ExprCtx(scope=state.scope, params=self.params)
+
+    def _compile_expr(self, state: CompileState, expr: ast.Expr) -> TypedCol:
+        return ExprCompiler(self._ctx(state)).compile(expr)
+
+    def _static_eval(self, expr: ast.Expr) -> object:
+        """Evaluate a compile-time-constant expression (SKIP/LIMIT, etc.)."""
+        if isinstance(expr, ast.Literal):
+            return expr.value
+        if isinstance(expr, ast.Param):
+            if expr.name not in self.params:
+                raise CypherCompileError(f"missing parameter ${expr.name}")
+            return self.params[expr.name]
+        if isinstance(expr, ast.Unary) and expr.op == "-":
+            val = self._static_eval(expr.operand)
+            return -val  # type: ignore[operator]
+        if isinstance(expr, ast.Binary) and expr.op in ("+", "-", "*", "/", "%"):
+            left = self._static_eval(expr.left)
+            right = self._static_eval(expr.right)
+            ops = {
+                "+": lambda a, b: a + b,
+                "-": lambda a, b: a - b,
+                "*": lambda a, b: a * b,
+                "/": lambda a, b: a // b if isinstance(a, int) else a / b,
+                "%": lambda a, b: a % b,
+            }
+            return ops[expr.op](left, right)
+        raise CypherCompileError("expression must be compile-time constant")
+
+    def _empty_nodes(self, var: str) -> tuple[DataFrame, VarInfo]:
+        schema = T.StructType([T.StructField(vcol(var, "id"), T.StringType())])
+        return (
+            self.spark.createDataFrame([], schema),
+            VarInfo(name=var, kind="node", labels=[], props={}),
+        )
+
+    # -- node / edge scans --------------------------------------------------
+    def _node_scan(
+        self, var: str, labels: list[str]
+    ) -> tuple[DataFrame, VarInfo]:
+        """A renamed scan of the label's table (or a union scan)."""
+        if len(labels) > 1:
+            # multi-label intersection: nodes present in every label table
+            base_df, info = self._node_scan(var, [labels[0]])
+            for lbl in labels[1:]:
+                if not self.catalog.has_label(lbl):
+                    return self._empty_nodes(var)
+                other = self.catalog.node(lbl).df.select(
+                    F.col("_id").alias(vcol(var, "id"))
+                )
+                base_df = base_df.join(other, on=vcol(var, "id"), how="left_semi")
+            return base_df, replace(info, labels=labels)
+        if len(labels) == 1:
+            lbl = labels[0]
+            if not self.catalog.has_label(lbl):
+                return self._empty_nodes(var)
+            tbl = self.catalog.node(lbl)
+            props = {
+                f_.name: f_.dataType
+                for f_ in tbl.df.schema.fields
+                if f_.name != "_id"
+            }
+            sel = [F.col("_id").alias(vcol(var, "id"))] + [
+                F.col(k).alias(pcol(var, k)) for k in props
+            ]
+            return tbl.df.select(*sel), VarInfo(
+                name=var, kind="node", labels=[lbl], props=props
+            )
+        # untyped scan over all labels
+        udf_ = self.catalog.union_nodes()
+        props = {
+            f_.name: f_.dataType
+            for f_ in udf_.schema.fields
+            if f_.name not in ("_id", "_label")
+        }
+        sel = [
+            F.col("_id").alias(vcol(var, "id")),
+            F.col("_label").alias(vcol(var, "label")),
+        ] + [F.col(k).alias(pcol(var, k)) for k in props]
+        return udf_.select(*sel), VarInfo(
+            name=var,
+            kind="node",
+            labels=self.catalog.labels,
+            props=props,
+            has_label_col=True,
+        )
+
+    def _inline_prop_filter(
+        self, df: DataFrame, state: CompileState, info: VarInfo, props: ast.MapLit
+    ) -> DataFrame:
+        """Apply `{key: value}` pattern filters on a scan (pushdown-friendly)."""
+        ctx = ExprCtx(scope=state.scope, params=self.params)
+        for key, value_expr in props.items:
+            value = ExprCompiler(ctx).compile(value_expr)
+            if key in info.props:
+                df = df.where(F.col(pcol(info.name, key)) == value.col)
+            else:
+                df = df.where(F.lit(False))
+        return df
+
+    def _edge_scan(
+        self,
+        var: str,
+        types: list[str],
+        direction: str,
+        left_labels: list[str] | None,
+        right_labels: list[str] | None,
+    ) -> tuple[DataFrame | None, VarInfo]:
+        """Standardized oriented edge scan.
+
+        Output columns: __from (side attached to the already-bound left
+        node), __to, plus the var's namespaced eid/src/dst/type/props.
+        Endpoint label constraints prune entire edge tables at compile time.
+        """
+        orientations = ["out", "in"] if direction == "both" else [direction]
+        # collect candidate (table, orientation) pairs
+        chosen: list[tuple] = []
+        for et in self.catalog.edge_tables(types or None):
+            for ori in orientations:
+                near = et.src_label if ori == "out" else et.dst_label
+                far = et.dst_label if ori == "out" else et.src_label
+                if left_labels and near not in left_labels:
+                    continue
+                if right_labels and far not in right_labels:
+                    continue
+                chosen.append((et, ori))
+        if not chosen:
+            return None, VarInfo(name=var, kind="edge", types=types, props={})
+        # union prop schema across chosen tables
+        prop_schema: dict[str, T.DataType] = {}
+        for et, _ in chosen:
+            for f_ in et.df.schema.fields:
+                if f_.name in ("_id", "_src", "_dst"):
+                    continue
+                prop_schema.setdefault(f_.name, f_.dataType)
+        parts = []
+        for et, ori in chosen:
+            from_col, to_col = ("_src", "_dst") if ori == "out" else ("_dst", "_src")
+            have = {f_.name for f_ in et.df.schema.fields}
+            sel = [
+                F.col(from_col).alias("__from"),
+                F.col(to_col).alias("__to"),
+                F.col("_id").alias(vcol(var, "eid")),
+                F.col("_src").alias(vcol(var, "src")),
+                F.col("_dst").alias(vcol(var, "dst")),
+                F.lit(et.type).alias(vcol(var, "type")),
+            ]
+            for k, dtype in sorted(prop_schema.items()):
+                if k in have:
+                    sel.append(F.col(k).alias(pcol(var, k)))
+                else:
+                    sel.append(F.lit(None).cast(dtype).alias(pcol(var, k)))
+            parts.append(et.df.select(*sel))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        info = VarInfo(
+            name=var,
+            kind="edge",
+            types=sorted({et.type for et, _ in chosen}),
+            props=prop_schema,
+        )
+        return df, info
+
+    # -- MATCH ---------------------------------------------------------------
+    def compile_match(self, state: CompileState, m: ast.Match) -> CompileState:
+        if m.optional:
+            return self._compile_optional_match(state, m)
+        new_edge_vars: list[VarInfo] = []
+        for path in m.paths:
+            state = self._compile_path(state, path, new_edge_vars)
+        state = self._apply_edge_uniqueness(state, new_edge_vars)
+        if m.where is not None:
+            state = self._apply_where(state, m.where)
+        return state
+
+    def _compile_path(
+        self,
+        state: CompileState,
+        path: ast.PatternPath,
+        new_edge_vars: list[VarInfo],
+    ) -> CompileState:
+        elements = path.elements
+        first = elements[0]
+        assert isinstance(first, ast.NodePattern)
+        state, left_var = self._add_node(state, first)
+        # path bookkeeping: node-id / edge-id array fragments in order
+        node_frags: list = [F.array(F.col(vcol(left_var, "id")))]
+        rel_frags: list = []
+        i = 1
+        while i < len(elements):
+            rel = elements[i]
+            node = elements[i + 1]
+            assert isinstance(rel, ast.RelPattern) and isinstance(
+                node, ast.NodePattern
+            )
+            state, left_var, rinfo = self._add_hop(state, left_var, rel, node)
+            if rinfo is not None:
+                new_edge_vars.append(rinfo)
+                if rinfo.var_length:
+                    rel_frags.append(F.col(vcol(rinfo.name, "path")))
+                    node_frags.append(F.col(vcol(rinfo.name, "nodes_seq")))
+                else:
+                    rel_frags.append(F.array(F.col(vcol(rinfo.name, "eid"))))
+                    node_frags.append(F.array(F.col(vcol(left_var, "id"))))
+            i += 2
+        if path.name:
+            df = state.require_df()
+            nodes_col = (
+                F.concat(*node_frags) if len(node_frags) > 1 else node_frags[0]
+            )
+            rels_col = (
+                F.concat(*rel_frags)
+                if len(rel_frags) > 1
+                else (rel_frags[0] if rel_frags else F.array().cast("array<string>"))
+            )
+            df = df.withColumn(vcol(path.name, "nodes"), nodes_col).withColumn(
+                vcol(path.name, "rels"), rels_col
+            )
+            scope = state.scope.copy()
+            scope.bind(VarInfo(name=path.name, kind="path"))
+            state = CompileState(df=df, scope=scope)
+        return state
+
+    def _add_node(
+        self, state: CompileState, np_: ast.NodePattern
+    ) -> tuple[CompileState, str]:
+        var = np_.var or self.gensym("n")
+        existing = state.scope.get(var)
+        if existing is not None:
+            if existing.kind != "node":
+                raise CypherCompileError(f"variable `{var}` is not a node")
+            df = state.require_df()
+            if np_.labels:
+                tc = ExprCompiler(self._ctx(state)).compile(
+                    ast.LabelPred(base=ast.Var(var), labels=np_.labels)
+                )
+                df = df.where(tc.col)
+            if np_.props is not None:
+                df = self._inline_prop_filter(df, state, existing, np_.props)
+            return CompileState(df=df, scope=state.scope), var
+        ndf, info = self._node_scan(var, np_.labels)
+        if np_.props is not None:
+            ndf = self._inline_prop_filter(ndf, state, info, np_.props)
+        scope = state.scope.copy()
+        scope.bind(info)
+        if state.df is None:
+            return CompileState(df=ndf, scope=scope), var
+        return CompileState(df=state.df.crossJoin(ndf), scope=scope), var
+
+    def _add_hop(
+        self,
+        state: CompileState,
+        left_var: str,
+        rel: ast.RelPattern,
+        right_np: ast.NodePattern,
+    ) -> tuple[CompileState, str, VarInfo | None]:
+        rel_var = rel.var or self.gensym("r")
+        left_info = state.scope.get(left_var)
+        assert left_info is not None
+        left_labels = left_info.labels if left_info.labels else None
+        right_existing = (
+            state.scope.get(right_np.var) if right_np.var else None
+        )
+        right_labels: list[str] | None = right_np.labels or None
+        if right_labels is None and right_existing is not None:
+            right_labels = right_existing.labels or None
+
+        if rel.var_length:
+            return self._add_var_length_hop(
+                state, left_var, rel, rel_var, right_np, left_labels, right_labels
+            )
+
+        edf, rinfo = self._edge_scan(
+            rel_var, rel.types, rel.direction, left_labels, right_labels
+        )
+        df = state.require_df()
+        if edf is None:
+            # no edge table can satisfy the pattern → empty result
+            df = df.where(F.lit(False))
+            scope = state.scope.copy()
+            scope.bind(rinfo)
+            if right_np.var and right_existing is None:
+                state2, rv = self._add_node(
+                    CompileState(df=df, scope=scope), right_np
+                )
+                return state2, rv, rinfo
+            return CompileState(df=df, scope=scope), right_np.var or left_var, rinfo
+        if rel.props is not None:
+            edf = self._inline_prop_filter(edf, state, rinfo, rel.props)
+        joined = df.join(edf, df[vcol(left_var, "id")] == edf["__from"]).drop(
+            "__from"
+        )
+        scope = state.scope.copy()
+        scope.bind(rinfo)
+        state = CompileState(df=joined, scope=scope)
+        # right node
+        if right_existing is not None:
+            var = right_np.var  # type: ignore[assignment]
+            df2 = state.require_df()
+            df2 = df2.where(F.col(vcol(var, "id")) == F.col("__to")).drop("__to")
+            state = CompileState(df=df2, scope=state.scope)
+            if right_np.labels:
+                tc = ExprCompiler(self._ctx(state)).compile(
+                    ast.LabelPred(base=ast.Var(var), labels=right_np.labels)
+                )
+                state = CompileState(df=state.df.where(tc.col), scope=state.scope)
+            if right_np.props is not None:
+                state = CompileState(
+                    df=self._inline_prop_filter(
+                        state.require_df(), state, right_existing, right_np.props
+                    ),
+                    scope=state.scope,
+                )
+            return state, var, rinfo
+        rvar = right_np.var or self.gensym("n")
+        ndf, ninfo = self._node_scan(rvar, right_np.labels)
+        if right_np.props is not None:
+            ndf = self._inline_prop_filter(ndf, state, ninfo, right_np.props)
+        df3 = state.require_df()
+        joined2 = df3.join(ndf, df3["__to"] == ndf[vcol(rvar, "id")]).drop("__to")
+        scope2 = state.scope.copy()
+        scope2.bind(ninfo)
+        return CompileState(df=joined2, scope=scope2), rvar, rinfo
+
+    def _add_var_length_hop(
+        self,
+        state: CompileState,
+        left_var: str,
+        rel: ast.RelPattern,
+        rel_var: str,
+        right_np: ast.NodePattern,
+        left_labels: list[str] | None,
+        right_labels: list[str] | None,
+    ) -> tuple[CompileState, str, VarInfo]:
+        # Oriented edge set for the traversal. Label constraints only prune
+        # the first/last hop in general, so for multi-hop we cannot constrain
+        # intermediate labels — use type-only pruning.
+        edf, _ = self._edge_scan(
+            "__vle", rel.types, rel.direction, None, None
+        )
+        df = state.require_df()
+        if edf is None:
+            empty = df.where(F.lit(False))
+            rinfo = VarInfo(
+                name=rel_var, kind="edge", types=rel.types, props={}, var_length=True
+            )
+            scope = state.scope.copy()
+            scope.bind(rinfo)
+            st = CompileState(df=empty, scope=scope)
+            st, rvar = self._add_node(st, right_np)
+            return st, rvar, rinfo
+        edges = edf.select(
+            F.col("__from"),
+            F.col("__to"),
+            F.col(vcol("__vle", "eid")).alias("__eid"),
+        )
+        min_h = rel.min_hops if rel.min_hops is not None else 1
+        max_h = rel.max_hops if rel.max_hops is not None else self.max_hops
+        seed = df.select(F.col(vcol(left_var, "id"))).distinct()
+        expansion = vl.var_length_expand(edges, max(min_h, 1), max_h, seed_ids=seed)
+        exp = expansion.select(
+            F.col(vl.START).alias("__from"),
+            F.col(vl.END).alias("__to"),
+            F.col(vl.PATH_EIDS).alias(vcol(rel_var, "path")),
+            F.col(vl.PATH_NODES).alias(vcol(rel_var, "nodes_seq")),
+            F.col(vl.HOPS).alias(vcol(rel_var, "len")),
+        )
+        if min_h == 0:
+            # zero-hop identity: (n)-[*0..k]->(n) — same node, empty path
+            ident = df.select(
+                F.col(vcol(left_var, "id")).alias("__from"),
+                F.col(vcol(left_var, "id")).alias("__to"),
+                F.array().cast("array<string>").alias(vcol(rel_var, "path")),
+                F.array().cast("array<string>").alias(vcol(rel_var, "nodes_seq")),
+                F.lit(0).alias(vcol(rel_var, "len")),
+            ).distinct()
+            exp = exp.unionByName(ident)
+        joined = df.join(exp, df[vcol(left_var, "id")] == exp["__from"]).drop(
+            "__from"
+        )
+        rinfo = VarInfo(
+            name=rel_var,
+            kind="edge",
+            types=rel.types,
+            props={},
+            var_length=True,
+        )
+        scope = state.scope.copy()
+        scope.bind(rinfo)
+        # give the var-length rel src/dst/eid/type columns for uniformity
+        joined = (
+            joined.withColumn(vcol(rel_var, "eid"), F.lit(None).cast("string"))
+            .withColumn(vcol(rel_var, "src"), F.col(vcol(left_var, "id")))
+            .withColumn(vcol(rel_var, "dst"), F.col("__to"))
+            .withColumn(
+                vcol(rel_var, "type"),
+                F.lit(rel.types[0] if rel.types else None).cast("string"),
+            )
+        )
+        state = CompileState(df=joined, scope=scope)
+        # right node
+        right_existing = state.scope.get(right_np.var) if right_np.var else None
+        if right_existing is not None:
+            var = right_np.var  # type: ignore[assignment]
+            df2 = state.require_df().where(
+                F.col(vcol(var, "id")) == F.col("__to")
+            ).drop("__to")
+            return CompileState(df=df2, scope=state.scope), var, rinfo
+        rvar = right_np.var or self.gensym("n")
+        ndf, ninfo = self._node_scan(rvar, right_np.labels)
+        if right_np.props is not None:
+            ndf = self._inline_prop_filter(ndf, state, ninfo, right_np.props)
+        df3 = state.require_df()
+        joined2 = df3.join(ndf, df3["__to"] == ndf[vcol(rvar, "id")]).drop("__to")
+        scope2 = state.scope.copy()
+        scope2.bind(ninfo)
+        return CompileState(df=joined2, scope=scope2), rvar, rinfo
+
+    def _apply_edge_uniqueness(
+        self, state: CompileState, edge_vars: list[VarInfo]
+    ) -> CompileState:
+        """Cypher relationship isomorphism: edges bound in one MATCH are
+        pairwise distinct (reference src/translator.ts:2212-2255)."""
+        if len(edge_vars) < 2 or state.df is None:
+            return state
+        df = state.df
+        for a, b in itertools.combinations(edge_vars, 2):
+            if a.types and b.types and not set(a.types) & set(b.types):
+                continue  # disjoint types can never collide
+            if not a.var_length and not b.var_length:
+                df = df.where(
+                    (F.col(vcol(a.name, "eid")) != F.col(vcol(b.name, "eid")))
+                    | F.col(vcol(a.name, "eid")).isNull()
+                    | F.col(vcol(b.name, "eid")).isNull()
+                )
+            elif a.var_length and b.var_length:
+                df = df.where(
+                    ~F.arrays_overlap(
+                        F.col(vcol(a.name, "path")), F.col(vcol(b.name, "path"))
+                    )
+                )
+            else:
+                fixed, varlen = (a, b) if b.var_length else (b, a)
+                df = df.where(
+                    ~F.array_contains(
+                        F.col(vcol(varlen.name, "path")),
+                        F.col(vcol(fixed.name, "eid")),
+                    )
+                )
+        return CompileState(df=df, scope=state.scope)
+
+    # -- OPTIONAL MATCH --------------------------------------------------------
+    def _compile_optional_match(
+        self, state: CompileState, m: ast.Match
+    ) -> CompileState:
+        if state.df is None:
+            # OPTIONAL MATCH as first clause behaves like MATCH w/ null row
+            inner = self.compile_match(state, replace(m, optional=False))
+            return inner
+        # variables shared with the outer scope = correlation keys
+        pattern_vars = set()
+        for path in m.paths:
+            for el in path.elements:
+                v = getattr(el, "var", None)
+                if v:
+                    pattern_vars.add(v)
+        shared = [v for v in pattern_vars if v in state.scope]
+        shared_cols: list[str] = []
+        seed_scope = Scope()
+        for v in shared:
+            info = state.scope.get(v)
+            assert info is not None
+            seed_scope.bind(info)
+            shared_cols.extend(info.columns())
+        if not shared_cols:
+            raise CypherCompileError(
+                "OPTIONAL MATCH must share at least one variable with the "
+                "preceding pattern"
+            )
+        seed = state.df.select(*[F.col(c) for c in shared_cols]).distinct()
+        sub_state = CompileState(df=seed, scope=seed_scope)
+        sub_state = self.compile_match(sub_state, replace(m, optional=False))
+        sub_df = sub_state.require_df()
+        join_keys = [vcol(v, "id" if state.scope.get(v).kind == "node" else "eid") for v in shared]  # type: ignore[union-attr]
+        # drop duplicated non-key shared columns from the sub side
+        dup = [c for c in shared_cols if c not in join_keys]
+        sub_df = sub_df.drop(*dup)
+        out = state.df.join(sub_df, on=join_keys, how="left")
+        scope = state.scope.copy()
+        for name, info in sub_state.scope.vars.items():
+            if name not in scope:
+                scope.bind(info)
+        return CompileState(df=out, scope=scope)
+
+    # -- WHERE and pattern predicates ----------------------------------------
+    def _rewrite_pattern_predicates(
+        self, state: CompileState, expr: ast.Expr
+    ) -> tuple[CompileState, ast.Expr]:
+        """Replace pattern predicates / EXISTS / pattern comprehensions with
+        marker columns computed via semi-join-style subplans."""
+
+        def walk(st: CompileState, e: ast.Expr) -> tuple[CompileState, ast.Expr]:
+            if isinstance(e, (ast.PatternExpr, ast.ExistsExpr)):
+                path = e.path if isinstance(e, ast.PatternExpr) else e.pattern
+                where = e.where if isinstance(e, ast.ExistsExpr) else None
+                return self._exists_marker(st, path, where)
+            if isinstance(e, ast.PatternComp):
+                return self._pattern_comp_column(st, e)
+            if isinstance(e, ast.Unary):
+                st, inner = walk(st, e.operand)
+                return st, ast.Unary(e.op, inner)
+            if isinstance(e, ast.Binary):
+                st, left = walk(st, e.left)
+                st, right = walk(st, e.right)
+                return st, ast.Binary(e.op, left, right)
+            if isinstance(e, ast.IsNull):
+                st, inner = walk(st, e.operand)
+                return st, ast.IsNull(inner, e.negated)
+            if isinstance(e, ast.FuncCall):
+                new_args = []
+                for a in e.args:
+                    st, na = walk(st, a)
+                    new_args.append(na)
+                return st, ast.FuncCall(e.name, new_args, e.distinct)
+            if isinstance(e, ast.CaseExpr):
+                test = e.test
+                if test is not None:
+                    st, test = walk(st, test)
+                whens = []
+                for w, th in e.whens:
+                    st, w2 = walk(st, w)
+                    st, t2 = walk(st, th)
+                    whens.append((w2, t2))
+                default = e.default
+                if default is not None:
+                    st, default = walk(st, default)
+                return st, ast.CaseExpr(test, whens, default)
+            return st, e
+
+        return walk(state, expr)
+
+    def _pattern_anchors(
+        self, state: CompileState, path: ast.PatternPath
+    ) -> list[str]:
+        anchors = []
+        for el in path.elements:
+            v = getattr(el, "var", None)
+            if v and v in state.scope:
+                anchors.append(v)
+        return anchors
+
+    def _exists_marker(
+        self, state: CompileState, path: ast.PatternPath, where: ast.Expr | None
+    ) -> tuple[CompileState, ast.Expr]:
+        marker = self.gensym("m")
+        df = state.require_df()
+        anchors = self._pattern_anchors(state, path)
+        anchor_cols: list[str] = []
+        seed_scope = Scope()
+        for v in anchors:
+            info = state.scope.get(v)
+            assert info is not None
+            seed_scope.bind(info)
+            anchor_cols.extend(info.columns())
+        if anchors:
+            seed = df.select(*anchor_cols).distinct()
+            sub = CompileState(df=seed, scope=seed_scope)
+            sub = self.compile_match(
+                sub, ast.Match(paths=[path], optional=False, where=where)
+            )
+            keys = [state.scope.get(v).id_col() for v in anchors]  # type: ignore[union-attr]
+            marker_df = (
+                sub.require_df()
+                .select(*keys)
+                .distinct()
+                .withColumn(vcol(marker, "val"), F.lit(True))
+            )
+            out = df.join(marker_df, on=keys, how="left")
+        else:
+            sub = CompileState(df=None, scope=Scope())
+            sub = self.compile_match(
+                sub, ast.Match(paths=[path], optional=False, where=where)
+            )
+            flag = not sub.require_df().isEmpty()
+            out = df.withColumn(vcol(marker, "val"), F.lit(flag))
+        scope = state.scope.copy()
+        scope.bind(VarInfo(name=marker, kind="value", dtype=T.BooleanType()))
+        new_expr = ast.FuncCall("coalesce", [ast.Var(marker), ast.Literal(False, "bool")])
+        return CompileState(df=out, scope=scope), new_expr
+
+    def _pattern_comp_column(
+        self, state: CompileState, e: ast.PatternComp
+    ) -> tuple[CompileState, ast.Expr]:
+        """[ (a)-[:T]->(b) WHERE p | proj ]  →  grouped collect re-joined."""
+        out_var = self.gensym("pc")
+        df = state.require_df()
+        anchors = self._pattern_anchors(state, e.path)
+        if not anchors:
+            raise CypherCompileError(
+                "pattern comprehension must reference a bound variable"
+            )
+        anchor_cols: list[str] = []
+        seed_scope = Scope()
+        for v in anchors:
+            info = state.scope.get(v)
+            assert info is not None
+            seed_scope.bind(info)
+            anchor_cols.extend(info.columns())
+        seed = df.select(*anchor_cols).distinct()
+        sub = CompileState(df=seed, scope=seed_scope)
+        sub = self.compile_match(
+            sub, ast.Match(paths=[e.path], optional=False, where=e.where)
+        )
+        proj = ExprCompiler(self._ctx(sub)).compile(e.projection)
+        keys = [state.scope.get(v).id_col() for v in anchors]  # type: ignore[union-attr]
+        grouped = (
+            sub.require_df()
+            .groupBy(*keys)
+            .agg(F.collect_list(proj.col).alias(vcol(out_var, "val")))
+        )
+        out = df.join(grouped, on=keys, how="left")
+        elem = proj.dtype
+        out = out.withColumn(
+            vcol(out_var, "val"),
+            F.coalesce(
+                F.col(vcol(out_var, "val")),
+                F.array().cast(T.ArrayType(elem) if elem else "array<string>"),
+            ),
+        )
+        scope = state.scope.copy()
+        scope.bind(
+            VarInfo(
+                name=out_var,
+                kind="value",
+                dtype=T.ArrayType(elem) if elem else None,
+            )
+        )
+        return CompileState(df=out, scope=scope), ast.Var(out_var)
+
+    def _apply_where(self, state: CompileState, where: ast.Expr) -> CompileState:
+        state, rewritten = self._rewrite_pattern_predicates(state, where)
+        tc = self._compile_expr(state, rewritten)
+        return CompileState(df=state.require_df().where(tc.col), scope=state.scope)
+
+    # -- UNWIND ---------------------------------------------------------------
+    def compile_unwind(self, state: CompileState, u: ast.Unwind) -> CompileState:
+        if state.df is None:
+            state = CompileState(
+                df=self.spark.range(1).select(), scope=state.scope
+            )
+        state, src_ast = self._rewrite_pattern_predicates(state, u.source)
+        tc = self._compile_expr(state, src_ast)
+        df = state.require_df()
+        exploded = F.explode(tc.col).alias(vcol(u.alias, "val"))
+        out = df.select(*df.columns, exploded) if df.columns else df.select(exploded)
+        elem = tc.dtype.elementType if isinstance(tc.dtype, T.ArrayType) else None
+        scope = state.scope.copy()
+        scope.bind(VarInfo(name=u.alias, kind="value", dtype=elem))
+        return CompileState(df=out, scope=scope)
+
+    # -- CALL ------------------------------------------------------------------
+    def compile_call(self, state: CompileState, c: ast.CallProc) -> CompileState:
+        proc = c.proc.lower()
+        if proc == "db.labels":
+            name = c.yield_items[0] if c.yield_items else "label"
+            rows = [(lbl,) for lbl in self.catalog.labels]
+            df = self.spark.createDataFrame(rows, f"`{vcol(name, 'val')}` string")
+        elif proc == "db.relationshiptypes":
+            name = c.yield_items[0] if c.yield_items else "relationshipType"
+            rows = [(t_,) for t_ in self.catalog.edge_types]
+            df = self.spark.createDataFrame(rows, f"`{vcol(name, 'val')}` string")
+        elif proc == "db.propertykeys":
+            name = c.yield_items[0] if c.yield_items else "propertyKey"
+            keys = sorted(self.catalog.node_prop_schema(None))
+            df = self.spark.createDataFrame(
+                [(k,) for k in keys], f"`{vcol(name, 'val')}` string"
+            )
+        else:
+            raise CypherCompileError(f"unknown procedure {c.proc}")
+        scope = state.scope.copy() if state.df is not None else Scope()
+        scope.bind(VarInfo(name=name, kind="value", dtype=T.StringType()))
+        out = state.df.crossJoin(df) if state.df is not None else df
+        return CompileState(df=out, scope=scope)
+
+    # -- WITH / RETURN ---------------------------------------------------------
+    def _expand_star(
+        self, state: CompileState, proj: ast.Projection
+    ) -> list[ast.ReturnItem]:
+        items: list[ast.ReturnItem] = []
+        if proj.star:
+            for name, info in state.scope.vars.items():
+                if name.startswith("_"):
+                    continue
+                items.append(ast.ReturnItem(expr=ast.Var(name), alias=None))
+        items.extend(proj.items)
+        return items
+
+    def compile_projection(
+        self, state: CompileState, proj: ast.With, is_return: bool
+    ) -> CompileState:
+        state, items, out_df, out_scope, output_cols = self._project(state, proj)
+        if proj.where is not None:
+            st = CompileState(df=out_df, scope=out_scope)
+            st = self._apply_where(st, proj.where)
+            # pattern-predicate markers may have added columns; re-trim
+            out_df = st.require_df().select(*dict.fromkeys(output_cols))
+        return CompileState(df=out_df, scope=out_scope)
+
+    def compile_return(self, state: CompileState, proj: ast.Return) -> DataFrame:
+        state, items, out_df, out_scope, output_cols = self._project(state, proj)
+        # friendly output names
+        renames = []
+        seen: set[str] = set()
+        for item in items:
+            bare = _bare_var_name(item)
+            target = item.alias or bare or _expr_text(item.expr)
+            nice = target
+            if nice in seen:
+                nice = f"{nice}_{len(seen)}"
+            seen.add(nice)
+            info = out_scope.get(target)
+            if info is not None and info.kind == "node":
+                # whole-entity return → struct of properties (Neo4j 3.5 row
+                # format returns the property map, reference src/types.ts:78-82)
+                fields = [
+                    F.col(pcol(info.name, k)).alias(k) for k in sorted(info.props)
+                ]
+                renames.append(F.struct(*fields).alias(nice))
+            elif info is not None and info.kind == "edge":
+                fields = [
+                    F.col(pcol(info.name, k)).alias(k) for k in sorted(info.props)
+                ]
+                renames.append(F.struct(*fields).alias(nice))
+            elif info is not None and info.kind == "path":
+                renames.append(
+                    F.struct(
+                        F.col(vcol(info.name, "nodes")).alias("nodes"),
+                        F.col(vcol(info.name, "rels")).alias("rels"),
+                    ).alias(nice)
+                )
+            else:
+                renames.append(F.col(vcol(target, "val")).alias(nice))
+        return out_df.select(*renames)
+
+    def _project(
+        self, state: CompileState, proj: ast.Projection
+    ):
+        items = self._expand_star(state, proj)
+        if not items:
+            raise CypherCompileError("empty projection")
+        if state.df is None:
+            state = CompileState(df=self.spark.range(1).select(), scope=state.scope)
+        # rewrite pattern predicates / comprehensions inside items
+        new_items: list[ast.ReturnItem] = []
+        for item in items:
+            state, ne = self._rewrite_pattern_predicates(state, item.expr)
+            new_items.append(ast.ReturnItem(expr=ne, alias=item.alias))
+        items = new_items
+        has_agg = any(contains_aggregate(i.expr) for i in items)
+        if has_agg:
+            out_df, out_scope, output_cols = self._project_aggregate(
+                state, items, proj
+            )
+        else:
+            out_df, out_scope, output_cols = self._project_simple(state, items, proj)
+        return state, items, out_df, out_scope, output_cols
+
+    def _project_simple(
+        self, state: CompileState, items: list[ast.ReturnItem], proj: ast.Projection
+    ):
+        df = state.require_df()
+        out_scope = Scope()
+        output_cols: list[str] = []
+        new_cols: dict[str, F.Column] = {}
+        for item in items:
+            bare = _bare_var_name(item)
+            if bare is not None and bare in state.scope:
+                info = state.scope.get(bare)
+                assert info is not None
+                target = item.alias or bare
+                if target != bare:
+                    renamed = info.renamed(target)
+                    for old_c, new_c in zip(info.columns(), renamed.columns()):
+                        new_cols[new_c] = F.col(old_c)
+                    out_scope.bind(renamed)
+                    output_cols.extend(renamed.columns())
+                else:
+                    out_scope.bind(info)
+                    output_cols.extend(info.columns())
+                continue
+            alias = item.alias
+            if alias is None:
+                alias = _expr_text(item.expr)
+            tc = self._compile_expr(state, item.expr)
+            colname = vcol(alias, "val")
+            new_cols[colname] = tc.col
+            out_scope.bind(VarInfo(name=alias, kind="value", dtype=tc.dtype))
+            output_cols.append(colname)
+        for name, col in new_cols.items():
+            df = df.withColumn(name, col)
+        # ORDER BY sees both old scope and new aliases
+        order_scope = state.scope.copy()
+        for n, i_ in out_scope.vars.items():
+            order_scope.bind(i_)
+        if proj.distinct:
+            df = df.select(*dict.fromkeys(output_cols)).dropDuplicates()
+            order_scope = out_scope
+        df = self._order_skip_limit(df, proj, order_scope)
+        df = df.select(*dict.fromkeys(output_cols))
+        return df, out_scope, output_cols
+
+    def _project_aggregate(
+        self, state: CompileState, items: list[ast.ReturnItem], proj: ast.Projection
+    ):
+        df = state.require_df()
+        group_cols: list[str] = []
+        out_scope = Scope()
+        output_cols: list[str] = []
+        agg_cols: list = []
+        post_select: list[tuple[str, ast.ReturnItem]] = []
+        pre_cols: dict[str, F.Column] = {}
+        agg_counter = itertools.count()
+
+        # pass 1: grouping keys
+        for item in items:
+            if contains_aggregate(item.expr):
+                continue
+            bare = _bare_var_name(item)
+            if bare is not None and bare in state.scope:
+                info = state.scope.get(bare)
+                assert info is not None
+                target = item.alias or bare
+                renamed = info.renamed(target) if target != bare else info
+                if target != bare:
+                    for old_c, new_c in zip(info.columns(), renamed.columns()):
+                        pre_cols[new_c] = F.col(old_c)
+                group_cols.extend(renamed.columns())
+                out_scope.bind(renamed)
+                output_cols.extend(renamed.columns())
+            else:
+                alias = item.alias or _expr_text(item.expr)
+                tc = self._compile_expr(state, item.expr)
+                colname = vcol(alias, "val")
+                pre_cols[colname] = tc.col
+                group_cols.append(colname)
+                out_scope.bind(VarInfo(name=alias, kind="value", dtype=tc.dtype))
+                output_cols.append(colname)
+
+        for name, col in pre_cols.items():
+            df = df.withColumn(name, col)
+
+        # pass 2: aggregate items — replace agg calls with placeholder columns
+        def compile_agg_call(call: ast.FuncCall) -> tuple[F.Column, T.DataType | None]:
+            return self._compile_aggregate(state, call)
+
+        replacements: dict[int, str] = {}
+
+        def extract(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.FuncCall) and e.name in AGGREGATE_FUNCTIONS:
+                tmp = f"__agg{next(agg_counter)}"
+                col, dtype = compile_agg_call(e)
+                agg_cols.append(col.alias(vcol(tmp, "val")))
+                out_scope_tmp.bind(VarInfo(name=tmp, kind="value", dtype=dtype))
+                return ast.Var(tmp)
+            for attr in ("base", "operand", "left", "right", "source", "init", "body"):
+                child = getattr(e, attr, None)
+                if isinstance(child, ast.Expr):
+                    setattr(e, attr, extract(child))
+            if isinstance(e, ast.ListLit):
+                e.items = [extract(i) for i in e.items]
+            if isinstance(e, ast.MapLit):
+                e.items = [(k, extract(v)) for k, v in e.items]
+            if isinstance(e, ast.CaseExpr):
+                if e.test is not None:
+                    e.test = extract(e.test)
+                e.whens = [(extract(w), extract(t_)) for w, t_ in e.whens]
+                if e.default is not None:
+                    e.default = extract(e.default)
+            if isinstance(e, ast.FuncCall):
+                e.args = [extract(a) for a in e.args]
+            if isinstance(e, ast.Index):
+                e.index = extract(e.index)
+            return e
+
+        out_scope_tmp = Scope()
+        agg_items: list[tuple[ast.ReturnItem, ast.Expr]] = []
+        for item in items:
+            if not contains_aggregate(item.expr):
+                continue
+            rewritten = extract(item.expr)
+            agg_items.append((item, rewritten))
+
+        # ORDER BY aggregate expressions become extra agg columns
+        order_items: list[ast.OrderItem] = []
+        for oi in proj.order_by:
+            if contains_aggregate(oi.expr):
+                order_items.append(ast.OrderItem(extract(oi.expr), oi.desc))
+            else:
+                order_items.append(oi)
+
+        grouped = (
+            df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
+        )
+        if not agg_cols:
+            agg_cols.append(F.count(F.lit(1)).alias("__dummy_count"))
+        agg_df = grouped.agg(*agg_cols)
+
+        # post-aggregation expression evaluation
+        post_scope = Scope()
+        for n, i_ in out_scope.vars.items():
+            post_scope.bind(i_)
+        for n, i_ in out_scope_tmp.vars.items():
+            post_scope.bind(i_)
+        post_state = CompileState(df=agg_df, scope=post_scope)
+        for item, rewritten in agg_items:
+            alias = item.alias or _expr_text(item.expr)
+            tc = ExprCompiler(self._ctx(post_state)).compile(rewritten)
+            colname = vcol(alias, "val")
+            agg_df = agg_df.withColumn(colname, tc.col)
+            post_state = CompileState(df=agg_df, scope=post_scope)
+            out_scope.bind(VarInfo(name=alias, kind="value", dtype=tc.dtype))
+            output_cols.append(colname)
+
+        order_scope = Scope()
+        for n, i_ in out_scope.vars.items():
+            order_scope.bind(i_)
+        for n, i_ in out_scope_tmp.vars.items():
+            order_scope.bind(i_)
+        if proj.distinct:
+            agg_df = agg_df.select(*dict.fromkeys(output_cols)).dropDuplicates()
+        fake_proj = replace(proj, order_by=order_items)
+        agg_df = self._order_skip_limit(agg_df, fake_proj, order_scope)
+        agg_df = agg_df.select(*dict.fromkeys(output_cols))
+        return agg_df, out_scope, output_cols
+
+    def _compile_aggregate(
+        self, state: CompileState, call: ast.FuncCall
+    ) -> tuple[F.Column, T.DataType | None]:
+        name = call.name
+        if name == "count":
+            if call.args and isinstance(call.args[0], ast.Star):
+                return F.count(F.lit(1)), T.LongType()
+            tc = self._compile_expr(state, call.args[0])
+            if call.distinct:
+                return F.countDistinct(tc.col), T.LongType()
+            return F.count(tc.col), T.LongType()
+        tc = self._compile_expr(state, call.args[0])
+        if name == "sum":
+            return F.sum(tc.col), tc.dtype
+        if name == "avg":
+            return F.avg(tc.col), T.DoubleType()
+        if name == "min":
+            return F.min(tc.col), tc.dtype
+        if name == "max":
+            return F.max(tc.col), tc.dtype
+        if name == "collect":
+            col = F.collect_set(tc.col) if call.distinct else F.collect_list(tc.col)
+            return col, T.ArrayType(tc.dtype) if tc.dtype else None
+        if name == "stdev":
+            return F.stddev_samp(tc.col), T.DoubleType()
+        if name == "stdevp":
+            return F.stddev_pop(tc.col), T.DoubleType()
+        if name in ("percentiledisc", "percentilecont"):
+            p = self._compile_expr(state, call.args[1]).col
+            if name == "percentilecont":
+                return F.percentile(tc.col, p), T.DoubleType()
+            # discrete percentile via sorted-collect + index
+            arr = F.sort_array(F.collect_list(tc.col))
+            idx = F.greatest(
+                F.ceil(p * F.size(arr)).cast("int"), F.lit(1)
+            )
+            return F.element_at(arr, idx), tc.dtype
+        raise CypherCompileError(f"unknown aggregate {name}()")
+
+    def _order_skip_limit(
+        self, df: DataFrame, proj: ast.Projection, scope: Scope
+    ) -> DataFrame:
+        if proj.order_by:
+            ctx = ExprCtx(scope=scope, params=self.params)
+            sort_cols = []
+            for oi in proj.order_by:
+                tc = ExprCompiler(ctx).compile(oi.expr)
+                # Cypher/Neo4j: NULL sorts last ascending, first descending
+                sort_cols.append(
+                    tc.col.desc_nulls_first() if oi.desc else tc.col.asc_nulls_last()
+                )
+            df = df.orderBy(*sort_cols)
+        if proj.skip is not None:
+            df = df.offset(int(self._static_eval(proj.skip)))  # type: ignore[arg-type]
+        if proj.limit is not None:
+            df = df.limit(int(self._static_eval(proj.limit)))  # type: ignore[arg-type]
+        return df
+
+
+def _bare_var_name(item: ast.ReturnItem) -> str | None:
+    if isinstance(item.expr, ast.Var):
+        return item.expr.name
+    return None
+
+
+def _expr_text(expr: ast.Expr) -> str:
+    """Generate an output column name for an un-aliased RETURN item."""
+    if isinstance(expr, ast.Var):
+        return expr.name
+    if isinstance(expr, ast.Prop):
+        return f"{_expr_text(expr.base)}.{expr.key}"
+    if isinstance(expr, ast.FuncCall):
+        inner = ", ".join(_expr_text(a) for a in expr.args)
+        distinct = "DISTINCT " if expr.distinct else ""
+        return f"{expr.name}({distinct}{inner})"
+    if isinstance(expr, ast.Star):
+        return "*"
+    if isinstance(expr, ast.Literal):
+        return repr(expr.value)
+    if isinstance(expr, ast.Binary):
+        return f"{_expr_text(expr.left)} {expr.op} {_expr_text(expr.right)}"
+    if isinstance(expr, ast.Param):
+        return f"${expr.name}"
+    return type(expr).__name__.lower()

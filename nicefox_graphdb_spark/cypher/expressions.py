@@ -1,0 +1,753 @@
+"""Cypher expression → Spark Column compiler.
+
+Every expression compiles to a native Catalyst expression (whole-stage
+codegen eligible); there are NO Python UDFs on this path. The reference
+implements the same surface as SQLite SQL text + 9 custom SQL functions
+(reference src/translator.ts:4557-9692, src/db.ts:370-546); here Spark's
+native three-valued logic covers Cypher NULL semantics for and/or/not and
+comparisons, and higher-order functions cover comprehensions/quantifiers/
+reduce.
+
+A lightweight static type (`dtype`) rides along with each compiled Column so
+overloaded operators (`+` concat-vs-add, `size()` vs `length()`, integer vs
+float division, temporal accessors) resolve at compile time instead of at
+runtime like the reference's tagged-value JS evaluator.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nicefox_graphdb_spark.cypher import ast
+from nicefox_graphdb_spark.cypher.scope import Scope, VarInfo, pcol, vcol
+
+
+class CypherCompileError(Exception):
+    pass
+
+
+@dataclass
+class TypedCol:
+    col: Column
+    dtype: Optional[T.DataType] = None
+
+
+_NUMERIC_INT = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _is_int(dtype: Optional[T.DataType]) -> bool:
+    return isinstance(dtype, _NUMERIC_INT)
+
+
+def _is_string(dtype: Optional[T.DataType]) -> bool:
+    return isinstance(dtype, T.StringType)
+
+
+def _is_array(dtype: Optional[T.DataType]) -> bool:
+    return isinstance(dtype, T.ArrayType)
+
+
+def _is_temporal(dtype: Optional[T.DataType]) -> bool:
+    return isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType))
+
+
+@dataclass
+class ExprCtx:
+    """Compilation context: variable scope, parameters, lambda bindings."""
+
+    scope: Scope
+    params: dict = field(default_factory=dict)
+    lambdas: dict[str, TypedCol] = field(default_factory=dict)
+
+    def child_with_lambda(self, name: str, tc: TypedCol) -> "ExprCtx":
+        lam = dict(self.lambdas)
+        lam[name] = tc
+        return ExprCtx(scope=self.scope, params=self.params, lambdas=lam)
+
+
+def lit_value(value) -> TypedCol:
+    """Convert a Python (parameter) value to a literal column."""
+    if value is None:
+        return TypedCol(F.lit(None), T.NullType())
+    if isinstance(value, bool):
+        return TypedCol(F.lit(value), T.BooleanType())
+    if isinstance(value, int):
+        return TypedCol(F.lit(value), T.LongType())
+    if isinstance(value, float):
+        return TypedCol(F.lit(value), T.DoubleType())
+    if isinstance(value, str):
+        return TypedCol(F.lit(value), T.StringType())
+    if isinstance(value, (list, tuple)):
+        items = [lit_value(v) for v in value]
+        elem = items[0].dtype if items else T.StringType()
+        return TypedCol(F.array(*[tc.col for tc in items]), T.ArrayType(elem))
+    if isinstance(value, dict):
+        fields = [lit_value(v).col.alias(k) for k, v in value.items()]
+        return TypedCol(F.struct(*fields), None)
+    raise CypherCompileError(f"unsupported parameter value type: {type(value)}")
+
+
+class ExprCompiler:
+    def __init__(self, ctx: ExprCtx):
+        self.ctx = ctx
+
+    # ------------------------------------------------------------------
+    def compile(self, expr: ast.Expr) -> TypedCol:  # noqa: PLR0911, PLR0912
+        if isinstance(expr, ast.Literal):
+            return self._literal(expr)
+        if isinstance(expr, ast.Param):
+            if expr.name not in self.ctx.params:
+                raise CypherCompileError(f"missing parameter ${expr.name}")
+            return lit_value(self.ctx.params[expr.name])
+        if isinstance(expr, ast.Var):
+            return self._var(expr.name)
+        if isinstance(expr, ast.Prop):
+            return self._prop(expr)
+        if isinstance(expr, ast.Index):
+            return self._index(expr)
+        if isinstance(expr, ast.Slice):
+            return self._slice(expr)
+        if isinstance(expr, ast.ListLit):
+            items = [self.compile(e) for e in expr.items]
+            elem = next((tc.dtype for tc in items if tc.dtype is not None), None)
+            return TypedCol(
+                F.array(*[tc.col for tc in items]),
+                T.ArrayType(elem) if elem else None,
+            )
+        if isinstance(expr, ast.MapLit):
+            fields = [self.compile(v).col.alias(k) for k, v in expr.items]
+            return TypedCol(F.struct(*fields), None)
+        if isinstance(expr, ast.Unary):
+            return self._unary(expr)
+        if isinstance(expr, ast.Binary):
+            return self._binary(expr)
+        if isinstance(expr, ast.IsNull):
+            operand = self.compile(expr.operand).col
+            return TypedCol(
+                operand.isNotNull() if expr.negated else operand.isNull(),
+                T.BooleanType(),
+            )
+        if isinstance(expr, ast.LabelPred):
+            return self._label_pred(expr)
+        if isinstance(expr, ast.CaseExpr):
+            return self._case(expr)
+        if isinstance(expr, ast.ListComp):
+            return self._list_comp(expr)
+        if isinstance(expr, ast.Quantifier):
+            return self._quantifier(expr)
+        if isinstance(expr, ast.Reduce):
+            return self._reduce(expr)
+        if isinstance(expr, ast.FuncCall):
+            return self._func(expr)
+        if isinstance(expr, (ast.PatternExpr, ast.ExistsExpr, ast.PatternComp)):
+            raise CypherCompileError(
+                "pattern expressions must be rewritten before expression compilation"
+            )
+        if isinstance(expr, ast.Star):
+            raise CypherCompileError("'*' is only valid inside count(*)")
+        raise CypherCompileError(f"unsupported expression: {type(expr).__name__}")
+
+    # ------------------------------------------------------------------
+    def _literal(self, e: ast.Literal) -> TypedCol:
+        dtypes = {
+            "null": T.NullType(),
+            "bool": T.BooleanType(),
+            "int": T.LongType(),
+            "float": T.DoubleType(),
+            "string": T.StringType(),
+        }
+        return TypedCol(F.lit(e.value), dtypes[e.kind])
+
+    def _var(self, name: str) -> TypedCol:
+        if name in self.ctx.lambdas:
+            return self.ctx.lambdas[name]
+        info = self.ctx.scope.get(name)
+        if info is None:
+            raise CypherCompileError(f"variable `{name}` not defined")
+        if info.kind == "value":
+            return TypedCol(F.col(vcol(name, "val")), info.dtype)
+        if info.kind in ("node", "edge"):
+            # generic value position: the entity's identity (id equality is
+            # Cypher node/edge equality — reference src/translator.ts:4739)
+            return TypedCol(F.col(info.id_col()), T.StringType())
+        if info.kind == "path":
+            return TypedCol(
+                F.struct(
+                    F.col(vcol(name, "nodes")).alias("nodes"),
+                    F.col(vcol(name, "rels")).alias("rels"),
+                ),
+                None,
+            )
+        raise CypherCompileError(f"cannot use variable `{name}` here")
+
+    _TEMPORAL_ACCESSORS: dict[str, Callable[[Column], Column]] = {
+        "year": F.year,
+        "month": F.month,
+        "day": F.dayofmonth,
+        "hour": F.hour,
+        "minute": F.minute,
+        "second": F.second,
+        "week": F.weekofyear,
+        "dayofweek": F.dayofweek,
+        "quarter": F.quarter,
+        "ordinalday": F.dayofyear,
+        "epochseconds": lambda c: F.unix_timestamp(c),
+        "epochmillis": lambda c: F.unix_millis(c),
+    }
+
+    def _prop(self, e: ast.Prop) -> TypedCol:
+        if isinstance(e.base, ast.Var) and e.base.name not in self.ctx.lambdas:
+            info = self.ctx.scope.get(e.base.name)
+            if info is None:
+                raise CypherCompileError(f"variable `{e.base.name}` not defined")
+            if info.kind in ("node", "edge"):
+                if e.key in info.props:
+                    return TypedCol(
+                        F.col(pcol(e.base.name, e.key)), info.props[e.key]
+                    )
+                # missing property is NULL (Cypher semantics)
+                return TypedCol(F.lit(None), T.NullType())
+        base = self.compile(e.base)
+        # temporal accessors: d.year, d.month, ... on date/timestamp values
+        if _is_temporal(base.dtype):
+            fn = self._TEMPORAL_ACCESSORS.get(e.key.lower())
+            if fn is None:
+                raise CypherCompileError(f"unknown temporal accessor .{e.key}")
+            return TypedCol(fn(base.col), T.LongType())
+        dtype = None
+        if isinstance(base.dtype, T.StructType):
+            match = [f_ for f_ in base.dtype.fields if f_.name == e.key]
+            if not match:
+                return TypedCol(F.lit(None), T.NullType())
+            dtype = match[0].dataType
+        elif isinstance(base.dtype, T.MapType):
+            dtype = base.dtype.valueType
+        return TypedCol(base.col.getItem(e.key), dtype)
+
+    def _index(self, e: ast.Index) -> TypedCol:
+        base = self.compile(e.base)
+        idx = self.compile(e.index)
+        if _is_string(idx.dtype):
+            dtype = None
+            if isinstance(base.dtype, T.MapType):
+                dtype = base.dtype.valueType
+            return TypedCol(base.col.getItem(idx.col), dtype)
+        elem = base.dtype.elementType if _is_array(base.dtype) else None
+        # Cypher lists are 0-based; element_at is 1-based with negative wrap
+        shifted = F.when(idx.col >= 0, idx.col + 1).otherwise(idx.col)
+        return TypedCol(F.element_at(base.col, shifted), elem)
+
+    def _slice(self, e: ast.Slice) -> TypedCol:
+        base = self.compile(e.base)
+        size = F.size(base.col)
+        if e.start is None:
+            start = F.lit(0)
+        else:
+            s = self.compile(e.start).col
+            start = F.when(s < 0, F.greatest(size + s, F.lit(0))).otherwise(s)
+        if e.end is None:
+            end = size
+        else:
+            en = self.compile(e.end).col
+            end = F.when(en < 0, size + en).otherwise(F.least(en, size))
+        length = F.greatest(end - start, F.lit(0))
+        return TypedCol(F.slice(base.col, start + 1, length), base.dtype)
+
+    def _unary(self, e: ast.Unary) -> TypedCol:
+        operand = self.compile(e.operand)
+        if e.op == "NOT":
+            return TypedCol(~operand.col, T.BooleanType())
+        if e.op == "-":
+            return TypedCol(-operand.col, operand.dtype)
+        return operand
+
+    def _binary(self, e: ast.Binary) -> TypedCol:  # noqa: PLR0911, PLR0912
+        op = e.op
+        if op in ("AND", "OR", "XOR"):
+            left, right = self.compile(e.left).col, self.compile(e.right).col
+            if op == "AND":
+                return TypedCol(left & right, T.BooleanType())
+            if op == "OR":
+                return TypedCol(left | right, T.BooleanType())
+            return TypedCol(left != right, T.BooleanType())  # 3VL XOR
+        if op == "IN":
+            left, right = self.compile(e.left), self.compile(e.right)
+            return TypedCol(F.array_contains(right.col, left.col), T.BooleanType())
+        if op in ("STARTSWITH", "ENDSWITH", "CONTAINS", "REGEX"):
+            left, right = self.compile(e.left), self.compile(e.right)
+            if op == "STARTSWITH":
+                return TypedCol(left.col.startswith(right.col), T.BooleanType())
+            if op == "ENDSWITH":
+                return TypedCol(left.col.endswith(right.col), T.BooleanType())
+            if op == "CONTAINS":
+                return TypedCol(left.col.contains(right.col), T.BooleanType())
+            # Cypher =~ is a FULL match
+            pattern = F.concat(F.lit("^(?:"), right.col, F.lit(")$"))
+            return TypedCol(F.regexp_like(left.col, pattern), T.BooleanType())
+        left, right = self.compile(e.left), self.compile(e.right)
+        if op in ("=", "<>"):
+            eq = left.col == right.col
+            return TypedCol(eq if op == "=" else ~eq, T.BooleanType())
+        if op in ("<", "<=", ">", ">="):
+            ops = {
+                "<": left.col < right.col,
+                "<=": left.col <= right.col,
+                ">": left.col > right.col,
+                ">=": left.col >= right.col,
+            }
+            return TypedCol(ops[op], T.BooleanType())
+        if op == "+":
+            if _is_string(left.dtype) or _is_string(right.dtype):
+                return TypedCol(F.concat(left.col, right.col), T.StringType())
+            if _is_array(left.dtype) or _is_array(right.dtype):
+                lc = left.col if _is_array(left.dtype) else F.array(left.col)
+                rc = right.col if _is_array(right.dtype) else F.array(right.col)
+                dtype = left.dtype if _is_array(left.dtype) else right.dtype
+                return TypedCol(F.concat(lc, rc), dtype)
+            return TypedCol(left.col + right.col, self._promote(left, right))
+        if op == "-":
+            return TypedCol(left.col - right.col, self._promote(left, right))
+        if op == "*":
+            return TypedCol(left.col * right.col, self._promote(left, right))
+        if op == "%":
+            return TypedCol(left.col % right.col, self._promote(left, right))
+        if op == "/":
+            if _is_int(left.dtype) and _is_int(right.dtype):
+                # Cypher integer division truncates toward zero
+                return TypedCol((left.col / right.col).cast("long"), T.LongType())
+            return TypedCol(left.col / right.col, T.DoubleType())
+        if op == "^":
+            return TypedCol(F.pow(left.col, right.col), T.DoubleType())
+        raise CypherCompileError(f"unsupported operator {op!r}")
+
+    @staticmethod
+    def _promote(left: TypedCol, right: TypedCol) -> Optional[T.DataType]:
+        if left.dtype is None or right.dtype is None:
+            return None
+        if _is_int(left.dtype) and _is_int(right.dtype):
+            return T.LongType()
+        if isinstance(left.dtype, (T.DoubleType, T.FloatType)) or isinstance(
+            right.dtype, (T.DoubleType, T.FloatType)
+        ):
+            return T.DoubleType()
+        return left.dtype
+
+    def _label_pred(self, e: ast.LabelPred) -> TypedCol:
+        if not isinstance(e.base, ast.Var):
+            raise CypherCompileError("label predicate requires a variable")
+        info = self.ctx.scope.get(e.base.name)
+        if info is None or info.kind != "node":
+            raise CypherCompileError(
+                f"label predicate on non-node variable `{e.base.name}`"
+            )
+        if info.has_label_col:
+            conds = [
+                F.col(vcol(info.name, "label")) == F.lit(lbl) for lbl in e.labels
+            ]
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return TypedCol(out, T.BooleanType())
+        ok = all(lbl in info.labels for lbl in e.labels)
+        return TypedCol(F.lit(ok), T.BooleanType())
+
+    def _case(self, e: ast.CaseExpr) -> TypedCol:
+        out = None
+        dtype = None
+        for cond_expr, then_expr in e.whens:
+            if e.test is not None:
+                cond = self.compile(
+                    ast.Binary("=", e.test, cond_expr)
+                ).col
+            else:
+                cond = self.compile(cond_expr).col
+            then = self.compile(then_expr)
+            dtype = dtype or then.dtype
+            out = F.when(cond, then.col) if out is None else out.when(cond, then.col)
+        if out is None:
+            raise CypherCompileError("CASE requires at least one WHEN")
+        if e.default is not None:
+            default = self.compile(e.default)
+            dtype = dtype or default.dtype
+            out = out.otherwise(default.col)
+        return TypedCol(out, dtype)
+
+    # -- higher-order -----------------------------------------------------
+    def _lambda1(self, var: str, body: ast.Expr, elem_dtype) -> Callable:
+        def fn(x: Column) -> Column:
+            sub = ExprCompiler(self.ctx.child_with_lambda(var, TypedCol(x, elem_dtype)))
+            return sub.compile(body).col
+
+        return fn
+
+    def _list_comp(self, e: ast.ListComp) -> TypedCol:
+        source = self.compile(e.source)
+        elem = source.dtype.elementType if _is_array(source.dtype) else None
+        col = source.col
+        if e.where is not None:
+            col = F.filter(col, self._lambda1(e.var, e.where, elem))
+        out_dtype = source.dtype
+        if e.projection is not None:
+            proj_tc_probe = ExprCompiler(
+                self.ctx.child_with_lambda(e.var, TypedCol(F.lit(None), elem))
+            ).compile(e.projection)
+            col = F.transform(col, self._lambda1(e.var, e.projection, elem))
+            out_dtype = (
+                T.ArrayType(proj_tc_probe.dtype) if proj_tc_probe.dtype else None
+            )
+        return TypedCol(col, out_dtype)
+
+    def _quantifier(self, e: ast.Quantifier) -> TypedCol:
+        source = self.compile(e.source)
+        elem = source.dtype.elementType if _is_array(source.dtype) else None
+        pred = self._lambda1(e.var, e.where or ast.Literal(True, "bool"), elem)
+        if e.kind == "all":
+            col = F.forall(source.col, pred)
+        elif e.kind == "any":
+            col = F.exists(source.col, pred)
+        elif e.kind == "none":
+            col = ~F.exists(source.col, pred)
+        else:  # single
+            col = F.size(F.filter(source.col, pred)) == 1
+        return TypedCol(col, T.BooleanType())
+
+    def _reduce(self, e: ast.Reduce) -> TypedCol:
+        source = self.compile(e.source)
+        elem = source.dtype.elementType if _is_array(source.dtype) else None
+        init = self.compile(e.init)
+
+        def merge(acc: Column, x: Column) -> Column:
+            sub = ExprCompiler(
+                self.ctx.child_with_lambda(e.acc, TypedCol(acc, init.dtype))
+                .child_with_lambda(e.var, TypedCol(x, elem))
+            )
+            return sub.compile(e.body).col
+
+        return TypedCol(F.aggregate(source.col, init.col, merge), init.dtype)
+
+    # -- function calls ----------------------------------------------------
+    def _func(self, e: ast.FuncCall) -> TypedCol:
+        name = e.name
+        builder = SCALAR_FUNCTIONS.get(name)
+        if builder is None:
+            raise CypherCompileError(f"unknown function {name}()")
+        return builder(self, e.args)
+
+
+# --------------------------------------------------------------------------
+# Scalar function registry.  Each builder: (compiler, args_ast) -> TypedCol.
+# Reference implements these as SQLite expression templates
+# (src/translator.ts:5796-9263 and the temporal block :6418-8816); here each
+# maps onto a built-in pyspark.sql.functions call — JVM-side, codegen'd.
+# --------------------------------------------------------------------------
+
+
+def _c(comp: ExprCompiler, args: list[ast.Expr], i: int) -> TypedCol:
+    if i >= len(args):
+        raise CypherCompileError("missing function argument")
+    return comp.compile(args[i])
+
+
+def _simple(fn: Callable[..., Column], dtype: Optional[T.DataType] = None, nargs=1):
+    def build(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+        cols = [_c(comp, args, i).col for i in range(min(nargs, len(args)))]
+        return TypedCol(fn(*cols), dtype)
+
+    return build
+
+
+def _entity_info(comp: ExprCompiler, args: list[ast.Expr], fn: str) -> VarInfo:
+    if not args or not isinstance(args[0], ast.Var):
+        raise CypherCompileError(f"{fn}() requires a variable argument")
+    info = comp.ctx.scope.get(args[0].name)
+    if info is None:
+        raise CypherCompileError(f"variable `{args[0].name}` not defined")
+    return info
+
+
+def _fn_id(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    info = _entity_info(comp, args, "id")
+    return TypedCol(F.col(info.id_col()), T.StringType())
+
+
+def _fn_labels(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    info = _entity_info(comp, args, "labels")
+    if info.has_label_col:
+        return TypedCol(
+            F.array(F.col(vcol(info.name, "label"))), T.ArrayType(T.StringType())
+        )
+    return TypedCol(
+        F.array(*[F.lit(lbl) for lbl in info.labels]), T.ArrayType(T.StringType())
+    )
+
+
+def _fn_type(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    info = _entity_info(comp, args, "type")
+    if info.kind != "edge":
+        raise CypherCompileError("type() requires a relationship")
+    return TypedCol(F.col(vcol(info.name, "type")), T.StringType())
+
+
+def _fn_properties(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    info = _entity_info(comp, args, "properties")
+    fields = [F.col(pcol(info.name, k)).alias(k) for k in sorted(info.props)]
+    return TypedCol(F.struct(*fields), None)
+
+
+def _fn_keys(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    info = _entity_info(comp, args, "keys")
+    items = [
+        F.when(F.col(pcol(info.name, k)).isNotNull(), F.lit(k))
+        for k in sorted(info.props)
+    ]
+    arr = F.array(*items) if items else F.array()
+    return TypedCol(F.array_compact(arr), T.ArrayType(T.StringType()))
+
+
+def _fn_start_node(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    info = _entity_info(comp, args, "startNode")
+    return TypedCol(F.col(vcol(info.name, "src")), T.StringType())
+
+
+def _fn_end_node(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    info = _entity_info(comp, args, "endNode")
+    return TypedCol(F.col(vcol(info.name, "dst")), T.StringType())
+
+
+def _fn_size(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    tc = _c(comp, args, 0)
+    if _is_string(tc.dtype):
+        return TypedCol(F.length(tc.col).cast("long"), T.LongType())
+    return TypedCol(F.size(tc.col).cast("long"), T.LongType())
+
+
+def _fn_length(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    # length(path) — path var carries __rels; length(string) legacy
+    if args and isinstance(args[0], ast.Var):
+        info = comp.ctx.scope.get(args[0].name)
+        if info is not None and info.kind == "path":
+            return TypedCol(
+                F.size(F.col(vcol(info.name, "rels"))).cast("long"), T.LongType()
+            )
+        if info is not None and info.kind == "edge" and info.var_length:
+            return TypedCol(F.col(vcol(info.name, "len")).cast("long"), T.LongType())
+    tc = _c(comp, args, 0)
+    if _is_string(tc.dtype):
+        return TypedCol(F.length(tc.col).cast("long"), T.LongType())
+    return TypedCol(F.size(tc.col).cast("long"), T.LongType())
+
+
+def _fn_nodes(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    info = _entity_info(comp, args, "nodes")
+    if info.kind != "path":
+        raise CypherCompileError("nodes() requires a path")
+    return TypedCol(F.col(vcol(info.name, "nodes")), T.ArrayType(T.StringType()))
+
+
+def _fn_relationships(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    info = _entity_info(comp, args, "relationships")
+    if info.kind != "path":
+        raise CypherCompileError("relationships() requires a path")
+    return TypedCol(F.col(vcol(info.name, "rels")), T.ArrayType(T.StringType()))
+
+
+def _fn_coalesce(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    tcs = [comp.compile(a) for a in args]
+    dtype = next((tc.dtype for tc in tcs if not isinstance(tc.dtype, T.NullType)), None)
+    return TypedCol(F.coalesce(*[tc.col for tc in tcs]), dtype)
+
+
+def _fn_to_boolean(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    tc = _c(comp, args, 0)
+    if isinstance(tc.dtype, T.BooleanType):
+        return tc
+    lowered = F.lower(tc.col)
+    col = (
+        F.when(lowered == "true", F.lit(True))
+        .when(lowered == "false", F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return TypedCol(col, T.BooleanType())
+
+
+def _fn_substring(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    s = _c(comp, args, 0)
+    start = _c(comp, args, 1)
+    length = _c(comp, args, 2).col if len(args) > 2 else F.lit(2**31 - 1)
+    return TypedCol(s.col.substr(start.col + 1, length), T.StringType())
+
+
+def _fn_split(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    s = _c(comp, args, 0)
+    if isinstance(args[1], ast.Literal):
+        pattern = F.lit(re.escape(str(args[1].value)))
+    else:
+        pattern = F.concat(F.lit("\\Q"), _c(comp, args, 1).col, F.lit("\\E"))
+    return TypedCol(F.split(s.col, pattern), T.ArrayType(T.StringType()))
+
+
+def _fn_tail(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    tc = _c(comp, args, 0)
+    col = F.slice(tc.col, 2, F.greatest(F.size(tc.col) - 1, F.lit(0)))
+    return TypedCol(col, tc.dtype)
+
+
+def _fn_range(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    a = _c(comp, args, 0).col
+    b = _c(comp, args, 1).col
+    step = _c(comp, args, 2).col if len(args) > 2 else F.lit(1)
+    return TypedCol(
+        F.sequence(a.cast("long"), b.cast("long"), step.cast("long")),
+        T.ArrayType(T.LongType()),
+    )
+
+
+def _fn_head(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    tc = _c(comp, args, 0)
+    elem = tc.dtype.elementType if _is_array(tc.dtype) else None
+    return TypedCol(
+        F.when(F.size(tc.col) > 0, F.element_at(tc.col, 1)), elem
+    )
+
+
+def _fn_last(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    tc = _c(comp, args, 0)
+    elem = tc.dtype.elementType if _is_array(tc.dtype) else None
+    return TypedCol(
+        F.when(F.size(tc.col) > 0, F.element_at(tc.col, -1)), elem
+    )
+
+
+def _fn_to_string(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    return TypedCol(_c(comp, args, 0).col.cast("string"), T.StringType())
+
+
+def _fn_date(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    if not args:
+        return TypedCol(F.current_date(), T.DateType())
+    return TypedCol(F.to_date(_c(comp, args, 0).col), T.DateType())
+
+
+def _fn_datetime(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    if not args:
+        return TypedCol(F.current_timestamp(), T.TimestampType())
+    return TypedCol(F.to_timestamp(_c(comp, args, 0).col), T.TimestampType())
+
+
+SCALAR_FUNCTIONS: dict[str, Callable] = {
+    # graph
+    "id": _fn_id,
+    "labels": _fn_labels,
+    "type": _fn_type,
+    "properties": _fn_properties,
+    "keys": _fn_keys,
+    "startnode": _fn_start_node,
+    "endnode": _fn_end_node,
+    "size": _fn_size,
+    "length": _fn_length,
+    "nodes": _fn_nodes,
+    "relationships": _fn_relationships,
+    # null handling / conversion
+    "coalesce": _fn_coalesce,
+    "tointeger": _simple(lambda c: c.cast("long"), T.LongType()),
+    "tofloat": _simple(lambda c: c.cast("double"), T.DoubleType()),
+    "toboolean": _fn_to_boolean,
+    "tostring": _fn_to_string,
+    # strings
+    "toupper": _simple(F.upper, T.StringType()),
+    "tolower": _simple(F.lower, T.StringType()),
+    "trim": _simple(F.trim, T.StringType()),
+    "ltrim": _simple(F.ltrim, T.StringType()),
+    "rtrim": _simple(F.rtrim, T.StringType()),
+    "substring": _fn_substring,
+    "replace": _simple(F.replace, T.StringType(), nargs=3),
+    "split": _fn_split,
+    "left": _simple(F.left, T.StringType(), nargs=2),
+    "right": _simple(F.right, T.StringType(), nargs=2),
+    "reverse": _simple(F.reverse, None),
+    # lists
+    "head": _fn_head,
+    "last": _fn_last,
+    "tail": _fn_tail,
+    "range": _fn_range,
+    # math
+    "abs": _simple(F.abs, None),
+    "round": _simple(F.round, T.DoubleType()),
+    "floor": _simple(lambda c: F.floor(c).cast("double"), T.DoubleType()),
+    "ceil": _simple(lambda c: F.ceil(c).cast("double"), T.DoubleType()),
+    "sqrt": _simple(F.sqrt, T.DoubleType()),
+    "sign": _simple(lambda c: F.signum(c).cast("long"), T.LongType()),
+    "rand": _simple(lambda: F.rand(), T.DoubleType(), nargs=0),
+    "exp": _simple(F.exp, T.DoubleType()),
+    "log": _simple(F.log, T.DoubleType()),
+    "log10": _simple(F.log10, T.DoubleType()),
+    "sin": _simple(F.sin, T.DoubleType()),
+    "cos": _simple(F.cos, T.DoubleType()),
+    "tan": _simple(F.tan, T.DoubleType()),
+    "asin": _simple(F.asin, T.DoubleType()),
+    "acos": _simple(F.acos, T.DoubleType()),
+    "atan": _simple(F.atan, T.DoubleType()),
+    "atan2": _simple(F.atan2, T.DoubleType(), nargs=2),
+    "pi": _simple(lambda: F.lit(3.141592653589793), T.DoubleType(), nargs=0),
+    "e": _simple(lambda: F.exp(F.lit(1.0)), T.DoubleType(), nargs=0),
+    "degrees": _simple(F.degrees, T.DoubleType()),
+    "radians": _simple(F.radians, T.DoubleType()),
+    # ids / temporal
+    "randomuuid": _simple(lambda: F.expr("uuid()"), T.StringType(), nargs=0),
+    "timestamp": _simple(
+        lambda: F.unix_millis(F.current_timestamp()), T.LongType(), nargs=0
+    ),
+    "date": _fn_date,
+    "datetime": _fn_datetime,
+    "localdatetime": _fn_datetime,
+}
+
+AGGREGATE_FUNCTIONS = {
+    "count",
+    "sum",
+    "avg",
+    "min",
+    "max",
+    "collect",
+    "percentiledisc",
+    "percentilecont",
+    "stdev",
+    "stdevp",
+}
+
+
+def contains_aggregate(expr: ast.Expr) -> bool:
+    """True if the expression tree contains an aggregate function call."""
+    if isinstance(expr, ast.FuncCall):
+        if expr.name in AGGREGATE_FUNCTIONS:
+            return True
+        return any(contains_aggregate(a) for a in expr.args)
+    for child_name in ("base", "operand", "left", "right", "source", "init", "body"):
+        child = getattr(expr, child_name, None)
+        if isinstance(child, ast.Expr) and contains_aggregate(child):
+            return True
+    if isinstance(expr, ast.ListLit):
+        return any(contains_aggregate(i) for i in expr.items)
+    if isinstance(expr, ast.MapLit):
+        return any(contains_aggregate(v) for _, v in expr.items)
+    if isinstance(expr, ast.CaseExpr):
+        if expr.test is not None and contains_aggregate(expr.test):
+            return True
+        for w, t_ in expr.whens:
+            if contains_aggregate(w) or contains_aggregate(t_):
+                return True
+        return expr.default is not None and contains_aggregate(expr.default)
+    if isinstance(expr, (ast.Index, ast.Slice)):
+        parts = [expr.base]
+        if isinstance(expr, ast.Index):
+            parts.append(expr.index)
+        else:
+            parts += [p for p in (expr.start, expr.end) if p is not None]
+        return any(contains_aggregate(p) for p in parts)
+    return False

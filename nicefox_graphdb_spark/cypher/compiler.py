@@ -109,6 +109,14 @@ class CypherToSpark:
                     f"unsupported clause {type(clause).__name__}"
                 )
         if final is None:
+            if q.clauses and isinstance(q.clauses[-1], ast.CallProc) and state.df is not None:
+                # standalone CALL: yield the procedure's columns directly
+                return state.df.select(
+                    *[
+                        F.col(vcol(n, "val")).alias(n)
+                        for n in state.scope.vars
+                    ]
+                )
             raise CypherCompileError("query must end with RETURN")
         return final
 
@@ -768,7 +776,11 @@ class CypherToSpark:
         state, src_ast = self._rewrite_pattern_predicates(state, u.source)
         tc = self._compile_expr(state, src_ast)
         df = state.require_df()
-        exploded = F.explode(tc.col).alias(vcol(u.alias, "val"))
+        src_col = tc.col
+        if isinstance(tc.dtype, T.NullType):
+            # UNWIND null → no rows; give explode a typed (null) array
+            src_col = src_col.cast("array<string>")
+        exploded = F.explode(src_col).alias(vcol(u.alias, "val"))
         out = df.select(*df.columns, exploded) if df.columns else df.select(exploded)
         elem = tc.dtype.elementType if isinstance(tc.dtype, T.ArrayType) else None
         scope = state.scope.copy()

@@ -36,6 +36,9 @@ def get_spark(
         # Arrow for pandas_udf / mapInPandas paths (dedup, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Cypher semantics: malformed casts / out-of-range list access are
+        # NULL, not errors (ANSI mode would throw)
+        .config("spark.sql.ansi.enabled", "false")
         # driver testdata writes TIMESTAMP(NANOS) parquet; read as long and
         # convert to timestamp at load (sources/tpch.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,184 @@
+"""Parser unit tests (no Spark session needed).
+
+Modeled on the reference's test/parser.test.ts strategy: every clause and
+expression form round-trips into the expected AST shape."""
+
+import pytest
+
+from nicefox_graphdb_spark.cypher import ast
+from nicefox_graphdb_spark.cypher.parser import CypherSyntaxError, parse
+
+
+def single(q):
+    query = parse(q)
+    assert not query.unions
+    return query.clauses
+
+
+def test_match_return():
+    clauses = single("MATCH (n:Person) RETURN n")
+    assert isinstance(clauses[0], ast.Match)
+    assert isinstance(clauses[1], ast.Return)
+    node = clauses[0].paths[0].elements[0]
+    assert node.var == "n" and node.labels == ["Person"]
+
+
+def test_relationship_directions():
+    for q, d in [
+        ("MATCH (a)-[:T]->(b) RETURN a", "out"),
+        ("MATCH (a)<-[:T]-(b) RETURN a", "in"),
+        ("MATCH (a)-[:T]-(b) RETURN a", "both"),
+        ("MATCH (a)-->(b) RETURN a", "out"),
+        ("MATCH (a)<--(b) RETURN a", "in"),
+        ("MATCH (a)--(b) RETURN a", "both"),
+    ]:
+        rel = single(q)[0].paths[0].elements[1]
+        assert rel.direction == d, q
+
+
+def test_var_length():
+    rel = single("MATCH (a)-[r:T*2..4]->(b) RETURN a")[0].paths[0].elements[1]
+    assert rel.var_length and rel.min_hops == 2 and rel.max_hops == 4
+    rel = single("MATCH (a)-[*]->(b) RETURN a")[0].paths[0].elements[1]
+    assert rel.var_length and rel.min_hops is None and rel.max_hops is None
+    rel = single("MATCH (a)-[*3]->(b) RETURN a")[0].paths[0].elements[1]
+    assert rel.min_hops == 3 and rel.max_hops == 3
+    rel = single("MATCH (a)-[*..5]->(b) RETURN a")[0].paths[0].elements[1]
+    assert rel.min_hops is None and rel.max_hops == 5
+
+
+def test_multi_types():
+    rel = single("MATCH (a)-[r:A|B|C]->(b) RETURN a")[0].paths[0].elements[1]
+    assert rel.types == ["A", "B", "C"]
+
+
+def test_node_props():
+    node = single("MATCH (n:P {name: 'x', age: 5}) RETURN n")[0].paths[0].elements[0]
+    assert [k for k, _ in node.props.items] == ["name", "age"]
+
+
+def test_named_path():
+    path = single("MATCH p = (a)-[:T]->(b) RETURN p")[0].paths[0]
+    assert path.name == "p"
+
+
+def test_where_tree():
+    m = single("MATCH (n) WHERE n.a = 1 AND (n.b > 2 OR NOT n.c) RETURN n")[0]
+    assert isinstance(m.where, ast.Binary) and m.where.op == "AND"
+
+
+def test_string_ops():
+    m = single(
+        "MATCH (n) WHERE n.s STARTS WITH 'a' AND n.s ENDS WITH 'b' "
+        "AND n.s CONTAINS 'c' AND n.s =~ '.*' RETURN n"
+    )[0]
+    ops = set()
+
+    def walk(e):
+        if isinstance(e, ast.Binary):
+            ops.add(e.op)
+            walk(e.left)
+            walk(e.right)
+
+    walk(m.where)
+    assert {"STARTSWITH", "ENDSWITH", "CONTAINS", "REGEX"} <= ops
+
+
+def test_chained_comparison():
+    q = parse("RETURN 1 < 2 < 3 AS x")
+    expr = q.clauses[0].items[0].expr
+    assert isinstance(expr, ast.Binary) and expr.op == "AND"
+
+
+def test_precedence():
+    expr = parse("RETURN 1 + 2 * 3 AS x").clauses[0].items[0].expr
+    assert expr.op == "+" and expr.right.op == "*"
+    expr = parse("RETURN 2 ^ 3 ^ 2 AS x").clauses[0].items[0].expr
+    assert expr.op == "^" and expr.right.op == "^"  # right-assoc
+
+
+def test_case():
+    expr = parse("RETURN CASE WHEN 1 THEN 'a' ELSE 'b' END AS x").clauses[0].items[0].expr
+    assert isinstance(expr, ast.CaseExpr) and expr.test is None
+    expr = parse("RETURN CASE x WHEN 1 THEN 'a' END AS y").clauses[0].items[0].expr
+    assert isinstance(expr, ast.CaseExpr) and expr.test is not None
+
+
+def test_comprehensions():
+    expr = parse("RETURN [x IN [1,2] WHERE x > 1 | x * 2] AS l").clauses[0].items[0].expr
+    assert isinstance(expr, ast.ListComp)
+    expr = parse("RETURN [(a)-[:T]->(b) | b.name] AS l").clauses[0].items[0].expr
+    assert isinstance(expr, ast.PatternComp)
+
+
+def test_quantifiers_and_reduce():
+    items = parse(
+        "RETURN all(x IN [1] WHERE x > 0) AS a, single(y IN [1,2] WHERE y = 1) AS s, "
+        "reduce(acc = 0, v IN [1,2] | acc + v) AS r"
+    ).clauses[0].items
+    assert isinstance(items[0].expr, ast.Quantifier)
+    assert items[1].expr.kind == "single"
+    assert isinstance(items[2].expr, ast.Reduce)
+
+
+def test_exists_forms():
+    e1 = parse("MATCH (a) WHERE EXISTS((a)-[:T]->()) RETURN a").clauses[0].where
+    assert isinstance(e1, ast.ExistsExpr)
+    e2 = parse("MATCH (a) WHERE exists(a.name) RETURN a").clauses[0].where
+    assert isinstance(e2, ast.IsNull) and e2.negated
+
+
+def test_union():
+    q = parse("RETURN 1 AS x UNION RETURN 2 AS x UNION ALL RETURN 3 AS x")
+    assert len(q.unions) == 2
+    assert q.unions[0][0] is False and q.unions[1][0] is True
+
+
+def test_merge_on_create_match():
+    m = parse(
+        "MERGE (n:P {k: 1}) ON CREATE SET n.c = 1 ON MATCH SET n.m = 2 RETURN n"
+    ).clauses[0]
+    assert isinstance(m, ast.Merge)
+    assert len(m.on_create) == 1 and len(m.on_match) == 1
+
+
+def test_set_forms():
+    s = parse("MATCH (n) SET n.a = 1, n += {b: 2}, n:Lbl RETURN n").clauses[1]
+    kinds = [i.kind for i in s.items]
+    assert kinds == ["prop", "var_merge", "labels"]
+
+
+def test_delete_detach():
+    d = parse("MATCH (n) DETACH DELETE n").clauses[1]
+    assert d.detach
+
+
+def test_params_literals():
+    items = parse(
+        "RETURN $p AS a, 1.5e3 AS b, 0x1F AS c, 'it\\'s' AS d, true AS e, null AS f"
+    ).clauses[0].items
+    assert isinstance(items[0].expr, ast.Param)
+    assert items[1].expr.value == 1500.0
+    assert items[2].expr.value == 31
+    assert items[3].expr.value == "it's"
+
+
+def test_backtick_identifiers():
+    node = single("MATCH (`weird var`:`My Label`) RETURN `weird var`")[0].paths[0].elements[0]
+    assert node.var == "weird var" and node.labels == ["My Label"]
+
+
+def test_syntax_error_position():
+    with pytest.raises(CypherSyntaxError) as ei:
+        parse("MATCH (n RETURN n")
+    assert ei.value.line == 1 and ei.value.col > 0
+
+
+def test_comments_ignored():
+    q = parse("// leading\nMATCH (n) /* inline */ RETURN n")
+    assert len(q.clauses) == 2
+
+
+def test_call_yield():
+    c = parse("CALL db.labels() YIELD label RETURN label").clauses[0]
+    assert c.proc == "db.labels" and c.yield_items == ["label"]

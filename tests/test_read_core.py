@@ -1,0 +1,175 @@
+"""End-to-end read-path tests over the sf0.001 graph projection.
+
+Mirrors the reference's test/cypherqueries.test.ts style: real queries with
+pinned expected results (deterministic — testdata is seeded)."""
+
+
+
+def q(engine, cypher, params=None):
+    return engine.query(cypher, params)
+
+
+def test_flagship_one_hop_agg(engine):
+    rows = q(
+        engine,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.mktsegment = 'BUILDING' "
+        "RETURN c.name AS name, count(o) AS orders ORDER BY orders DESC, name LIMIT 3",
+    )
+    assert rows == [
+        {"name": "Customer#000000014", "orders": 15},
+        {"name": "Customer#000000092", "orders": 15},
+        {"name": "Customer#000000029", "orders": 14},
+    ]
+
+
+def test_param_inlining(engine):
+    rows = q(
+        engine,
+        "MATCH (c:Customer) WHERE c.mktsegment = $seg RETURN count(*) AS cnt",
+        {"seg": "BUILDING"},
+    )
+    assert rows == [{"cnt": 34}]
+
+
+def test_optional_match_preserves_rows(engine):
+    rows = q(
+        engine,
+        "MATCH (r:Region) OPTIONAL MATCH (r)<-[:IN_REGION]-(n:Nation {name: 'NATION_0'}) "
+        "RETURN r.name AS region, n.name AS nation ORDER BY region",
+    )
+    assert len(rows) == 5
+    assert sum(1 for r in rows if r["nation"] is None) == 4
+
+
+def test_collect_and_size(engine):
+    rows = q(
+        engine,
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) WITH r, collect(n.name) AS names "
+        "RETURN r.name AS region, size(names) AS n ORDER BY region",
+    )
+    assert all(r["n"] == 5 for r in rows) and len(rows) == 5
+
+
+def test_distinct(engine):
+    rows = q(
+        engine,
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) RETURN DISTINCT n.name AS nation",
+    )
+    assert len(rows) == len({r["nation"] for r in rows})
+
+
+def test_union_all_vs_union(engine):
+    all_rows = q(
+        engine,
+        "MATCH (r:Region) RETURN r.name AS name UNION ALL MATCH (r:Region) RETURN r.name AS name",
+    )
+    assert len(all_rows) == 10
+    dedup = q(
+        engine,
+        "MATCH (r:Region) RETURN r.name AS name UNION MATCH (r:Region) RETURN r.name AS name",
+    )
+    assert len(dedup) == 5
+
+
+def test_var_length_chain(engine):
+    rows = q(
+        engine,
+        "MATCH (e:Event {event_id: 0})-[:NEXT*1..3]->(f:Event) "
+        "RETURN f.event_id AS eid ORDER BY eid",
+    )
+    assert [r["eid"] for r in rows] == [6, 8, 88]
+
+
+def test_var_length_counts_by_depth(engine):
+    one = q(engine, "MATCH (e:Event)-[:NEXT*1..1]->(f) RETURN count(*) AS c")[0]["c"]
+    two = q(engine, "MATCH (e:Event)-[:NEXT*1..2]->(f) RETURN count(*) AS c")[0]["c"]
+    assert two > one
+
+
+def test_anti_pattern_predicate(engine):
+    rows = q(
+        engine,
+        "MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->(:Order) RETURN count(*) AS loners",
+    )
+    assert rows == [{"loners": 0}]
+
+
+def test_pattern_comprehension(engine):
+    rows = q(
+        engine,
+        "MATCH (r:Region) RETURN r.name AS region, "
+        "size([(n:Nation)-[:IN_REGION]->(r) | n.name]) AS n ORDER BY region",
+    )
+    assert all(r["n"] == 5 for r in rows)
+
+
+def test_theta_join(engine):
+    rows = q(
+        engine,
+        "MATCH (c1:Customer)-[:IN_NATION]->(n:Nation)<-[:IN_NATION]-(c2:Customer) "
+        "WHERE c1.custkey < c2.custkey RETURN count(*) AS pairs",
+    )
+    assert rows == [{"pairs": 447}]
+
+
+def test_with_where_as_having(engine):
+    rows = q(
+        engine,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) WITH c, count(o) AS cnt "
+        "WHERE cnt > 12 RETURN count(*) AS big",
+    )
+    assert rows == [{"big": 34}]
+
+
+def test_skip_limit(engine):
+    rows = q(
+        engine,
+        "MATCH (n:Nation) RETURN n.name AS name ORDER BY name SKIP 2 LIMIT 2",
+    )
+    assert [r["name"] for r in rows] == ["NATION_10", "NATION_11"]
+
+
+def test_call_procedures(engine):
+    labels = {r["label"] for r in q(engine, "CALL db.labels()")}
+    assert {"Customer", "Order", "Part", "Region"} <= labels
+    types = {r["relationshipType"] for r in q(engine, "CALL db.relationshipTypes()")}
+    assert {"PLACED", "CONTAINS", "NEXT"} <= types
+
+
+def test_whole_node_return_is_property_struct(engine):
+    rows = q(engine, "MATCH (r:Region {name: 'ASIA'}) RETURN r")
+    assert rows[0]["r"]["name"] == "ASIA"
+
+
+def test_edge_property_access(engine):
+    rows = q(
+        engine,
+        "MATCH (o:Order)-[ct:CONTAINS]->(p:Part) WHERE ct.quantity > 49 "
+        "RETURN count(*) AS cnt",
+    )
+    assert rows[0]["cnt"] > 0
+
+
+def test_undirected(engine):
+    rows = q(engine, "MATCH (n:Nation)-[:IN_REGION]-(x) RETURN count(*) AS cnt")
+    assert rows == [{"cnt": 25}]
+
+
+def test_named_path_length(engine):
+    rows = q(
+        engine,
+        "MATCH p = (e:Event {event_id: 0})-[:NEXT*1..2]->(f:Event) "
+        "RETURN length(p) AS len ORDER BY len",
+    )
+    assert [r["len"] for r in rows] == [1, 2]
+
+
+def test_order_null_handling(engine):
+    rows = q(
+        engine,
+        "MATCH (r:Region) OPTIONAL MATCH (r)<-[:IN_REGION]-(n:Nation {name: 'NATION_3'}) "
+        "RETURN r.name AS region, n.name AS nation ORDER BY nation ASC, region ASC",
+    )
+    # Cypher: nulls last on ASC
+    assert rows[0]["nation"] == "NATION_3"
+    assert rows[-1]["nation"] is None

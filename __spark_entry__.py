@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exercises the SURVEY.md §2 operator inventory end-to-end through
+the Cypher engine (parse → DataFrame compile → Catalyst) over the graph
+projection of the driver's TPC-H-ish parquet (sources/tpch.py, FIXTURES.md
+F5). `oracle_sql()` gives the DuckDB-equivalent ANSI SQL over the *raw*
+tables, so a hash match proves the whole stack: projection + parser +
+compiler + Spark execution.
 """
 
 from __future__ import annotations
@@ -13,26 +14,366 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_CATALOGS: dict = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from nicefox_graphdb_spark import CypherEngine
+    from nicefox_graphdb_spark.sources import load_tpch_graph
+
+    key = (id(spark), sf_dir)
+    if key not in _CATALOGS:
+        _CATALOGS[key] = load_tpch_graph(spark, sf_dir)
+    return CypherEngine(spark, _CATALOGS[key])
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return eng.dataframe(_CYPHER["q_one_hop_count"])
+
+
+# --------------------------------------------------------------------------
+# Cypher text per gate query (SURVEY.md §2 inventory coverage noted inline)
+# --------------------------------------------------------------------------
+_CYPHER: dict[str, str] = {
+    # §2.1 node scan + §2.2 predicates/projection + §2.5 order/limit
+    "q_node_scan": """
+        MATCH (c:Customer)
+        WHERE c.acctbal > 5000.0 AND c.mktsegment = 'BUILDING'
+        RETURN c.name AS name, c.acctbal AS acctbal
+        ORDER BY acctbal DESC, name LIMIT 20""",
+    # §2.3 one-hop join + §2.4 implicit grouping count
+    "q_one_hop_count": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        RETURN c.name AS name, count(o) AS orders
+        ORDER BY orders DESC, name ASC LIMIT 25""",
+    # §2.3 chained two-hop + edge property aggregation
+    "q_two_hop_sum": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part)
+        WHERE p.brand = 'Brand#11'
+        RETURN c.name AS name, sum(l.quantity) AS qty
+        ORDER BY qty DESC, name LIMIT 20""",
+    # §2.4 multi-aggregate pricing summary (TPC-H Q1 shape) + temporal filter
+    "q_pricing_summary": """
+        MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        WHERE l.shipdate <= datetime('1998-09-02T00:00:00')
+        RETURN l.returnflag AS returnflag, l.linestatus AS linestatus,
+               sum(l.quantity) AS sum_qty,
+               round(sum(l.extendedprice), 2) AS sum_base_price,
+               round(sum(l.extendedprice * (1 - l.discount)), 2) AS sum_disc_price,
+               count(*) AS cnt
+        ORDER BY returnflag, linestatus""",
+    # §2.4 avg + count grouped
+    "q_avg_order_value": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        RETURN c.mktsegment AS segment, count(*) AS orders,
+               round(avg(o.totalprice), 2) AS avg_price
+        ORDER BY segment""",
+    # §2.3 OPTIONAL MATCH (left join, null-preserving count)
+    "q_optional_match": """
+        MATCH (c:Customer)
+        OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+        RETURN c.name AS name, count(o) AS orders
+        ORDER BY orders ASC, name LIMIT 30""",
+    # §2.2 WHERE tree: boolean ops, IN, STARTS/ENDS WITH
+    "q_where_ops": """
+        MATCH (o:Order)
+        WHERE o.orderpriority STARTS WITH '1'
+           OR (o.orderstatus IN ['F', 'P'] AND o.totalprice >= 150000.0
+               AND NOT o.orderpriority ENDS WITH 'LOW')
+        RETURN count(*) AS cnt""",
+    # §2.2 CASE (searched)
+    "q_case_buckets": """
+        MATCH (o:Order)
+        RETURN CASE WHEN o.totalprice < 100000.0 THEN 'low'
+                    WHEN o.totalprice < 250000.0 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               count(*) AS cnt
+        ORDER BY bucket""",
+    # §2.5 DISTINCT
+    "q_distinct_nations": """
+        MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        RETURN DISTINCT n.name AS nation ORDER BY nation""",
+    # §2.5 UNION (dedup)
+    "q_union_names": """
+        MATCH (r:Region) RETURN r.name AS name
+        UNION
+        MATCH (n:Nation) RETURN n.name AS name""",
+    # §2.5 SKIP/LIMIT
+    "q_skip_limit": """
+        MATCH (o:Order)
+        RETURN o.orderkey AS orderkey, o.totalprice AS totalprice
+        ORDER BY totalprice DESC, orderkey SKIP 10 LIMIT 15""",
+    # §2.6 UNWIND + range + WITH WHERE
+    "q_unwind_range": """
+        UNWIND range(1, 200) AS x
+        WITH x WHERE x % 7 = 0
+        RETURN count(*) AS cnt, sum(x) AS total""",
+    # §2.4 ordered collect (sort() engine extension pins shuffle order)
+    "q_collect_sorted": """
+        MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        RETURN r.name AS region, sort(collect(n.name)) AS nations
+        ORDER BY region""",
+    # §2.4 percentileCont/percentileDisc
+    "q_percentiles": """
+        MATCH (o:Order)
+        RETURN o.orderstatus AS status,
+               round(percentileCont(o.totalprice, 0.5), 2) AS p50,
+               round(percentileDisc(o.totalprice, 0.9), 2) AS p90d
+        ORDER BY status""",
+    # §2.2 EXISTS(pattern) semi-join
+    "q_exists_semi": """
+        MATCH (s:Supplier)
+        WHERE EXISTS((:Part)-[:SUPPLIED_BY]->(s))
+        RETURN count(*) AS cnt""",
+    # §2.2 NOT (pattern) anti-join
+    "q_anti_join": """
+        MATCH (u:User)
+        WHERE NOT (u)-[:TRIGGERED]->(:Event {event_type: 'purchase'})
+        RETURN count(*) AS cnt""",
+    # §2.3 theta join (shared-node pattern + inequality)
+    "q_theta_pairs": """
+        MATCH (c1:Customer)-[:IN_NATION]->(n:Nation)<-[:IN_NATION]-(c2:Customer)
+        WHERE c1.custkey < c2.custkey
+        RETURN n.name AS nation, count(*) AS pairs ORDER BY nation""",
+    # §2.4 WITH ... WHERE as HAVING
+    "q_with_having": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        WITH c, count(o) AS cnt WHERE cnt >= 12
+        RETURN count(*) AS big_customers""",
+    # §2.1 untyped scan over every label + labels() + index access
+    "q_untyped_scan": """
+        MATCH (n)
+        RETURN labels(n)[0] AS label, count(*) AS cnt ORDER BY label""",
+    # §2.3 variable-length path (BFS operator) with source pushdown
+    "q_var_length": """
+        MATCH (e:Event)-[:NEXT*1..3]->(f:Event)
+        WHERE e.event_id % 50 = 0
+        RETURN e.event_id AS src, count(*) AS reach ORDER BY src""",
+    # §2.7 string functions
+    "q_string_funcs": """
+        MATCH (p:Part)
+        RETURN toUpper(left(p.name, 5)) AS prefix, count(*) AS cnt
+        ORDER BY prefix""",
+    # §2.7 math functions
+    "q_math_funcs": """
+        MATCH (p:Part)
+        RETURN p.brand AS brand,
+               round(sqrt(sum(p.size)), 3) AS s,
+               round(avg(abs(p.retailprice - 1000.0)), 2) AS dev
+        ORDER BY brand""",
+    # §2.3 multi-type relationship + type()
+    "q_multi_type": """
+        MATCH (c:Customer)-[r:PLACED|IN_NATION]->(x)
+        RETURN type(r) AS rel_type, count(*) AS cnt ORDER BY rel_type""",
+    # §2.3 undirected expansion
+    "q_undirected": """
+        MATCH (n:Nation)-[:IN_NATION]-(x)
+        RETURN count(*) AS cnt""",
+    # §2.6 pattern comprehension
+    "q_pattern_comprehension": """
+        MATCH (r:Region)
+        RETURN r.name AS region,
+               size([(n:Nation)-[:IN_REGION]->(r) | n.name]) AS n_nations
+        ORDER BY region""",
+    # §2.6 list HOFs: reduce over UNWIND of nested lists
+    "q_list_ops": """
+        UNWIND [[1,2,3,4], [5,6], []] AS l
+        RETURN size(l) AS n, reduce(acc = 0, x IN l | acc + x) AS total
+        ORDER BY n""",
+    # §2.8 temporal accessor (.year)
+    "q_temporal_year": """
+        MATCH (o:Order)
+        RETURN o.orderdate.year AS year, count(*) AS cnt ORDER BY year""",
+    # §2.8 temporal truncate + event-time rollup (streaming batch shape)
+    "q_event_hourly": """
+        MATCH (e:Event)
+        RETURN e.ts.truncate('hour') AS hour_bucket, count(*) AS cnt,
+               round(sum(e.value), 2) AS total
+        ORDER BY hour_bucket""",
+    # §2.2 regex full-match
+    "q_regex": """
+        MATCH (c:Customer)
+        WHERE c.name =~ '.*00[0-9]1'
+        RETURN count(*) AS cnt""",
+    # §2.6 quantifier + split + collect
+    "q_quantifier": """
+        MATCH (r:Region)
+        WHERE any(x IN split(r.name, ' ') WHERE size(x) > 4)
+        RETURN sort(collect(r.name)) AS names""",
+}
+
+_ORACLE: dict[str, str] = {
+    "q_node_scan": """
+        SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+        WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'
+        ORDER BY acctbal DESC, name LIMIT 20""",
+    "q_one_hop_count": """
+        SELECT c_name AS name, count(*) AS orders
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_name ORDER BY orders DESC, name LIMIT 25""",
+    "q_two_hop_sum": """
+        SELECT c_name AS name, sum(l_quantity) AS qty
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#11'
+        GROUP BY c_name ORDER BY qty DESC, name LIMIT 20""",
+    "q_pricing_summary": """
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_avg_order_value": """
+        SELECT c_mktsegment AS segment, count(*) AS orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1""",
+    "q_optional_match": """
+        SELECT c_name AS name, count(o_orderkey) AS orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY orders ASC, name LIMIT 30""",
+    "q_where_ops": """
+        SELECT count(*) AS cnt FROM orders
+        WHERE o_orderpriority LIKE '1%'
+           OR (o_orderstatus IN ('F', 'P') AND o_totalprice >= 150000.0
+               AND NOT (o_orderpriority LIKE '%LOW'))""",
+    "q_case_buckets": """
+        SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
+                    WHEN o_totalprice < 250000.0 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               count(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_distinct_nations": """
+        SELECT DISTINCT n_name AS nation
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        ORDER BY 1""",
+    "q_union_names": """
+        SELECT r_name AS name FROM region
+        UNION
+        SELECT n_name AS name FROM nation""",
+    "q_skip_limit": """
+        SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+        FROM orders ORDER BY totalprice DESC, orderkey LIMIT 15 OFFSET 10""",
+    "q_unwind_range": """
+        SELECT count(*) AS cnt, CAST(sum(x) AS BIGINT) AS total
+        FROM generate_series(1, 200) t(x) WHERE x % 7 = 0""",
+    "q_collect_sorted": """
+        SELECT r_name AS region, list_sort(list(n_name)) AS nations
+        FROM nation JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1 ORDER BY 1""",
+    "q_percentiles": """
+        SELECT o_orderstatus AS status,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               round(quantile_disc(o_totalprice, 0.9), 2) AS p90d
+        FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_exists_semi": """
+        SELECT count(*) AS cnt FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""",
+    "q_anti_join": """
+        SELECT count(*) AS cnt
+        FROM (SELECT DISTINCT user_id FROM events) u
+        WHERE NOT EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = u.user_id
+                            AND e.event_type = 'purchase')""",
+    "q_theta_pairs": """
+        SELECT n_name AS nation, count(*) AS pairs
+        FROM customer c1
+        JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey
+                        AND c1.c_custkey < c2.c_custkey
+        JOIN nation ON n_nationkey = c1.c_nationkey
+        GROUP BY 1 ORDER BY 1""",
+    "q_with_having": """
+        SELECT count(*) AS big_customers FROM (
+            SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY 1 HAVING count(*) >= 12)""",
+    "q_untyped_scan": """
+        SELECT label, cnt FROM (
+            SELECT 'Customer' AS label, count(*) AS cnt FROM customer
+            UNION ALL SELECT 'Document', count(*) FROM documents
+            UNION ALL SELECT 'Event', count(*) FROM events
+            UNION ALL SELECT 'Nation', count(*) FROM nation
+            UNION ALL SELECT 'Order', count(*) FROM orders
+            UNION ALL SELECT 'Part', count(*) FROM part
+            UNION ALL SELECT 'Region', count(*) FROM region
+            UNION ALL SELECT 'Supplier', count(*) FROM supplier
+            UNION ALL SELECT 'User', count(DISTINCT user_id) FROM events
+        ) ORDER BY label""",
+    "q_var_length": """
+        WITH RECURSIVE
+        nxt AS (
+            SELECT event_id AS src,
+                   lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events),
+        edges AS (SELECT src, dst FROM nxt WHERE dst IS NOT NULL),
+        paths(start, cur, depth) AS (
+            SELECT src, dst, 1 FROM edges WHERE src % 50 = 0
+            UNION ALL
+            SELECT p.start, e.dst, p.depth + 1
+            FROM paths p JOIN edges e ON e.src = p.cur
+            WHERE p.depth < 3)
+        SELECT start AS src, count(*) AS reach FROM paths
+        GROUP BY 1 ORDER BY 1""",
+    "q_string_funcs": """
+        SELECT upper(left(p_name, 5)) AS prefix, count(*) AS cnt
+        FROM part GROUP BY 1 ORDER BY 1""",
+    "q_math_funcs": """
+        SELECT p_brand AS brand,
+               round(sqrt(sum(p_size)), 3) AS s,
+               round(avg(abs(p_retailprice - 1000.0)), 2) AS dev
+        FROM part GROUP BY 1 ORDER BY 1""",
+    "q_multi_type": """
+        SELECT rel_type, cnt FROM (
+            SELECT 'IN_NATION' AS rel_type, count(*) AS cnt FROM customer
+            UNION ALL SELECT 'PLACED', count(*) FROM orders
+        ) ORDER BY rel_type""",
+    "q_undirected": """
+        SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+               AS cnt""",
+    "q_pattern_comprehension": """
+        SELECT r_name AS region,
+               (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+               AS n_nations
+        FROM region ORDER BY 1""",
+    "q_list_ops": """
+        SELECT len(l) AS n,
+               CAST(coalesce(list_aggregate(l, 'sum'), 0) AS BIGINT) AS total
+        FROM (VALUES ([1,2,3,4]), ([5,6]), (CAST([] AS INT[]))) t(l)
+        ORDER BY 1""",
+    "q_temporal_year": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS year, count(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_event_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS cnt,
+               round(sum(value), 2) AS total
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q_regex": """
+        SELECT count(*) AS cnt FROM customer
+        WHERE regexp_full_match(c_name, '.*00[0-9]1')""",
+    "q_quantifier": """
+        SELECT list_sort(list(r_name)) AS names FROM region
+        WHERE len(list_filter(string_split(r_name, ' '), x -> len(x) > 4)) > 0""",
+}
+
+
+def _make(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).dataframe(_CYPHER[name])
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: _make(name) for name in _CYPHER}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL for each gate query."""
+    return dict(_ORACLE)

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Mirrors the reference benchmark methodology (warmup + repeated measured
+iterations, reference benchmark/src/config.ts:36-41) scaled down to Spark
+job granularity: per query, 1 warmup + N measured runs, median reported.
+
+Env:
+    SPARK_GRAFT_SF_DIR  dataset dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[<cpus>] (default 32)
+    NICEFOX_BENCH_ITERS measured iterations per query (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ITERS = int(os.environ.get("NICEFOX_BENCH_ITERS", "3"))
+
+# Headline queries: one per operator family (scan, join, agg, optional,
+# distinct, traversal, untyped scan, temporal rollup, theta join, HOFs).
+HEADLINE = [
+    "q_node_scan",
+    "q_one_hop_count",
+    "q_two_hop_sum",
+    "q_pricing_summary",
+    "q_avg_order_value",
+    "q_optional_match",
+    "q_theta_pairs",
+    "q_untyped_scan",
+    "q_var_length",
+    "q_event_hourly",
+    "q_collect_sorted",
+    "q_exists_semi",
+]
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from nicefox_graphdb_spark import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, SF_DIR).collect()  # warmup (also builds/caches the catalog)
+        samples = []
+        for _ in range(ITERS):
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_median",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "iters": ITERS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

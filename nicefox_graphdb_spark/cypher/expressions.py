@@ -219,7 +219,7 @@ class ExprCompiler:
             fn = self._TEMPORAL_ACCESSORS.get(e.key.lower())
             if fn is None:
                 raise CypherCompileError(f"unknown temporal accessor .{e.key}")
-            return TypedCol(fn(base.col), T.LongType())
+            return TypedCol(fn(base.col).cast("long"), T.LongType())
         dtype = None
         if isinstance(base.dtype, T.StructType):
             match = [f_ for f_ in base.dtype.fields if f_.name == e.key]
@@ -435,9 +435,27 @@ class ExprCompiler:
     def _func(self, e: ast.FuncCall) -> TypedCol:
         name = e.name
         builder = SCALAR_FUNCTIONS.get(name)
-        if builder is None:
-            raise CypherCompileError(f"unknown function {name}()")
-        return builder(self, e.args)
+        if builder is not None:
+            return builder(self, e.args)
+        if "." in name:
+            # method-call syntax: x.truncate(unit) — the receiver is the
+            # dotted prefix (reference translateTemporalTruncate,
+            # src/translator.ts:14424-15234)
+            *base_parts, method = name.split(".")
+            base_expr: ast.Expr = ast.Var(base_parts[0])
+            for key in base_parts[1:]:
+                base_expr = ast.Prop(base=base_expr, key=key)
+            base = self.compile(base_expr)
+            if method == "truncate":
+                if not e.args or not isinstance(e.args[0], ast.Literal):
+                    raise CypherCompileError("truncate(unit) requires a literal unit")
+                unit = str(e.args[0].value)
+                if isinstance(base.dtype, T.DateType):
+                    return TypedCol(
+                        F.trunc(base.col, unit), T.DateType()
+                    )
+                return TypedCol(F.date_trunc(unit, base.col), T.TimestampType())
+        raise CypherCompileError(f"unknown function {name}()")
 
 
 # --------------------------------------------------------------------------
@@ -608,6 +626,22 @@ def _fn_range(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     )
 
 
+def _fn_round(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    tc = _c(comp, args, 0)
+    if len(args) > 1:
+        if not isinstance(args[1], ast.Literal):
+            raise CypherCompileError("round() scale must be a literal")
+        return TypedCol(F.round(tc.col, int(args[1].value)), T.DoubleType())
+    return TypedCol(F.round(tc.col), T.DoubleType())
+
+
+def _fn_sort(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    """Engine extension (not in openCypher): deterministic list sort —
+    needed because collect() order is undefined under distributed shuffles."""
+    tc = _c(comp, args, 0)
+    return TypedCol(F.sort_array(tc.col), tc.dtype)
+
+
 def _fn_head(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     tc = _c(comp, args, 0)
     elem = tc.dtype.elementType if _is_array(tc.dtype) else None
@@ -678,7 +712,8 @@ SCALAR_FUNCTIONS: dict[str, Callable] = {
     "range": _fn_range,
     # math
     "abs": _simple(F.abs, None),
-    "round": _simple(F.round, T.DoubleType()),
+    "round": _fn_round,
+    "sort": _fn_sort,
     "floor": _simple(lambda c: F.floor(c).cast("double"), T.DoubleType()),
     "ceil": _simple(lambda c: F.ceil(c).cast("double"), T.DoubleType()),
     "sqrt": _simple(F.sqrt, T.DoubleType()),

@@ -65,6 +65,11 @@ def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     import pyarrow.parquet as pq
     import pyarrow as pa
 
+    # defensive: the caller's session may not come from get_spark()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     out: dict[str, DataFrame] = {}
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"

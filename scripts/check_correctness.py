@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet tables, then compares
+row count + sorted-column-name schema + order-insensitive values.
+
+Usage:
+    python scripts/check_correctness.py            # all queries, sf0.01
+    python scripts/check_correctness.py q_name...  # subset
+    NICEFOX_CHECK_SF_DIR=/root/testdata/sf0.001 python scripts/check_correctness.py
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+import time
+from decimal import Decimal
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("NICEFOX_CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
+def close(a, b) -> bool:
+    if a == b:
+        return True
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        return math.isclose(a, float(b), rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        return all(close(x, y) for x, y in zip(a, b))
+    return False
+
+
+def row_key(row):
+    return repr(row)
+
+
+def compare(name: str, spark_rows, spark_cols, oracle_rows, oracle_cols):
+    problems = []
+    if sorted(spark_cols) != sorted(oracle_cols):
+        problems.append(f"schema: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
+    if len(spark_rows) != len(oracle_rows):
+        problems.append(f"rowcount: spark={len(spark_rows)} oracle={len(oracle_rows)}")
+    if problems:
+        return "MISMATCH", problems
+    cols = sorted(spark_cols)
+    s_norm = sorted(
+        (tuple(norm(r[c]) for c in cols) for r in spark_rows), key=row_key
+    )
+    o_norm = sorted(
+        (tuple(norm(r[c]) for c in cols) for r in oracle_rows), key=row_key
+    )
+    exact = s_norm == o_norm
+    if exact:
+        return "MATCH", []
+    # tolerant comparison to distinguish float jitter from real bugs
+    if len(s_norm) == len(o_norm) and all(
+        close(a, b) for a, b in zip(s_norm, o_norm)
+    ):
+        return "CLOSE", ["values equal within 1e-9 but not bit-exact (hash would fail)"]
+    diffs = [
+        f"  spark={a}\n  oracle={b}"
+        for a, b in zip(s_norm, o_norm)
+        if not close(a, b)
+    ][:3]
+    return "MISMATCH", diffs
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from nicefox_graphdb_spark import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(shuffle_partitions=int(os.environ.get("NICEFOX_SHUFFLE", "16")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_cols = sdf.columns
+            spark_rows = [r.asDict(recursive=True) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            results[name] = ("SPARK_ERROR", [f"{type(e).__name__}: {e}"])
+            print(f"{name:28s} SPARK_ERROR  {type(e).__name__}: {str(e)[:140]}")
+            continue
+        if name not in oracles:
+            results[name] = ("NO_ORACLE", [])
+            print(f"{name:28s} NO_ORACLE    rows={len(spark_rows)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            oracle_cols = rel.columns
+            oracle_rows = [dict(zip(oracle_cols, row)) for row in rel.fetchall()]
+        except Exception as e:  # noqa: BLE001
+            results[name] = ("ORACLE_ERROR", [f"{type(e).__name__}: {e}"])
+            print(f"{name:28s} ORACLE_ERROR {type(e).__name__}: {str(e)[:140]}")
+            continue
+        verdict, detail = compare(name, spark_rows, spark_cols, oracle_rows, oracle_cols)
+        results[name] = (verdict, detail)
+        extra = f" rows={len(spark_rows)} ({time.time()-t0:.1f}s)"
+        print(f"{name:28s} {verdict:12s}{extra}")
+        for d in detail:
+            print(f"    {d}")
+
+    n_ok = sum(1 for v, _ in results.values() if v == "MATCH")
+    print(f"\n{n_ok}/{len(results)} MATCH")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -362,6 +362,325 @@ _ORACLE: dict[str, str] = {
 }
 
 
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (beyond-reference surface, BASELINE.json
+# north star): dedup, similarity search, text analysis, multimodal columns.
+# DataFrame pipelines over the raw documents/embeddings tables.
+# --------------------------------------------------------------------------
+
+
+def _tables(spark: SparkSession, sf_dir: str):
+    from nicefox_graphdb_spark.sources import read_tables
+
+    return read_tables(spark, sf_dir)
+
+
+def _p_text_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import text as tx
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            "source",
+            tx.token_count(F.col("text")).alias("tc"),
+            tx.quality_score(F.col("text")).alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _p_token_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import text as tx
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        docs.where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            tx.token_count(F.col("text")).alias("n_tokens"),
+            tx.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+            tx.char_count(F.col("text")).alias("chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _p_lang_id(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import text as tx
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(tx.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang_pred")
+    )
+
+
+def _p_fingerprint(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import text as tx
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return docs.select(
+        F.count("*").alias("docs"),
+        F.countDistinct(tx.fingerprint(F.col("text"))).alias("uniq_fingerprints"),
+    )
+
+
+def _p_dedup_exact(spark, sf_dir):
+    from nicefox_graphdb_spark.operators import dedup as dd
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return dd.exact_dup_groups(docs, "doc_id", "text").orderBy("digest")
+
+
+def _p_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import dedup as dd
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return dd.jaccard_pairs(
+        docs,
+        "doc_id",
+        dd.word_shingles(F.col("text"), 3),
+        threshold=0.2,
+        max_shingle_freq=None,  # mirrored exactly by the SQL oracle
+    ).orderBy("id_a", "id_b")
+
+
+def _p_minhash_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import dedup as dd
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", dd.word_shingles(F.col("text"), 3), k=32, bands=8,
+        threshold=0.2,
+    ).orderBy("id_a", "id_b")
+
+
+def _p_simhash(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import dedup as dd
+    from nicefox_graphdb_spark.operators import text as tx
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return dd.simhash_pairs(
+        docs, "doc_id", tx.tokens(F.col("text")), max_hamming=8
+    ).orderBy("id_a", "id_b")
+
+
+def _p_embed_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators.similarity import dot, norm
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), norm(F.col("embedding")).alias("qn")
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm(F.col("embedding")) * F.col("qn")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(10)
+    )
+
+
+def _p_embed_neardup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import dedup as dd
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    subset = emb.where(F.col("vec_id") % 5 == 0)
+    return dd.embedding_neardup_pairs(
+        subset, "vec_id", "embedding", threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+def _p_ann_neardup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import similarity as sim
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return sim.ann_neardup_pairs(
+        emb, "vec_id", "embedding", dim=64, n_planes=4, n_tables=12,
+        threshold=0.35,
+    ).orderBy("id_a", "id_b")
+
+
+def _p_multimodal_features(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import multimodal as mm
+
+    docs = _tables(spark, sf_dir)["documents"].where(F.col("doc_id") < 200)
+    media = mm.attach_fake_media(docs)
+    return (
+        mm.extract_features(media, fake=True)
+        .select("media_id", "n_bytes", "checksum")
+        .orderBy("media_id")
+    )
+
+
+_PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_text_stats": _p_text_stats,
+    "q_token_counts": _p_token_counts,
+    "q_lang_id": _p_lang_id,
+    "q_fingerprint": _p_fingerprint,
+    "q_dedup_exact": _p_dedup_exact,
+    "q_ngram_jaccard": _p_ngram_jaccard,
+    "q_minhash_lsh": _p_minhash_lsh,  # rows-only (hash fn not in DuckDB)
+    "q_simhash": _p_simhash,  # rows-only (hash fn not in DuckDB)
+    "q_embed_topk": _p_embed_topk,
+    "q_embed_neardup": _p_embed_neardup,
+    "q_ann_neardup": _p_ann_neardup,  # rows-only (seeded planes)
+    "q_multimodal_features": _p_multimodal_features,
+}
+
+# shared SQL fragments for the text oracles (mirror operators/text.py)
+_TOK = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
+    "x -> x <> '')"
+)
+_STOPS = "('the','of','and','to','in','is','a','that','it','for','on','with','as','was')"
+_LANGS = {
+    "en": "('the','of','and','to','in','is','a','that')",
+    "es": "('el','la','de','que','y','los','se','un')",
+    "fr": "('le','la','et','les','des','un','une','du')",
+    "de": "('der','die','und','das','von','mit','den','ein')",
+    "zh": "('的','是','了','在','我','有','和','不')",
+}
+_QUALITY = f"""
+    round(least(CASE WHEN len({_TOK}) > 0
+                     THEN len(list_filter({_TOK}, x -> x IN {_STOPS})) / len({_TOK})
+                     ELSE 0.0 END * 5.0, 1.0) * 0.4
+        + least(len({_TOK}) / 100.0, 1.0) * 0.3
+        + least(CASE WHEN len({_TOK}) > 0
+                     THEN list_sum(list_transform({_TOK}, x -> len(x))) / len({_TOK})
+                     ELSE 0.0 END / 8.0, 1.0) * 0.3, 4)
+"""
+_SHINGLES3 = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_TOK}) - 2, 1) + 1), "
+    f"i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')))"
+)
+_FP = f"md5(array_to_string(list_sort(list_distinct({_TOK})), ' '))"
+
+_ORACLE.update(
+    {
+        "q_text_stats": f"""
+            SELECT source, count(*) AS docs,
+                   CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens,
+                   round(avg({_QUALITY}), 4) AS avg_quality
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "q_token_counts": f"""
+            SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_ws_tokens,
+                   CAST(length(text) AS BIGINT) AS chars
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+        "q_lang_id": f"""
+            WITH scored AS (
+                SELECT {' , '.join(
+                    f"len(list_filter({_TOK}, x -> x IN {markers})) AS {lang}"
+                    for lang, markers in _LANGS.items()
+                )}
+                FROM documents),
+            best AS (SELECT *, greatest(en, es, fr, de, zh) AS mx FROM scored)
+            SELECT CASE WHEN mx = 0 THEN 'und'
+                        WHEN en = mx THEN 'en'
+                        WHEN es = mx THEN 'es'
+                        WHEN fr = mx THEN 'fr'
+                        WHEN de = mx THEN 'de'
+                        ELSE 'zh' END AS lang_pred,
+                   count(*) AS cnt
+            FROM best GROUP BY 1 ORDER BY 1""",
+        "q_fingerprint": f"""
+            SELECT count(*) AS docs,
+                   count(DISTINCT {_FP}) AS uniq_fingerprints
+            FROM documents""",
+        "q_dedup_exact": """
+            SELECT md5(text) AS digest, count(*) AS n,
+                   list_sort(list(doc_id)) AS ids
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+        "q_ngram_jaccard": f"""
+            WITH d AS (SELECT doc_id, {_SHINGLES3} AS sh FROM documents),
+            sizes AS (SELECT doc_id, len(sh) AS sz FROM d),
+            inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(c / (sa.sz + sb.sz - c), 6) >= 0.2
+            ORDER BY id_a, id_b""",
+        "q_embed_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[]))) AS qn
+                FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id AS id,
+                   round(list_inner_product(CAST(embedding AS DOUBLE[]), qv)
+                         / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[]))) * qn),
+                         6) AS cosine
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cosine DESC, id LIMIT 10""",
+        "q_embed_neardup": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings WHERE vec_id % 5 = 0),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                           AS cosine
+                FROM base a JOIN base b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+            ORDER BY id_a, id_b""",
+        "q_multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents WHERE doc_id < 200 ORDER BY media_id""",
+    }
+)
+
+
 def _make(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _engine(spark, sf_dir).dataframe(_CYPHER[name])
@@ -370,10 +689,15 @@ def _make(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _make(name) for name in _CYPHER}
+    """One entry per implemented operator from SURVEY.md §2 plus the
+    LLM-pipeline operator family."""
+    out = {name: _make(name) for name in _CYPHER}
+    out.update(_PIPELINES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL for each gate query."""
+    """DuckDB-equivalent ANSI SQL for each gate query (rows-only entries —
+    q_minhash_lsh, q_simhash, q_ann_neardup — intentionally omitted: their
+    hash functions/seeded planes aren't reproducible in DuckDB)."""
     return dict(_ORACLE)

@@ -1,0 +1,299 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the whole point of these shapes at 100 TB):
+- **Exact**: hash-groupBy on a content digest — one shuffle on a short key.
+- **N-gram Jaccard**: explode shingles → self-join on shingle → count
+  intersections → filter by threshold. The shingle join is the classic
+  "inverted index as shuffle" pattern; high-frequency shingles are capped
+  (``max_shingle_freq``) to kill the quadratic hot-key blowup (same trick as
+  stopword removal in ES/Lucene-based dedup).
+- **MinHash+LSH**: k min-hashes per doc → band signatures → join on
+  (band_id, band_hash) buckets — candidate generation is linear in corpus
+  size; only candidates pay the exact-verify cost.
+- **SimHash**: 64-bit signature via bit votes; banding on 16-bit chunks for
+  candidates; verify by Hamming distance (bit_count of xor — one ALU op).
+- **Embedding cosine**: see operators/similarity.py for the bucketed ANN
+  variant; the exact pair scan here is for modest candidate sets.
+
+All pure Column expressions / joins — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nicefox_graphdb_spark.operators.text import tokens
+
+
+# -- shingling -------------------------------------------------------------
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of a string (ARRAY<STRING>)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (ARRAY<STRING>), from the shared tokenizer."""
+    toks = tokens(col)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), cnt)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+# -- exact ----------------------------------------------------------------
+def exact_dup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Groups of ids sharing an identical content digest (md5)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.col("n") > 1)
+    )
+
+
+# -- n-gram Jaccard --------------------------------------------------------
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Output: id_a, id_b, jaccard (rounded to 6dp for stable comparison).
+    """
+    base = df.select(F.col(id_col).alias("id"), shingles_col.alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    inv = base.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        # drop ultra-common shingles: they only add candidates, and any pair
+        # above a high threshold still shares plenty of rare shingles
+        freq = inv.groupBy("shingle").agg(F.count("*").alias("f"))
+        inv = inv.join(
+            freq.where(F.col("f") <= max_shingle_freq).select("shingle"),
+            on="shingle",
+            how="left_semi",
+        )
+    a = inv.select(F.col("id").alias("id_a"), "shingle")
+    b = inv.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# -- MinHash + LSH ---------------------------------------------------------
+def minhash_signature(shingles_col: Column, k: int = 32) -> Column:
+    """ARRAY<BIGINT> of k min-hashes (xxhash64 with per-function seed)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles_col, lambda s: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash candidates via banding, verified with exact Jaccard.
+
+    Output: id_a, id_b, jaccard — candidates only pay the verify cost, so
+    corpus-size scaling is linear until the true-duplicate mass dominates.
+    """
+    rows_per_band = k // bands
+    # materialize shingles once, THEN derive the k min-hashes from the
+    # column reference — otherwise the shingle expression is recomputed k
+    # times per row (no CSE across lambda boundaries)
+    base = df.select(F.col(id_col).alias("id"), shingles_col.alias("sh")).select(
+        "id", "sh", minhash_signature(F.col("sh"), k).alias("sig")
+    )
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
+    )
+    cands = (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cands.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- SimHash ---------------------------------------------------------------
+def simhash_votes(tokens_col: Column) -> Column:
+    """ARRAY<LONG>[64] of SimHash bit votes over a token array.
+
+    Bit positions are unrolled python-side (shiftleft/shiftright take literal
+    bit counts), so the vote vector is one codegen'd expression."""
+    return F.aggregate(
+        tokens_col,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for b in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def pack_votes(votes_col: Column) -> Column:
+    """Sign-pack a 64-vote array into one LONG signature.
+
+    Call on a *materialized column* (not the raw votes expression): the pack
+    references its input 64 times, so inlining the aggregate would blow up
+    the expression tree 64×."""
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        bit_val = F.lit(-(2**63) if b == 63 else (1 << b)).cast("long")
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(votes_col, b + 1) > 0, bit_val).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, tokens_col: Column, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding (4×16-bit chunks) + Hamming verify.
+
+    A pair within Hamming distance 3 must agree on ≥1 of 4 chunks (pigeonhole);
+    larger max_hamming trades recall for candidate volume.
+    """
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens_col.alias("toks"))
+        .select("id", simhash_votes(F.col("toks")).alias("votes"))
+        .select("id", pack_votes(F.col("votes")).alias("sig"))
+    )
+    chunked = base.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sig"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    left = chunked.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk", "val")
+    right = chunked.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk", "val")
+    cands = (
+        left.join(right, on=["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- embedding near-dup ----------------------------------------------------
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Exact pairwise cosine near-dups (for bounded candidate sets; use
+    similarity.ann_* for corpus-scale)."""
+    from nicefox_graphdb_spark.operators.similarity import dot, norm
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),  # precomputed: O(N·d), not O(N²·d)
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two tiers, as any 100 TB pipeline needs:
+- **Brute-force cosine top-k** — exact; one scan, a zip_with/aggregate dot
+  product per row (JVM codegen — no Python), then TakeOrderedAndProject.
+  Right answer for a single query vector or a small probe set.
+- **Random-hyperplane LSH ANN** — corpus-scale: r sign-bits bucket the
+  vectors; candidate pairs/queries only meet within a bucket (optionally
+  multi-probe across several independent tables). Turns the O(N·Q) scan into
+  bucket-local work; the planes are seeded literals so results are
+  deterministic and replayable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product (oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Column,
+    k: int = 10,
+    exclude_id=None,
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    Output: id, cosine (rounded 6dp) — ordered desc, ties by id.
+    """
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine(F.col(vec_col), query_vec), 6).alias("cosine"),
+    )
+    if exclude_id is not None:
+        out = out.where(F.col("id") != exclude_id)
+    return out.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (python-side literals)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id (LONG) from dot products against seeded planes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec_col, plane_col) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def ann_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 6,
+    n_tables: int = 10,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH near-dup pairs: candidates share a bucket in ANY of
+    the `n_tables` independent hash tables, then are verified by exact
+    cosine (precision 1 by construction; recall ≈
+    1 - (1 - p^n_planes)^n_tables with p = 1 - θ/π).
+
+    The bits/tables dials trade candidate volume against recall: more bits →
+    smaller buckets (cheaper join), more tables → higher recall. At corpus
+    scale, n_planes should grow ~log2(N / target_bucket_size)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucket_structs = []
+    for t_idx in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t_idx)
+        bucket_structs.append(
+            F.struct(
+                F.lit(t_idx).alias("table"),
+                lsh_bucket(F.col("v"), planes).alias("bucket"),
+            )
+        )
+    bucketed = base.select(
+        "id", "v", F.explode(F.array(*bucket_structs)).alias("tb")
+    ).select("id", "v", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "table", "bucket"
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "table", "bucket"
+    )
+    cands = (
+        a.join(b, on=["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,179 @@
+"""Tests for the LLM-pipeline operator family (dedup, similarity, text,
+multimodal)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nicefox_graphdb_spark.operators import dedup as dd
+from nicefox_graphdb_spark.operators import multimodal as mm
+from nicefox_graphdb_spark.operators import similarity as sim
+from nicefox_graphdb_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def mini_docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # case dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(mini_docs):
+    rows = {
+        r["doc_id"]: r["n"]
+        for r in mini_docs.select(
+            "doc_id", tx.token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert rows[1] == 9
+    assert rows[4] == 6
+
+
+def test_lang_id_english(mini_docs):
+    rows = mini_docs.select(tx.lang_id(F.col("text")).alias("lang")).collect()
+    assert rows[0]["lang"] == "en"
+
+
+def test_fingerprint_case_insensitive(mini_docs):
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in mini_docs.select(
+            "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[3] == fps[5]  # case/order-insensitive
+    assert fps[1] != fps[4]
+
+
+def test_quality_score_range(mini_docs):
+    rows = mini_docs.select(tx.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_exact_dup_groups(mini_docs):
+    groups = dd.exact_dup_groups(mini_docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [1, 5]
+
+
+def test_jaccard_pairs(mini_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(
+            mini_docs, "doc_id", dd.word_shingles(F.col("text"), 3), threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 5)] == 1.0  # identical
+    assert pairs[(1, 3)] == 1.0  # case-insensitive tokens
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(mini_docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(
+            mini_docs, "doc_id", dd.word_shingles(F.col("text"), 3), threshold=0.5
+        ).collect()
+    }
+    assert (1, 5) in pairs and (1, 3) in pairs
+
+
+def test_minhash_recall_vs_exact(spark, tables):
+    docs = tables["documents"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.jaccard_pairs(
+            docs, "doc_id", dd.word_shingles(F.col("text"), 3), threshold=0.3
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(
+            docs, "doc_id", dd.word_shingles(F.col("text"), 3),
+            k=32, bands=8, threshold=0.3,
+        ).collect()
+    }
+    assert exact, "fixture should contain near-duplicates"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(lsh)} vs {len(exact)})"
+
+
+def test_simhash_identical_zero_hamming(mini_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_pairs(
+            mini_docs, "doc_id", tx.tokens(F.col("text")), max_hamming=10
+        ).collect()
+    }
+    assert pairs[(1, 5)] == 0
+    assert pairs[(1, 3)] == 0  # tokens lowercased
+
+
+def test_cosine_known_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "id long, v array<float>",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dd.embedding_neardup_pairs(df, "id", "v", threshold=-1.0).collect()
+    }
+    assert rows[(1, 2)] == 0.0
+    assert abs(rows[(1, 3)] - 1 / math.sqrt(2)) < 1e-6
+
+
+def test_topk_cosine(spark, tables):
+    emb = tables["embeddings"]
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    out = sim.topk_cosine(
+        emb, "vec_id", "embedding", F.array(*[F.lit(float(x)) for x in qv]),
+        k=5, exclude_id=0,
+    ).collect()
+    assert len(out) == 5
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ann_recall(spark, tables):
+    emb = tables["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.35
+        ).collect()
+    }
+    ann = {
+        (r["id_a"], r["id_b"])
+        for r in sim.ann_neardup_pairs(
+            emb, "vec_id", "embedding", dim=64,
+            n_planes=4, n_tables=12, threshold=0.35,
+        ).collect()
+    }
+    assert exact, "fixture should contain moderately-similar pairs"
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall} ({len(ann)} vs {len(exact)})"
+    assert ann <= exact  # exact-verified candidates: precision 1
+
+
+def test_multimodal_features(mini_docs):
+    media = mm.attach_fake_media(mini_docs, id_col="doc_id", text_col="text")
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    text1 = "The quick brown fox jumps over the lazy dog"
+    assert feats[1]["n_bytes"] == len(text1.encode())
+    assert feats[1]["checksum"] == hashlib.md5(text1.encode()).hexdigest()
+    assert abs(
+        feats[1]["feat_mean"] - round(sum(text1.encode()) / len(text1.encode()), 6)
+    ) < 1e-9
+
+
+def test_multimodal_decode_stub_raises(mini_docs):
+    media = mm.attach_fake_media(mini_docs, id_col="doc_id", text_col="text")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        mm.extract_features(media, fake=False).collect()

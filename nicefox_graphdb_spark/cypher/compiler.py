@@ -56,11 +56,13 @@ class CypherToSpark:
         catalog: GraphCatalog,
         params: dict | None = None,
         max_hops: int = vl.DEFAULT_MAX_HOPS,
+        store=None,  # MutableGraph for write clauses
     ):
         self.spark = spark
         self.catalog = catalog
         self.params = params or {}
         self.max_hops = max_hops
+        self.store = store
         self._sym = itertools.count()
 
     def gensym(self, prefix: str) -> str:
@@ -100,10 +102,21 @@ class CypherToSpark:
             elif isinstance(
                 clause, (ast.Create, ast.Merge, ast.SetClause, ast.Remove, ast.Delete)
             ):
-                raise CypherCompileError(
-                    f"write clause {type(clause).__name__} requires a mutable graph "
-                    "store (use MutableGraph)"
-                )
+                if self.store is None:
+                    raise CypherCompileError(
+                        f"write clause {type(clause).__name__} requires a mutable "
+                        "graph store (CypherEngine(..., mutable=True))"
+                    )
+                if isinstance(clause, ast.Create):
+                    state = self.compile_create(state, clause)
+                elif isinstance(clause, ast.Merge):
+                    state = self.compile_merge(state, clause)
+                elif isinstance(clause, ast.SetClause):
+                    state = self.compile_set(state, clause)
+                elif isinstance(clause, ast.Remove):
+                    state = self.compile_remove(state, clause)
+                else:
+                    state = self.compile_delete(state, clause)
             else:
                 raise CypherCompileError(
                     f"unsupported clause {type(clause).__name__}"
@@ -116,6 +129,16 @@ class CypherToSpark:
                         F.col(vcol(n, "val")).alias(n)
                         for n in state.scope.vars
                     ]
+                )
+            if any(
+                isinstance(
+                    c, (ast.Create, ast.Merge, ast.SetClause, ast.Remove, ast.Delete)
+                )
+                for c in q.clauses
+            ):
+                # write-only query: empty result set
+                return self.spark.createDataFrame(
+                    [], T.StructType([T.StructField("_rows", T.LongType())])
                 )
             raise CypherCompileError("query must end with RETURN")
         return final
@@ -1100,6 +1123,474 @@ class CypherToSpark:
             )
             return F.element_at(arr, idx), tc.dtype
         raise CypherCompileError(f"unknown aggregate {name}()")
+
+    # -- write clauses (reference: translator INSERT/UPDATE/DELETE emission
+    # src/translator.ts:246-374, 909-1209; batched executor paths
+    # src/executor.ts:4427+; here each write derives new DataFrame versions
+    # via MutableGraph — the Delta-MERGE shape without the Delta dependency)
+    # ----------------------------------------------------------------------
+    def _ensure_df(self, state: CompileState) -> CompileState:
+        if state.df is None:
+            return CompileState(df=self.spark.range(1).select(), scope=state.scope)
+        return state
+
+    def _single_label(self, np_: ast.NodePattern, var: str) -> str:
+        if len(np_.labels) != 1:
+            raise CypherCompileError(
+                f"CREATE/MERGE node `{var}` requires exactly one label "
+                f"(got {np_.labels})"
+            )
+        return np_.labels[0]
+
+    def _compiled_props(
+        self, state: CompileState, props: ast.MapLit | None
+    ) -> dict[str, TypedCol]:
+        if props is None:
+            return {}
+        comp = ExprCompiler(self._ctx(state))
+        return {k: comp.compile(v) for k, v in props.items}
+
+    def compile_create(self, state: CompileState, c: ast.Create) -> CompileState:
+        state = self._ensure_df(state)
+        for path in c.paths:
+            state = self._create_path(state, path)
+        return state
+
+    def _create_path(self, state: CompileState, path: ast.PatternPath) -> CompileState:
+        elements = path.elements
+        state, left_var = self._create_node_if_needed(state, elements[0])
+        i = 1
+        while i < len(elements):
+            rel = elements[i]
+            node = elements[i + 1]
+            assert isinstance(rel, ast.RelPattern)
+            state, right_var = self._create_node_if_needed(state, node)
+            state = self._create_edge(state, left_var, rel, right_var)
+            left_var = right_var
+            i += 2
+        return state
+
+    def _create_node_if_needed(
+        self, state: CompileState, np_: ast.NodePattern
+    ) -> tuple[CompileState, str]:
+        var = np_.var or self.gensym("cn")
+        if var in state.scope:
+            if np_.labels or np_.props:
+                raise CypherCompileError(
+                    f"variable `{var}` already bound; cannot re-create"
+                )
+            return state, var
+        label = self._single_label(np_, var)
+        props = self._compiled_props(state, np_.props)
+        df = state.require_df().withColumn(vcol(var, "id"), F.expr("uuid()"))
+        prop_types: dict[str, T.DataType] = {}
+        for k, tc in props.items():
+            df = df.withColumn(pcol(var, k), tc.col)
+            prop_types[k] = tc.dtype or T.StringType()
+        df = df.localCheckpoint(eager=True)  # freeze the generated uuids
+        rows = df.select(
+            F.col(vcol(var, "id")).alias("_id"),
+            *[F.col(pcol(var, k)).alias(k) for k in props],
+        )
+        self.store.append_nodes(label, rows)
+        scope = state.scope.copy()
+        scope.bind(VarInfo(name=var, kind="node", labels=[label], props=prop_types))
+        return CompileState(df=df, scope=scope), var
+
+    def _create_edge(
+        self, state: CompileState, left_var: str, rel: ast.RelPattern, right_var: str
+    ) -> CompileState:
+        if rel.direction == "both":
+            raise CypherCompileError("CREATE requires a directed relationship")
+        if len(rel.types) != 1:
+            raise CypherCompileError("CREATE requires exactly one relationship type")
+        rel_var = rel.var or self.gensym("cr")
+        src_var, dst_var = (
+            (left_var, right_var) if rel.direction == "out" else (right_var, left_var)
+        )
+        src_info = state.scope.get(src_var)
+        dst_info = state.scope.get(dst_var)
+        assert src_info is not None and dst_info is not None
+        if len(src_info.labels) != 1 or len(dst_info.labels) != 1:
+            raise CypherCompileError(
+                "CREATE relationship endpoints must have a single known label"
+            )
+        props = self._compiled_props(state, rel.props)
+        df = state.require_df().withColumn(vcol(rel_var, "eid"), F.expr("uuid()"))
+        prop_types: dict[str, T.DataType] = {}
+        for k, tc in props.items():
+            df = df.withColumn(pcol(rel_var, k), tc.col)
+            prop_types[k] = tc.dtype or T.StringType()
+        df = (
+            df.withColumn(vcol(rel_var, "src"), F.col(vcol(src_var, "id")))
+            .withColumn(vcol(rel_var, "dst"), F.col(vcol(dst_var, "id")))
+            .withColumn(vcol(rel_var, "type"), F.lit(rel.types[0]))
+            .localCheckpoint(eager=True)
+        )
+        rows = df.select(
+            F.col(vcol(rel_var, "eid")).alias("_id"),
+            F.col(vcol(rel_var, "src")).alias("_src"),
+            F.col(vcol(rel_var, "dst")).alias("_dst"),
+            *[F.col(pcol(rel_var, k)).alias(k) for k in props],
+        )
+        self.store.append_edges(
+            rel.types[0], src_info.labels[0], dst_info.labels[0], rows
+        )
+        scope = state.scope.copy()
+        scope.bind(
+            VarInfo(name=rel_var, kind="edge", types=rel.types, props=prop_types)
+        )
+        return CompileState(df=df, scope=scope)
+
+    def compile_set(self, state: CompileState, s: ast.SetClause) -> CompileState:
+        for item in s.items:
+            state = self._apply_set_item(state, item)
+        return state
+
+    def _apply_set_item(  # noqa: PLR0912
+        self, state: CompileState, item: ast.SetItem
+    ) -> CompileState:
+        df = state.require_df()
+        if item.kind == "labels":
+            assert isinstance(item.target, ast.Var)
+            info = state.scope.get(item.target.name)
+            if info is None or info.kind != "node":
+                raise CypherCompileError("SET :Label requires a bound node")
+            ids = df.select(F.col(info.id_col()).alias("_id")).distinct()
+            for lbl in item.labels:
+                self.store.add_label_to_nodes(info.labels[0], ids, lbl)
+            scope = state.scope.copy()
+            scope.bind(replace(info, labels=info.labels + [lbl for lbl in item.labels if lbl not in info.labels]))
+            return CompileState(df=df, scope=scope)
+        if item.kind == "prop":
+            assert isinstance(item.target, ast.Prop) and isinstance(
+                item.target.base, ast.Var
+            )
+            var = item.target.base.name
+            key = item.target.key
+            updates = {key: ExprCompiler(self._ctx(state)).compile(item.value)}
+            return self._push_prop_updates(state, var, updates, replace_all=False)
+        # var_replace / var_merge with a map value
+        assert isinstance(item.target, ast.Var)
+        var = item.target.name
+        if not isinstance(item.value, ast.MapLit):
+            raise CypherCompileError("SET n = / += requires a map literal")
+        comp = ExprCompiler(self._ctx(state))
+        updates = {k: comp.compile(v) for k, v in item.value.items}
+        return self._push_prop_updates(
+            state, var, updates, replace_all=(item.kind == "var_replace")
+        )
+
+    def _push_prop_updates(
+        self,
+        state: CompileState,
+        var: str,
+        updates: dict[str, TypedCol],
+        replace_all: bool,
+    ) -> CompileState:
+        info = state.scope.get(var)
+        if info is None or info.kind not in ("node", "edge"):
+            raise CypherCompileError(f"SET target `{var}` must be a node or edge")
+        df = state.require_df()
+        # compute new values per binding row, then update both the store and
+        # the in-flight binding columns
+        tmp_cols = {}
+        for k, tc in updates.items():
+            tmp = f"__set_{var}_{k}"
+            df = df.withColumn(tmp, tc.col)
+            tmp_cols[k] = tmp
+        upd_rows = df.select(
+            F.col(info.id_col()).alias("_id"),
+            *[F.col(tmp).alias(k) for k, tmp in tmp_cols.items()],
+        ).dropDuplicates(["_id"])
+        if info.kind == "node":
+            for lbl in info.labels:
+                self.store.update_node_props(lbl, upd_rows, replace_all=replace_all)
+        else:
+            self.store.update_edge_props(
+                df.select(info.id_col()).distinct(), upd_rows
+            )
+        new_props = dict(info.props)
+        for k, tc in updates.items():
+            df = df.withColumn(pcol(var, k), F.col(tmp_cols[k]))
+            new_props[k] = tc.dtype or new_props.get(k) or T.StringType()
+        if replace_all:
+            for k in info.props:
+                if k not in updates:
+                    df = df.withColumn(pcol(var, k), F.lit(None).cast(info.props[k]))
+        df = df.drop(*tmp_cols.values())
+        scope = state.scope.copy()
+        scope.bind(replace(info, props=new_props))
+        return CompileState(df=df, scope=scope)
+
+    def compile_remove(self, state: CompileState, r: ast.Remove) -> CompileState:
+        for item in r.items:
+            if item.kind == "labels":
+                assert isinstance(item.target, ast.Var)
+                info = state.scope.get(item.target.name)
+                if info is None or info.kind != "node":
+                    raise CypherCompileError("REMOVE :Label requires a bound node")
+                ids = state.require_df().select(
+                    F.col(info.id_col()).alias("_id")
+                ).distinct()
+                for lbl in item.labels:
+                    self.store.remove_label_from_nodes(lbl, ids)
+                scope = state.scope.copy()
+                scope.bind(
+                    replace(
+                        info,
+                        labels=[l_ for l_ in info.labels if l_ not in item.labels],
+                    )
+                )
+                state = CompileState(df=state.df, scope=scope)
+            else:
+                assert isinstance(item.target, ast.Prop) and isinstance(
+                    item.target.base, ast.Var
+                )
+                null_tc = TypedCol(F.lit(None), T.NullType())
+                state = self._push_prop_updates(
+                    state,
+                    item.target.base.name,
+                    {item.target.key: null_tc},
+                    replace_all=False,
+                )
+        return state
+
+    def compile_delete(self, state: CompileState, d: ast.Delete) -> CompileState:
+        df = state.require_df()
+        for expr in d.exprs:
+            if not isinstance(expr, ast.Var):
+                raise CypherCompileError("DELETE requires a variable")
+            info = state.scope.get(expr.name)
+            if info is None:
+                raise CypherCompileError(f"variable `{expr.name}` not defined")
+            if info.kind == "node":
+                ids = df.select(F.col(info.id_col()).alias("_id")).distinct()
+                self.store.delete_nodes(ids, detach=d.detach)
+            elif info.kind == "edge":
+                self.store.delete_edges(
+                    df.select(F.col(info.id_col()).alias("_id")).distinct()
+                )
+            else:
+                raise CypherCompileError("DELETE target must be a node or edge")
+        return state
+
+    def compile_merge(self, state: CompileState, m: ast.Merge) -> CompileState:
+        state = self._ensure_df(state)
+        elements = m.path.elements
+        if len(elements) == 1:
+            return self._merge_node(state, elements[0], m.on_create, m.on_match)
+        if len(elements) == 3:
+            return self._merge_relationship(state, m)
+        raise CypherCompileError("MERGE supports single-node or single-hop patterns")
+
+    def _merge_node(
+        self,
+        state: CompileState,
+        np_: ast.NodePattern,
+        on_create: list[ast.SetItem],
+        on_match: list[ast.SetItem],
+    ) -> CompileState:
+        var = np_.var or self.gensym("mn")
+        if var in state.scope:
+            raise CypherCompileError(f"MERGE variable `{var}` already bound")
+        label = self._single_label(np_, var)
+        if not np_.props:
+            raise CypherCompileError("MERGE node requires key properties")
+        self.store.ensure_label(label)
+        props = self._compiled_props(state, np_.props)
+        df = state.require_df()
+        key_tmp = {}
+        for k, tc in props.items():
+            tmp = f"__mk_{k}"
+            df = df.withColumn(tmp, tc.col)
+            key_tmp[k] = tmp
+        df = df.localCheckpoint(eager=True)
+        keys = df.select(
+            *[F.col(tmp).alias(k) for k, tmp in key_tmp.items()]
+        ).distinct()
+        table = self.store.catalog.node(label).df
+        key_names = list(props)
+        missing_keys = (
+            keys.join(table, on=key_names, how="left_anti")
+            if all(k in table.columns for k in key_names)
+            else keys
+        )
+        created = missing_keys.withColumn("_id", F.expr("uuid()")).localCheckpoint(
+            eager=True
+        )
+        self.store.append_nodes(label, created)
+        matched_or_created = self.store.catalog.node(label).df
+        # ON CREATE / ON MATCH SET on the two disjoint id sets
+        created_ids = created.select("_id")
+        matched_ids = (
+            table.join(keys, on=key_names, how="left_semi").select("_id")
+            if all(k in table.columns for k in key_names)
+            else self.spark.createDataFrame(
+                [], T.StructType([T.StructField("_id", T.StringType())])
+            )
+        )
+        # bind var: join binding rows to the (now complete) table by keys
+        node_scan = matched_or_created.select(
+            F.col("_id").alias(vcol(var, "id")),
+            *[
+                F.col(c).alias(pcol(var, c))
+                for c in matched_or_created.columns
+                if c != "_id"
+            ],
+        )
+        cond = None
+        for k, tmp in key_tmp.items():
+            c = df[tmp] == node_scan[pcol(var, k)]
+            cond = c if cond is None else cond & c
+        out = df.join(node_scan, cond).drop(*key_tmp.values())
+        prop_types = {
+            f.name: f.dataType
+            for f in matched_or_created.schema.fields
+            if f.name != "_id"
+        }
+        scope = state.scope.copy()
+        scope.bind(VarInfo(name=var, kind="node", labels=[label], props=prop_types))
+        new_state = CompileState(df=out, scope=scope)
+        new_state = self._apply_merge_sets(new_state, var, created_ids, on_create)
+        new_state = self._apply_merge_sets(new_state, var, matched_ids, on_match)
+        return new_state
+
+    def _apply_merge_sets(
+        self,
+        state: CompileState,
+        var: str,
+        ids: DataFrame,
+        items: list[ast.SetItem],
+    ) -> CompileState:
+        if not items:
+            return state
+        info = state.scope.get(var)
+        assert info is not None
+        df = state.require_df()
+        flag = f"__merge_flag_{var}"
+        marked = df.join(
+            ids.select(F.col("_id").alias(vcol(var, "id"))).withColumn(
+                flag, F.lit(True)
+            ),
+            on=vcol(var, "id"),
+            how="left",
+        )
+        sub = CompileState(df=marked.where(F.col(flag)).drop(flag), scope=state.scope)
+        if sub.df.isEmpty():
+            return state
+        sub = self.compile_set(sub, ast.SetClause(items=items))
+        # merge updated prop columns back into the full binding table
+        full = marked
+        updated_info = sub.scope.get(var)
+        assert updated_info is not None
+        for k in updated_info.props:
+            colname = pcol(var, k)
+            if colname not in full.columns:
+                full = full.withColumn(colname, F.lit(None))
+        sub_sel = sub.df.select(
+            F.col(vcol(var, "id")).alias("__mid"),
+            *[
+                F.col(pcol(var, k)).alias(f"__mu_{k}")
+                for k in updated_info.props
+            ],
+        ).dropDuplicates(["__mid"])
+        joined = full.join(
+            sub_sel, full[vcol(var, "id")] == sub_sel["__mid"], "left"
+        )
+        for k in updated_info.props:
+            joined = joined.withColumn(
+                pcol(var, k),
+                F.when(F.col(flag), F.col(f"__mu_{k}")).otherwise(
+                    F.col(pcol(var, k))
+                ),
+            )
+        joined = joined.drop(flag, "__mid", *[f"__mu_{k}" for k in updated_info.props])
+        scope = state.scope.copy()
+        scope.bind(updated_info)
+        return CompileState(df=joined, scope=scope)
+
+    def _merge_relationship(self, state: CompileState, m: ast.Merge) -> CompileState:
+        left_np, rel, right_np = m.path.elements
+        assert isinstance(rel, ast.RelPattern)
+        for np_ in (left_np, right_np):
+            if np_.var is None or np_.var not in state.scope:
+                raise CypherCompileError(
+                    "MERGE relationship endpoints must be bound variables"
+                )
+        if rel.direction == "both" or len(rel.types) != 1:
+            raise CypherCompileError(
+                "MERGE relationship requires a single directed type"
+            )
+        src_var, dst_var = (
+            (left_np.var, right_np.var)
+            if rel.direction == "out"
+            else (right_np.var, left_np.var)
+        )
+        src_info = state.scope.get(src_var)
+        dst_info = state.scope.get(dst_var)
+        rel_var = rel.var or self.gensym("mr")
+        type_ = rel.types[0]
+        df = state.require_df()
+        # existing edges between the bound endpoint pairs
+        edf, rinfo = self._edge_scan(rel_var, [type_], "out", None, None)
+        pairs = df.select(
+            F.col(vcol(src_var, "id")).alias("__ms"),
+            F.col(vcol(dst_var, "id")).alias("__md"),
+        ).distinct()
+        if edf is not None:
+            existing_pairs = edf.select(
+                F.col(vcol(rel_var, "src")).alias("__ms"),
+                F.col(vcol(rel_var, "dst")).alias("__md"),
+            ).distinct()
+            missing = pairs.join(existing_pairs, on=["__ms", "__md"], how="left_anti")
+        else:
+            missing = pairs
+        props = self._compiled_props(state, rel.props)
+        created = (
+            missing.withColumn("_id", F.expr("uuid()"))
+            .select(
+                "_id",
+                F.col("__ms").alias("_src"),
+                F.col("__md").alias("_dst"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for k, tc in props.items():
+            created = created.withColumn(k, tc.col)
+        self.store.append_edges(
+            type_, src_info.labels[0], dst_info.labels[0], created
+        )
+        # bind the rel var by re-scanning (now complete) edges
+        edf2, rinfo2 = self._edge_scan(rel_var, [type_], "out", None, None)
+        assert edf2 is not None
+        joined = df.join(
+            edf2,
+            (df[vcol(src_var, "id")] == edf2["__from"])
+            & (df[vcol(dst_var, "id")] == edf2["__to"]),
+        ).drop("__from", "__to")
+        scope = state.scope.copy()
+        scope.bind(rinfo2)
+        new_state = CompileState(df=joined, scope=scope)
+        created_ids = created.select("_id")
+        if m.on_create:
+            new_state = self._apply_merge_sets(
+                new_state, rel_var, created_ids, m.on_create
+            )
+        if m.on_match and edf is not None:
+            matched_ids = (
+                edf.join(
+                    pairs,
+                    (edf[vcol(rel_var, "src")] == pairs["__ms"])
+                    & (edf[vcol(rel_var, "dst")] == pairs["__md"]),
+                    "left_semi",
+                )
+                .select(F.col(vcol(rel_var, "eid")).alias("_id"))
+            )
+            new_state = self._apply_merge_sets(
+                new_state, rel_var, matched_ids, m.on_match
+            )
+        return new_state
 
     def _order_skip_limit(
         self, df: DataFrame, proj: ast.Projection, scope: Scope

@@ -85,11 +85,21 @@ def lit_value(value) -> TypedCol:
         return TypedCol(F.lit(value), T.StringType())
     if isinstance(value, (list, tuple)):
         items = [lit_value(v) for v in value]
-        elem = items[0].dtype if items else T.StringType()
+        elem = next(
+            (tc.dtype for tc in items if tc.dtype is not None), T.StringType()
+        )
         return TypedCol(F.array(*[tc.col for tc in items]), T.ArrayType(elem))
     if isinstance(value, dict):
-        fields = [lit_value(v).col.alias(k) for k, v in value.items()]
-        return TypedCol(F.struct(*fields), None)
+        tcs = {k: lit_value(v) for k, v in value.items()}
+        dtype = T.StructType(
+            [
+                T.StructField(k, tc.dtype or T.StringType())
+                for k, tc in tcs.items()
+            ]
+        )
+        return TypedCol(
+            F.struct(*[tc.col.alias(k) for k, tc in tcs.items()]), dtype
+        )
     raise CypherCompileError(f"unsupported parameter value type: {type(value)}")
 
 

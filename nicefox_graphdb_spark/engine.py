@@ -17,16 +17,39 @@ from nicefox_graphdb_spark.cypher.parser import parse
 
 
 class CypherEngine:
-    def __init__(self, spark: SparkSession, catalog: GraphCatalog, max_hops: int = 12):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: GraphCatalog,
+        max_hops: int = 12,
+        mutable: bool = False,
+    ):
         self.spark = spark
-        self.catalog = catalog
         self.max_hops = max_hops
+        self.store = None
+        if mutable:
+            from nicefox_graphdb_spark.graph_store import MutableGraph
+
+            self.store = MutableGraph(spark, catalog)
+        self._catalog = catalog
+
+    @property
+    def catalog(self) -> GraphCatalog:
+        return self.store.catalog if self.store is not None else self._catalog
 
     def dataframe(self, cypher: str, params: dict | None = None) -> DataFrame:
-        """Compile a Cypher query to a (lazy) DataFrame."""
+        """Compile a Cypher query to a (lazy) DataFrame.
+
+        NOTE: for write queries this performs the mutations during
+        compilation (eager, like the reference's per-statement execution).
+        """
         q = parse(cypher)
         compiler = CypherToSpark(
-            self.spark, self.catalog, params=params, max_hops=self.max_hops
+            self.spark,
+            self.catalog,
+            params=params,
+            max_hops=self.max_hops,
+            store=self.store,
         )
         return compiler.compile_query(q)
 
@@ -34,6 +57,8 @@ class CypherEngine:
     def query(self, cypher: str, params: dict | None = None) -> list[dict]:
         """Execute and return rows as dicts (reference result format)."""
         return [r.asDict(recursive=True) for r in self.dataframe(cypher, params).collect()]
+
+    execute = query  # reference client API alias (src/types.ts:92-167)
 
     def explain(self, cypher: str, params: dict | None = None, mode: str = "formatted"):
         self.dataframe(cypher, params).explain(mode)

@@ -1,0 +1,229 @@
+"""MutableGraph — copy-on-write graph store backing Cypher write clauses.
+
+The reference mutates two SQLite tables inside a single-writer transaction
+(reference src/db.ts:47-70, executor write paths src/executor.ts:4427+).
+The Spark-native equivalent is what Delta's MERGE/DELETE do under the hood:
+every mutation derives a NEW DataFrame version of the affected table
+(append = union, update = join + column overwrite, delete = anti-join) and
+swaps it into the catalog. On a cluster these versions would be Delta
+commits; in-process they are lazily-planned DataFrames with periodic
+`localCheckpoint` to bound lineage depth.
+
+Batch semantics come for free: `UNWIND $batch AS row CREATE (...)` appends
+the whole batch as ONE union (the reference needed a dedicated batched-
+INSERT fast path for this, src/executor.ts:4427-4923).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nicefox_graphdb_spark.catalog import EdgeTable, GraphCatalog
+
+_CHECKPOINT_EVERY = 8
+
+
+class MutableGraph:
+    def __init__(self, spark: SparkSession, catalog: GraphCatalog | None = None):
+        self.spark = spark
+        self.catalog = catalog if catalog is not None else GraphCatalog(spark)
+        self._mutations = 0
+
+    # -- plumbing ---------------------------------------------------------
+    def _bump(self) -> None:
+        self._mutations += 1
+        if self._mutations % _CHECKPOINT_EVERY == 0:
+            self.checkpoint()
+
+    def checkpoint(self) -> None:
+        """Cut lineage on every table (a Delta commit's moral equivalent)."""
+        for label in list(self.catalog._nodes):
+            tbl = self.catalog._nodes[label]
+            self.catalog._nodes[label] = type(tbl)(
+                tbl.label, tbl.df.localCheckpoint(eager=True)
+            )
+        for i, et in enumerate(self.catalog._edges):
+            self.catalog._edges[i] = EdgeTable(
+                et.type, et.src_label, et.dst_label, et.df.localCheckpoint(eager=True)
+            )
+
+    @staticmethod
+    def _align(df: DataFrame, columns: dict[str, T.DataType]) -> DataFrame:
+        """Project df onto the given column set, null-filling what's missing."""
+        sel = []
+        for name, dtype in columns.items():
+            if name in df.columns:
+                sel.append(F.col(name).cast(dtype).alias(name))
+            else:
+                sel.append(F.lit(None).cast(dtype).alias(name))
+        return df.select(*sel)
+
+    @staticmethod
+    def _merged_schema(
+        base: DataFrame, incoming: DataFrame
+    ) -> dict[str, T.DataType]:
+        cols: dict[str, T.DataType] = {
+            f.name: f.dataType for f in base.schema.fields
+        }
+        for f in incoming.schema.fields:
+            cols.setdefault(f.name, f.dataType)
+        return cols
+
+    # -- nodes ------------------------------------------------------------
+    def ensure_label(self, label: str) -> None:
+        if not self.catalog.has_label(label):
+            empty = self.spark.createDataFrame(
+                [], T.StructType([T.StructField("_id", T.StringType())])
+            )
+            self.catalog.register_node(label, empty)
+
+    def append_nodes(self, label: str, rows: DataFrame) -> None:
+        """rows: `_id` + property columns (any subset; schema unions)."""
+        self.ensure_label(label)
+        base = self.catalog.node(label).df
+        cols = self._merged_schema(base, rows)
+        new_df = self._align(base, cols).unionByName(self._align(rows, cols))
+        self.catalog.register_node(label, new_df)
+        self._bump()
+
+    def update_node_props(
+        self, label: str, updates: DataFrame, replace_all: bool = False
+    ) -> None:
+        """updates: `_id` + new-value columns (property names). Matched rows
+        get the new values; with replace_all, unmentioned props become NULL
+        (Cypher `SET n = {...}` semantics, reference translator.ts:968-1001).
+        """
+        if not self.catalog.has_label(label):
+            return
+        base = self.catalog.node(label).df
+        upd_props = [c for c in updates.columns if c != "_id"]
+        cols = self._merged_schema(base, updates)
+        basea = self._align(base, cols)
+        upd = updates.select(
+            F.col("_id").alias("__u_id"),
+            F.lit(True).alias("__matched"),
+            *[F.col(c).alias(f"__u_{c}") for c in upd_props],
+        )
+        joined = basea.join(upd, basea["_id"] == upd["__u_id"], "left")
+        sel = [F.col("_id")]
+        for name in cols:
+            if name == "_id":
+                continue
+            if name in upd_props:
+                col = F.when(F.col("__matched"), F.col(f"__u_{name}")).otherwise(
+                    F.col(name)
+                )
+            elif replace_all:
+                col = F.when(F.col("__matched"), F.lit(None)).otherwise(F.col(name))
+            else:
+                col = F.col(name)
+            sel.append(col.cast(cols[name]).alias(name))
+        self.catalog.register_node(label, joined.select(*sel))
+        self._bump()
+
+    def add_label_to_nodes(self, from_label: str, ids: DataFrame, new_label: str) -> None:
+        """SET n:NewLabel — copy the rows into the new label's table
+        (multi-label = membership in several label tables)."""
+        src = self.catalog.node(from_label).df
+        rows = src.join(ids.select(F.col(ids.columns[0]).alias("_id")), on="_id", how="left_semi")
+        self.ensure_label(new_label)
+        existing = self.catalog.node(new_label).df.select("_id")
+        rows = rows.join(existing, on="_id", how="left_anti")
+        self.append_nodes(new_label, rows)
+
+    def remove_label_from_nodes(self, label: str, ids: DataFrame) -> None:
+        if not self.catalog.has_label(label):
+            return
+        base = self.catalog.node(label).df
+        keep = base.join(
+            ids.select(F.col(ids.columns[0]).alias("_id")), on="_id", how="left_anti"
+        )
+        self.catalog.register_node(label, keep)
+        self._bump()
+
+    def delete_nodes(self, ids: DataFrame, detach: bool = False) -> None:
+        idcol = ids.select(F.col(ids.columns[0]).alias("_id"))
+        for label in list(self.catalog._nodes):
+            base = self.catalog.node(label).df
+            self.catalog.register_node(
+                label, base.join(idcol, on="_id", how="left_anti")
+            )
+        if detach:
+            for i, et in enumerate(self.catalog._edges):
+                kept = et.df.join(
+                    idcol.select(F.col("_id").alias("_src")), on="_src", how="left_anti"
+                ).join(
+                    idcol.select(F.col("_id").alias("_dst")), on="_dst", how="left_anti"
+                )
+                self.catalog._edges[i] = EdgeTable(
+                    et.type, et.src_label, et.dst_label, kept
+                )
+        self._bump()
+
+    # -- edges ------------------------------------------------------------
+    def _edge_slot(self, type_: str, src_label: str, dst_label: str) -> int:
+        for i, et in enumerate(self.catalog._edges):
+            if (et.type, et.src_label, et.dst_label) == (type_, src_label, dst_label):
+                return i
+        empty = self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("_id", T.StringType()),
+                    T.StructField("_src", T.StringType()),
+                    T.StructField("_dst", T.StringType()),
+                ]
+            ),
+        )
+        self.catalog.register_edge(type_, src_label, dst_label, empty)
+        return len(self.catalog._edges) - 1
+
+    def append_edges(
+        self, type_: str, src_label: str, dst_label: str, rows: DataFrame
+    ) -> None:
+        """rows: `_id`, `_src`, `_dst` + property columns."""
+        slot = self._edge_slot(type_, src_label, dst_label)
+        et = self.catalog._edges[slot]
+        cols = self._merged_schema(et.df, rows)
+        new_df = self._align(et.df, cols).unionByName(self._align(rows, cols))
+        self.catalog._edges[slot] = EdgeTable(type_, src_label, dst_label, new_df)
+        self._bump()
+
+    def update_edge_props(self, eids: DataFrame, updates: DataFrame) -> None:
+        """updates: `_id` + new-value columns, applied across all edge tables."""
+        upd_props = [c for c in updates.columns if c != "_id"]
+        for i, et in enumerate(self.catalog._edges):
+            cols = self._merged_schema(et.df, updates)
+            basea = self._align(et.df, cols)
+            upd = updates.select(
+                F.col("_id").alias("__u_id"),
+                F.lit(True).alias("__matched"),
+                *[F.col(c).alias(f"__u_{c}") for c in upd_props],
+            )
+            joined = basea.join(upd, basea["_id"] == upd["__u_id"], "left")
+            sel = []
+            for name in cols:
+                if name in upd_props:
+                    col = F.when(
+                        F.col("__matched"), F.col(f"__u_{name}")
+                    ).otherwise(F.col(name))
+                    sel.append(col.cast(cols[name]).alias(name))
+                else:
+                    sel.append(F.col(name).alias(name))
+            self.catalog._edges[i] = EdgeTable(
+                et.type, et.src_label, et.dst_label, joined.select(*sel)
+            )
+        self._bump()
+
+    def delete_edges(self, eids: DataFrame) -> None:
+        idcol = eids.select(F.col(eids.columns[0]).alias("_id"))
+        for i, et in enumerate(self.catalog._edges):
+            self.catalog._edges[i] = EdgeTable(
+                et.type,
+                et.src_label,
+                et.dst_label,
+                et.df.join(idcol, on="_id", how="left_anti"),
+            )
+        self._bump()

@@ -1,0 +1,148 @@
+"""Write-clause tests (CREATE / MERGE / SET / REMOVE / DELETE) on a mutable
+graph, modeled on the reference's CRUD suites (test/cypherqueries.test.ts)."""
+
+import pytest
+
+from nicefox_graphdb_spark import CypherEngine
+from nicefox_graphdb_spark.catalog import GraphCatalog
+
+
+@pytest.fixture()
+def wengine(spark):
+    """Fresh empty mutable graph per test."""
+    return CypherEngine(spark, GraphCatalog(spark), mutable=True)
+
+
+def test_create_and_return(wengine):
+    rows = wengine.query(
+        "CREATE (n:Person {name: 'Alice', age: 30}) RETURN n.name AS name, n.age AS age"
+    )
+    assert rows == [{"name": "Alice", "age": 30}]
+    assert wengine.query("MATCH (n:Person) RETURN count(*) AS c") == [{"c": 1}]
+
+
+def test_create_relationship(wengine):
+    wengine.query(
+        "CREATE (a:Person {name: 'A'})-[:KNOWS {since: 2020}]->(b:Person {name: 'B'})"
+    )
+    rows = wengine.query(
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+        "RETURN a.name AS a, r.since AS since, b.name AS b"
+    )
+    assert rows == [{"a": "A", "since": 2020, "b": "B"}]
+
+
+def test_unwind_create_batch(wengine):
+    wengine.query(
+        "UNWIND $batch AS row CREATE (n:Item {name: row.name, price: row.price})",
+        {"batch": [{"name": "x", "price": 1}, {"name": "y", "price": 2}]},
+    )
+    rows = wengine.query(
+        "MATCH (n:Item) RETURN n.name AS name, n.price AS price ORDER BY name"
+    )
+    assert rows == [{"name": "x", "price": 1}, {"name": "y", "price": 2}]
+
+
+def test_create_after_match(wengine):
+    wengine.query("CREATE (:User {name: 'u1'})")
+    wengine.query("CREATE (:User {name: 'u2'})")
+    wengine.query(
+        "MATCH (u:User) CREATE (u)-[:OWNS]->(i:Thing {owner: u.name})"
+    )
+    rows = wengine.query(
+        "MATCH (u:User)-[:OWNS]->(i:Thing) RETURN u.name AS u, i.owner AS o ORDER BY u"
+    )
+    assert rows == [{"u": "u1", "o": "u1"}, {"u": "u2", "o": "u2"}]
+
+
+def test_set_property(wengine):
+    wengine.query("CREATE (:P {name: 'n', cnt: 1})")
+    wengine.query("MATCH (n:P) SET n.cnt = n.cnt + 1, n.extra = 'e'")
+    rows = wengine.query("MATCH (n:P) RETURN n.cnt AS cnt, n.extra AS extra")
+    assert rows == [{"cnt": 2, "extra": "e"}]
+
+
+def test_set_plus_equals(wengine):
+    wengine.query("CREATE (:P {name: 'n', keep: 'k'})")
+    wengine.query("MATCH (n:P) SET n += {added: 1}")
+    rows = wengine.query(
+        "MATCH (n:P) RETURN n.name AS name, n.keep AS keep, n.added AS added"
+    )
+    assert rows == [{"name": "n", "keep": "k", "added": 1}]
+
+
+def test_set_replace(wengine):
+    wengine.query("CREATE (:P {name: 'n', old: 'x'})")
+    wengine.query("MATCH (n:P) SET n = {fresh: 'y'}")
+    rows = wengine.query(
+        "MATCH (n:P) RETURN n.fresh AS fresh, n.old AS old, n.name AS name"
+    )
+    assert rows == [{"fresh": "y", "old": None, "name": None}]
+
+
+def test_set_label(wengine):
+    wengine.query("CREATE (:P {name: 'n'})")
+    wengine.query("MATCH (n:P) SET n:Q")
+    assert wengine.query("MATCH (n:Q) RETURN count(*) AS c") == [{"c": 1}]
+
+
+def test_remove_prop_and_label(wengine):
+    wengine.query("CREATE (:P {name: 'n', junk: 1})")
+    wengine.query("MATCH (n:P) SET n:Tmp")
+    wengine.query("MATCH (n:P) REMOVE n.junk, n:Tmp")
+    assert wengine.query("MATCH (n:P) RETURN n.junk AS j") == [{"j": None}]
+    assert wengine.query("MATCH (n:Tmp) RETURN count(*) AS c") == [{"c": 0}]
+
+
+def test_delete_and_detach(wengine):
+    wengine.query("CREATE (a:P {name: 'a'})-[:L]->(b:P {name: 'b'})")
+    with_edges = wengine.query("MATCH (:P)-[r:L]->(:P) RETURN count(*) AS c")
+    assert with_edges == [{"c": 1}]
+    wengine.query("MATCH (n:P {name: 'a'}) DETACH DELETE n")
+    assert wengine.query("MATCH (n:P) RETURN count(*) AS c") == [{"c": 1}]
+    assert wengine.query("MATCH (:P)-[r:L]->() RETURN count(*) AS c") == [{"c": 0}]
+
+
+def test_merge_creates_then_matches(wengine):
+    wengine.query("MERGE (n:City {name: 'Berlin'})")
+    wengine.query("MERGE (n:City {name: 'Berlin'})")
+    assert wengine.query("MATCH (n:City) RETURN count(*) AS c") == [{"c": 1}]
+
+
+def test_merge_on_create_on_match(wengine):
+    wengine.query(
+        "MERGE (n:C {k: 'x'}) ON CREATE SET n.created = 1 ON MATCH SET n.matched = 1"
+    )
+    rows = wengine.query("MATCH (n:C) RETURN n.created AS c, n.matched AS m")
+    assert rows == [{"c": 1, "m": None}]
+    wengine.query(
+        "MERGE (n:C {k: 'x'}) ON CREATE SET n.created = 2 ON MATCH SET n.matched = 9"
+    )
+    rows = wengine.query("MATCH (n:C) RETURN n.created AS c, n.matched AS m")
+    assert rows == [{"c": 1, "m": 9}]
+
+
+def test_merge_relationship(wengine):
+    wengine.query("CREATE (:U {name: 'a'})")
+    wengine.query("CREATE (:V {name: 'b'})")
+    for _ in range(2):
+        wengine.query(
+            "MATCH (a:U {name: 'a'}), (b:V {name: 'b'}) MERGE (a)-[:LIKES]->(b)"
+        )
+    assert wengine.query("MATCH (:U)-[r:LIKES]->(:V) RETURN count(*) AS c") == [
+        {"c": 1}
+    ]
+
+
+def test_unwind_merge_dedup(wengine):
+    wengine.query(
+        "UNWIND ['a', 'b', 'a'] AS nm MERGE (n:Tag {name: nm})"
+    )
+    rows = wengine.query("MATCH (n:Tag) RETURN n.name AS name ORDER BY name")
+    assert rows == [{"name": "a"}, {"name": "b"}]
+
+
+def test_write_on_immutable_engine_fails(spark):
+    eng = CypherEngine(spark, GraphCatalog(spark), mutable=False)
+    with pytest.raises(Exception, match="mutable"):
+        eng.query("CREATE (n:X {a: 1})")

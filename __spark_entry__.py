@@ -550,7 +550,34 @@ def _p_multimodal_features(spark, sf_dir):
     )
 
 
+def _p_stream_hourly(spark, sf_dir):
+    """Structured Streaming tumbling-window rollup, run to completion with
+    Trigger.AvailableNow — batch-parity with the q_event_hourly oracle."""
+    from nicefox_graphdb_spark import streaming as st
+
+    src = st.stage_events_as_stream_source(spark, sf_dir, n_chunks=4)
+    stream = st.event_stream_from_dir(spark, src, max_files_per_trigger=2)
+    return st.run_to_memory(st.hourly_rollup(stream), output_mode="complete").orderBy(
+        "window_start", "event_type"
+    )
+
+
+def _p_stream_sessions(spark, sf_dir):
+    """Session-window aggregation (30-min gap) per user via streaming."""
+    from nicefox_graphdb_spark import streaming as st
+
+    src = st.stage_events_as_stream_source(spark, sf_dir, n_chunks=4)
+    stream = st.event_stream_from_dir(spark, src)
+    return (
+        st.run_to_memory(st.sessionize(stream, gap="30 minutes"), output_mode="complete")
+        .select("session_start", "user_id", "n_events", "total")
+        .orderBy("user_id", "session_start")
+    )
+
+
 _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_stream_hourly": _p_stream_hourly,
+    "q_stream_sessions": _p_stream_sessions,
     "q_text_stats": _p_text_stats,
     "q_token_counts": _p_token_counts,
     "q_lang_id": _p_lang_id,
@@ -677,6 +704,26 @@ _ORACLE.update(
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS checksum
             FROM documents WHERE doc_id < 200 ORDER BY media_id""",
+        "q_stream_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS cnt, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q_stream_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sessions AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, brk DESC
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked)
+            SELECT min(ts) AS session_start, user_id,
+                   count(*) AS n_events, round(sum(value), 2) AS total
+            FROM sessions GROUP BY user_id, sid
+            ORDER BY user_id, session_start""",
     }
 )
 

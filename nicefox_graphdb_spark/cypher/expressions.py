@@ -447,6 +447,10 @@ class ExprCompiler:
         builder = SCALAR_FUNCTIONS.get(name)
         if builder is not None:
             return builder(self, e.args)
+        if name == "duration.between":
+            a = self.compile(e.args[0])
+            b = self.compile(e.args[1])
+            return TypedCol(b.col - a.col, None)
         if "." in name:
             # method-call syntax: x.truncate(unit) — the receiver is the
             # dotted prefix (reference translateTemporalTruncate,
@@ -672,16 +676,97 @@ def _fn_to_string(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     return TypedCol(_c(comp, args, 0).col.cast("string"), T.StringType())
 
 
+def _map_args(comp: ExprCompiler, m: ast.MapLit) -> dict[str, Column]:
+    return {k.lower(): comp.compile(v).col for k, v in m.items}
+
+
 def _fn_date(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     if not args:
         return TypedCol(F.current_date(), T.DateType())
+    if isinstance(args[0], ast.MapLit):
+        m = _map_args(comp, args[0])
+        return TypedCol(
+            F.make_date(
+                m.get("year", F.lit(1970)),
+                m.get("month", F.lit(1)),
+                m.get("day", F.lit(1)),
+            ),
+            T.DateType(),
+        )
     return TypedCol(F.to_date(_c(comp, args, 0).col), T.DateType())
 
 
 def _fn_datetime(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     if not args:
         return TypedCol(F.current_timestamp(), T.TimestampType())
+    if isinstance(args[0], ast.MapLit):
+        m = _map_args(comp, args[0])
+        return TypedCol(
+            F.make_timestamp(
+                m.get("year", F.lit(1970)).cast("int"),
+                m.get("month", F.lit(1)).cast("int"),
+                m.get("day", F.lit(1)).cast("int"),
+                m.get("hour", F.lit(0)).cast("int"),
+                m.get("minute", F.lit(0)).cast("int"),
+                (
+                    m.get("second", F.lit(0)).cast("double")
+                    + m.get("millisecond", F.lit(0)).cast("double") / 1000.0
+                ),
+            ),
+            T.TimestampType(),
+        )
     return TypedCol(F.to_timestamp(_c(comp, args, 0).col), T.TimestampType())
+
+
+_ISO_DURATION_RE = re.compile(
+    r"^P(?:(?P<years>-?\d+(?:\.\d+)?)Y)?(?:(?P<months>-?\d+(?:\.\d+)?)M)?"
+    r"(?:(?P<weeks>-?\d+(?:\.\d+)?)W)?(?:(?P<days>-?\d+(?:\.\d+)?)D)?"
+    r"(?:T(?:(?P<hours>-?\d+(?:\.\d+)?)H)?(?:(?P<minutes>-?\d+(?:\.\d+)?)M)?"
+    r"(?:(?P<seconds>-?\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _fn_duration(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    """duration({days: 1, hours: 2}) or duration('P1DT2H') → INTERVAL.
+
+    The reference stores durations as ISO-8601 strings and does positional
+    string surgery in SQL (src/translator.ts:13290-13324); here they are
+    native Catalyst intervals, so timestamp ± duration is plain arithmetic.
+    """
+    arg = args[0]
+    if isinstance(arg, ast.MapLit):
+        m = _map_args(comp, arg)
+        zero = F.lit(0)
+        return TypedCol(
+            F.make_interval(
+                m.get("years", zero).cast("int"),
+                m.get("months", zero).cast("int"),
+                m.get("weeks", zero).cast("int"),
+                m.get("days", zero).cast("int"),
+                m.get("hours", zero).cast("int"),
+                m.get("minutes", zero).cast("int"),
+                m.get("seconds", zero).cast("double"),
+            ),
+            None,
+        )
+    if isinstance(arg, ast.Literal) and isinstance(arg.value, str):
+        match = _ISO_DURATION_RE.match(arg.value)
+        if not match:
+            raise CypherCompileError(f"invalid ISO-8601 duration {arg.value!r}")
+        parts = {k: float(v) for k, v in match.groupdict().items() if v}
+        return TypedCol(
+            F.make_interval(
+                F.lit(int(parts.get("years", 0))),
+                F.lit(int(parts.get("months", 0))),
+                F.lit(int(parts.get("weeks", 0))),
+                F.lit(int(parts.get("days", 0))),
+                F.lit(int(parts.get("hours", 0))),
+                F.lit(int(parts.get("minutes", 0))),
+                F.lit(parts.get("seconds", 0.0)),
+            ),
+            None,
+        )
+    raise CypherCompileError("duration() requires a map or ISO-8601 string literal")
 
 
 SCALAR_FUNCTIONS: dict[str, Callable] = {
@@ -751,6 +836,7 @@ SCALAR_FUNCTIONS: dict[str, Callable] = {
     "date": _fn_date,
     "datetime": _fn_datetime,
     "localdatetime": _fn_datetime,
+    "duration": _fn_duration,
 }
 
 AGGREGATE_FUNCTIONS = {

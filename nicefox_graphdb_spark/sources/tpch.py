@@ -77,9 +77,10 @@ def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         arrow_schema = pq.read_schema(path)
         for fld in arrow_schema:
             if isinstance(fld.type, pa.TimestampType) and fld.type.unit == "ns":
+                # integer division: nanos exceed double precision (2^53)
                 df = df.withColumn(
                     fld.name,
-                    F.timestamp_micros(F.floor(F.col(fld.name) / 1000).cast("long")),
+                    F.timestamp_micros(F.expr(f"`{fld.name}` div 1000")),
                 )
         out[t] = df
     return out

@@ -46,6 +46,9 @@ class NodeTable:
         return [c for c in self.df.columns if c not in META_COLS]
 
 
+DST_COVER_PREFIX = "_dstp_"
+
+
 @dataclass
 class EdgeTable:
     type: str
@@ -55,7 +58,24 @@ class EdgeTable:
 
     @property
     def prop_cols(self) -> list[str]:
-        return [c for c in self.df.columns if c not in META_COLS]
+        return [
+            c
+            for c in self.df.columns
+            if c not in META_COLS and not c.startswith(DST_COVER_PREFIX)
+        ]
+
+    @property
+    def dst_covered_props(self) -> list[str]:
+        """Destination-node property columns carried on the edge row
+        (``_dstp_<prop>``). When an edge and its destination node derive
+        from the same physical row (e.g. an FK edge), carrying the node's
+        columns on the edge lets the compiler skip the dst-node scan+join
+        entirely — one table scan instead of two at 100 TB."""
+        return [
+            c[len(DST_COVER_PREFIX):]
+            for c in self.df.columns
+            if c.startswith(DST_COVER_PREFIX)
+        ]
 
 
 @dataclass

@@ -252,12 +252,19 @@ class CypherToSpark:
         direction: str,
         left_labels: list[str] | None,
         right_labels: list[str] | None,
-    ) -> tuple[DataFrame | None, VarInfo]:
+        fuse_var: str | None = None,
+    ) -> tuple[DataFrame | None, VarInfo, VarInfo | None]:
         """Standardized oriented edge scan.
 
         Output columns: __from (side attached to the already-bound left
         node), __to, plus the var's namespaced eid/src/dst/type/props.
         Endpoint label constraints prune entire edge tables at compile time.
+
+        If `fuse_var` is given and every chosen table carries the far node's
+        columns on the edge row (EdgeTable.dst_covered_props), the far node
+        variable is bound straight from the edge scan — ONE table scan and
+        join instead of two (the 100 TB version of a covering index).
+        Returns (df, edge_info, fused_far_node_info-or-None).
         """
         orientations = ["out", "in"] if direction == "both" else [direction]
         # collect candidate (table, orientation) pairs
@@ -272,12 +279,37 @@ class CypherToSpark:
                     continue
                 chosen.append((et, ori))
         if not chosen:
-            return None, VarInfo(name=var, kind="edge", types=types, props={})
+            return None, VarInfo(name=var, kind="edge", types=types, props={}), None
+        # fusion eligibility: single known far label, every chosen scan is
+        # forward-oriented and covers the full node schema
+        fused_info: VarInfo | None = None
+        far_labels = {
+            (et.dst_label if ori == "out" else et.src_label) for et, ori in chosen
+        }
+        if fuse_var is not None and len(far_labels) == 1:
+            far_label = next(iter(far_labels))
+            if self.catalog.has_label(far_label):
+                node_props = {
+                    f_.name: f_.dataType
+                    for f_ in self.catalog.node(far_label).df.schema.fields
+                    if f_.name != "_id"
+                }
+                if all(
+                    ori == "out"
+                    and set(node_props) <= set(et.dst_covered_props)
+                    for et, ori in chosen
+                ):
+                    fused_info = VarInfo(
+                        name=fuse_var,
+                        kind="node",
+                        labels=[far_label],
+                        props=node_props,
+                    )
         # union prop schema across chosen tables
         prop_schema: dict[str, T.DataType] = {}
         for et, _ in chosen:
             for f_ in et.df.schema.fields:
-                if f_.name in ("_id", "_src", "_dst"):
+                if f_.name in ("_id", "_src", "_dst") or f_.name.startswith("_dstp_"):
                     continue
                 prop_schema.setdefault(f_.name, f_.dataType)
         parts = []
@@ -297,6 +329,10 @@ class CypherToSpark:
                     sel.append(F.col(k).alias(pcol(var, k)))
                 else:
                     sel.append(F.lit(None).cast(dtype).alias(pcol(var, k)))
+            if fused_info is not None:
+                sel.append(F.col("_dst").alias(vcol(fuse_var, "id")))
+                for k in fused_info.props:
+                    sel.append(F.col(f"_dstp_{k}").alias(pcol(fuse_var, k)))
             parts.append(et.df.select(*sel))
         df = parts[0]
         for p in parts[1:]:
@@ -307,7 +343,7 @@ class CypherToSpark:
             types=sorted({et.type for et, _ in chosen}),
             props=prop_schema,
         )
-        return df, info
+        return df, info, fused_info
 
     # -- MATCH ---------------------------------------------------------------
     def compile_match(self, state: CompileState, m: ast.Match) -> CompileState:
@@ -418,8 +454,11 @@ class CypherToSpark:
                 state, left_var, rel, rel_var, right_np, left_labels, right_labels
             )
 
-        edf, rinfo = self._edge_scan(
-            rel_var, rel.types, rel.direction, left_labels, right_labels
+        rvar = right_np.var or self.gensym("n")
+        fuse_var = rvar if right_existing is None else None
+        edf, rinfo, fused_info = self._edge_scan(
+            rel_var, rel.types, rel.direction, left_labels, right_labels,
+            fuse_var=fuse_var,
         )
         df = state.require_df()
         if edf is None:
@@ -460,7 +499,21 @@ class CypherToSpark:
                     scope=state.scope,
                 )
             return state, var, rinfo
-        rvar = right_np.var or self.gensym("n")
+        if fused_info is not None:
+            # covered-destination fusion: the edge scan already bound the
+            # right node's id+props — no second scan, no second join
+            df2 = state.require_df().drop("__to")
+            scope2 = state.scope.copy()
+            scope2.bind(fused_info)
+            state = CompileState(df=df2, scope=scope2)
+            if right_np.props is not None:
+                state = CompileState(
+                    df=self._inline_prop_filter(
+                        state.require_df(), state, fused_info, right_np.props
+                    ),
+                    scope=state.scope,
+                )
+            return state, rvar, rinfo
         ndf, ninfo = self._node_scan(rvar, right_np.labels)
         if right_np.props is not None:
             ndf = self._inline_prop_filter(ndf, state, ninfo, right_np.props)
@@ -483,7 +536,7 @@ class CypherToSpark:
         # Oriented edge set for the traversal. Label constraints only prune
         # the first/last hop in general, so for multi-hop we cannot constrain
         # intermediate labels — use type-only pruning.
-        edf, _ = self._edge_scan(
+        edf, _, _ = self._edge_scan(
             "__vle", rel.types, rel.direction, None, None
         )
         df = state.require_df()
@@ -504,6 +557,11 @@ class CypherToSpark:
         )
         min_h = rel.min_hops if rel.min_hops is not None else 1
         max_h = rel.max_hops if rel.max_hops is not None else self.max_hops
+        if max_h > 1:
+            # materialize the edge set once — every BFS hop re-reads it, and
+            # recomputing a derived edge view (joins/windows) per hop is the
+            # recursive-CTE equivalent of forgetting to memoize the base case
+            edges = edges.localCheckpoint(eager=True)
         seed = df.select(F.col(vcol(left_var, "id"))).distinct()
         expansion = vl.var_length_expand(edges, max(min_h, 1), max_h, seed_ids=seed)
         exp = expansion.select(
@@ -1533,7 +1591,7 @@ class CypherToSpark:
         type_ = rel.types[0]
         df = state.require_df()
         # existing edges between the bound endpoint pairs
-        edf, rinfo = self._edge_scan(rel_var, [type_], "out", None, None)
+        edf, rinfo, _ = self._edge_scan(rel_var, [type_], "out", None, None)
         pairs = df.select(
             F.col(vcol(src_var, "id")).alias("__ms"),
             F.col(vcol(dst_var, "id")).alias("__md"),
@@ -1562,7 +1620,7 @@ class CypherToSpark:
             type_, src_info.labels[0], dst_info.labels[0], created
         )
         # bind the rel var by re-scanning (now complete) edges
-        edf2, rinfo2 = self._edge_scan(rel_var, [type_], "out", None, None)
+        edf2, rinfo2, _ = self._edge_scan(rel_var, [type_], "out", None, None)
         assert edf2 is not None
         joined = df.join(
             edf2,

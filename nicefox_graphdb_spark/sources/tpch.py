@@ -186,10 +186,17 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphCatalog:
         "PLACED",
         "Customer",
         "Order",
+        # _dstp_*: the Order node's columns ride on the edge row (same
+        # physical source row) → hop joins skip the orders re-scan entirely
         t["orders"].select(
             _pid("PL", F.col("o_orderkey")).alias("_id"),
             _pid("C", F.col("o_custkey")).alias("_src"),
             _pid("O", F.col("o_orderkey")).alias("_dst"),
+            F.col("o_orderkey").alias("_dstp_orderkey"),
+            F.col("o_orderstatus").alias("_dstp_orderstatus"),
+            F.col("o_totalprice").alias("_dstp_totalprice"),
+            F.col("o_orderdate").alias("_dstp_orderdate"),
+            F.col("o_orderpriority").alias("_dstp_orderpriority"),
         ),
     )
     cat.register_edge(
@@ -272,6 +279,11 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphCatalog:
             _pid("TG", F.col("event_id")).alias("_id"),
             _pid("U", F.col("user_id")).alias("_src"),
             _pid("E", F.col("event_id")).alias("_dst"),
+            F.col("event_id").alias("_dstp_event_id"),
+            F.col("ts").alias("_dstp_ts"),
+            F.col("event_type").alias("_dstp_event_type"),
+            F.col("value").alias("_dstp_value"),
+            F.col("props").alias("_dstp_props"),
         ),
     )
     # Per-user successor chain, ordered by (ts, event_id) for determinism.

@@ -575,7 +575,97 @@ def _p_stream_sessions(spark, sf_dir):
     )
 
 
+# -- graph analytics (Pregel-style, BASELINE "GraphX for analytics") ------
+def _next_edges(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = _tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    nxt = (
+        events.select("event_id", "user_id", "ts")
+        .withColumn("_next", F.lead("event_id").over(w))
+        .where(F.col("_next").isNotNull())
+    )
+    return nxt.select(
+        F.concat(F.lit("E"), F.col("event_id").cast("string")).alias("src"),
+        F.concat(F.lit("E"), F.col("_next").cast("string")).alias("dst"),
+    )
+
+
+def _p_degrees(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import graph_algos as ga
+
+    orders = _tables(spark, sf_dir)["orders"]
+    edges = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    return ga.degrees(edges).orderBy(
+        F.col("degree").desc(), F.col("id")
+    ).limit(50)
+
+
+def _p_connected_components(spark, sf_dir):
+    from nicefox_graphdb_spark.operators import graph_algos as ga
+
+    return ga.connected_components(_next_edges(spark, sf_dir)).orderBy("id")
+
+
+def _p_pagerank(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import graph_algos as ga
+
+    return ga.pagerank(_next_edges(spark, sf_dir), n_iter=5).orderBy(
+        F.col("rank").desc(), F.col("id")
+    ).limit(20)
+
+
+def _p_triangles(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import graph_algos as ga
+
+    events = _tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    base = events.select("event_id", "user_id", "ts").withColumn(
+        "_n1", F.lead("event_id", 1).over(w)
+    ).withColumn("_n2", F.lead("event_id", 2).over(w))
+    e1 = base.where(F.col("_n1").isNotNull()).select(
+        F.concat(F.lit("E"), F.col("event_id").cast("string")).alias("src"),
+        F.concat(F.lit("E"), F.col("_n1").cast("string")).alias("dst"),
+    )
+    e2 = base.where(F.col("_n2").isNotNull()).select(
+        F.concat(F.lit("E"), F.col("event_id").cast("string")).alias("src"),
+        F.concat(F.lit("E"), F.col("_n2").cast("string")).alias("dst"),
+    )
+    return ga.triangle_count(e1.unionByName(e2))
+
+
+def _p_shortest_paths(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import graph_algos as ga
+
+    events = _tables(spark, sf_dir)["events"]
+    sources = events.where(F.col("event_id") % 100 == 0).select(
+        F.concat(F.lit("E"), F.col("event_id").cast("string")).alias("start")
+    )
+    return ga.shortest_path_lengths(
+        _next_edges(spark, sf_dir), sources, max_hops=6
+    ).orderBy("start", "dist", "id")
+
+
 _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_degrees": _p_degrees,
+    "q_connected_components": _p_connected_components,
+    "q_pagerank": _p_pagerank,  # rows-only (iterative float fixpoint)
+    "q_triangles": _p_triangles,
+    "q_shortest_paths": _p_shortest_paths,
     "q_stream_hourly": _p_stream_hourly,
     "q_stream_sessions": _p_stream_sessions,
     "q_text_stats": _p_text_stats,
@@ -704,6 +794,48 @@ _ORACLE.update(
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS checksum
             FROM documents WHERE doc_id < 200 ORDER BY media_id""",
+        "q_degrees": """
+            SELECT id, CAST(out_degree AS BIGINT) AS out_degree,
+                   CAST(in_degree AS BIGINT) AS in_degree,
+                   CAST(degree AS BIGINT) AS degree
+            FROM (
+                SELECT 'C' || CAST(o_custkey AS VARCHAR) AS id,
+                       count(*) AS out_degree, 0 AS in_degree,
+                       count(*) AS degree
+                FROM orders GROUP BY o_custkey
+                UNION ALL
+                SELECT 'O' || CAST(o_orderkey AS VARCHAR), 0, 1, 1 FROM orders
+            ) ORDER BY degree DESC, id LIMIT 50""",
+        "q_connected_components": """
+            SELECT id, component FROM (
+                SELECT 'E' || CAST(event_id AS VARCHAR) AS id,
+                       min('E' || CAST(event_id AS VARCHAR))
+                           OVER (PARTITION BY user_id) AS component,
+                       count(*) OVER (PARTITION BY user_id) AS c
+                FROM events) t
+            WHERE c >= 2 ORDER BY id""",
+        "q_triangles": """
+            SELECT CAST(sum(greatest(c - 2, 0)) AS BIGINT) AS triangles
+            FROM (SELECT count(*) AS c FROM events GROUP BY user_id) t""",
+        "q_shortest_paths": """
+            WITH RECURSIVE
+            nxt AS (
+                SELECT 'E' || CAST(event_id AS VARCHAR) AS src,
+                       'E' || CAST(lead(event_id) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS VARCHAR) AS dst
+                FROM events),
+            edges AS (SELECT src, dst FROM nxt WHERE dst IS NOT NULL),
+            srcs AS (
+                SELECT 'E' || CAST(event_id AS VARCHAR) AS start
+                FROM events WHERE event_id % 100 = 0),
+            walk(start, id, dist) AS (
+                SELECT start, start, 0 FROM srcs
+                UNION ALL
+                SELECT w.start, e.dst, w.dist + 1
+                FROM walk w JOIN edges e ON e.src = w.id
+                WHERE w.dist < 6)
+            SELECT start, id, dist FROM walk ORDER BY start, dist, id""",
         "q_stream_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt, round(sum(value), 2) AS total_value

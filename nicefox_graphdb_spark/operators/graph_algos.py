@@ -1,0 +1,251 @@
+"""Graph analytics — Pregel-style iterative algorithms on DataFrames.
+
+The BASELINE north star calls for GraphX-class analytics; GraphX has no
+Python binding, so these are the same message-passing shapes expressed as
+DataFrame joins (what GraphFrames does under the hood): per superstep,
+messages = edges ⋈ vertex-state, new state = aggregate(messages), with
+`localCheckpoint` lineage cuts per iteration. Every superstep is one
+distributed join+aggregate — exactly the shape that scales to a
+1000-executor cluster.
+
+Inputs are edge DataFrames with `src`/`dst` (string ids) columns; vertex
+sets are derived or passed explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 4
+
+
+def _vertices(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    if vertices is not None:
+        return vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """Per-vertex out/in/total degree. One aggregation per direction."""
+    verts = _vertices(edges, vertices)
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        verts.join(out_deg, on="id", how="left")
+        .join(in_deg, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (
+                F.coalesce("out_degree", F.lit(0))
+                + F.coalesce("in_degree", F.lit(0))
+            ).alias("degree"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Undirected connected components by iterative min-id propagation.
+
+    Component id = the lexicographically smallest vertex id in the
+    component (deterministic → SQL-oracle-able). Each superstep combines
+    neighbor-min propagation with a pointer-jumping shortcut
+    (component := component[component]), so convergence is
+    O(log diameter) supersteps — 20 iterations covers ~2^20-hop chains.
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    state = _vertices(edges, vertices).withColumn("component", F.col("id"))
+    for i in range(max_iter):
+        msgs = (
+            sym.join(state, sym["src"] == state["id"])
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_state = (
+            state.join(msgs, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: follow the component pointer one level
+        mapping = new_state.select(
+            F.col("id").alias("__m_id"), F.col("component").alias("__m_comp")
+        )
+        new_state = (
+            new_state.join(
+                mapping, new_state["component"] == mapping["__m_id"], "left"
+            )
+            .select(
+                "id",
+                F.coalesce("__m_comp", F.col("component")).alias("component"),
+            )
+        )
+        new_state = new_state.localCheckpoint(eager=True)
+        changed = not (
+            new_state.alias("n")
+            .join(state.alias("o"), on="id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        state = new_state
+        if not changed:
+            break
+    return state
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank (fixed iterations, deterministic).
+
+    Per superstep: contributions = rank/out_degree routed along edges; new
+    rank = (1-d) + d * (incoming + dangling mass / N). Rank sum stays N.
+    """
+    verts = _vertices(edges, vertices)
+    n = verts.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    state = verts.join(out_deg, on="id", how="left").select(
+        "id",
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        F.lit(1.0).alias("rank"),
+    )
+    for i in range(n_iter):
+        dangling = (
+            state.where(F.col("out_degree") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            edges.join(state, edges["src"] == state["id"])
+            .where(F.col("out_degree") > 0)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        state = state.select("id", "out_degree").join(
+            contribs, on="id", how="left"
+        ).select(
+            "id",
+            "out_degree",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * (F.coalesce("incoming", F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+        if i % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
+            state = state.localCheckpoint(eager=True)
+    return state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (mode of
+    neighbor labels; min-label tie-break keeps it deterministic)."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    state = _vertices(edges, vertices).withColumn("label", F.col("id"))
+    for i in range(max_iter):
+        votes = (
+            sym.join(state, sym["src"] == state["id"])
+            .groupBy(F.col("dst").alias("vid"), F.col("label"))
+            .agg(F.count("*").alias("votes"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vid").orderBy(
+            F.col("votes").desc(), F.col("label").asc()
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("vid").alias("id"), F.col("label").alias("new_label"))
+        )
+        state = state.join(best, on="id", how="left").select(
+            "id", F.coalesce("new_label", F.col("label")).alias("label")
+        )
+        if i % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
+            state = state.localCheckpoint(eager=True)
+    return state
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count on the undirected simple graph.
+
+    Canonical-ordering join (a<b<c) — each triangle counted once; the
+    standard two-join formulation whose cost is sum of deg² (cap hot
+    vertices upstream if the degree distribution is heavy-tailed)."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return (
+        e1.join(e2, on="b")
+        .join(e3, on=["a", "c"])
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+
+
+def shortest_path_lengths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 10,
+) -> DataFrame:
+    """Unweighted single/multi-source shortest path lengths via frontier
+    BFS with visited-set pruning (each vertex settled once per source)."""
+    src0 = sources.select(F.col(sources.columns[0]).alias("start"))
+    settled = src0.select(
+        "start", F.col("start").alias("id"), F.lit(0).alias("dist")
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select("start", F.col("dst").alias("id"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(settled.select("start", "id"), on=["start", "id"], how="left_anti")
+        )
+        if hop % CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt)
+        frontier = nxt
+    return settled

@@ -1,0 +1,103 @@
+"""Graph analytics tests on known small graphs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nicefox_graphdb_spark.operators import graph_algos as ga
+
+
+@pytest.fixture(scope="module")
+def chain_and_pair(spark):
+    # components: {A,B,C} (path) and {D,E}
+    return spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("D", "E")], "src string, dst string"
+    )
+
+
+def test_degrees(chain_and_pair):
+    rows = {r["id"]: r for r in ga.degrees(chain_and_pair).collect()}
+    assert rows["A"]["out_degree"] == 1 and rows["A"]["in_degree"] == 0
+    assert rows["B"]["degree"] == 2
+    assert rows["E"]["in_degree"] == 1
+
+
+def test_connected_components(chain_and_pair):
+    comps = {
+        r["id"]: r["component"]
+        for r in ga.connected_components(chain_and_pair).collect()
+    }
+    assert comps == {"A": "A", "B": "A", "C": "A", "D": "D", "E": "D"}
+
+
+def test_connected_components_long_chain(spark):
+    # 200-node path: pointer jumping must converge well inside 20 iters
+    edges = spark.createDataFrame(
+        [(f"N{i:03d}", f"N{i + 1:03d}") for i in range(199)],
+        "src string, dst string",
+    )
+    comps = ga.connected_components(edges).collect()
+    assert {r["component"] for r in comps} == {"N000"}
+    assert len(comps) == 200
+
+
+def test_pagerank_cycle_uniform(spark):
+    # 3-cycle: symmetric → every rank exactly 1.0
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A")], "src string, dst string"
+    )
+    ranks = {r["id"]: r["rank"] for r in ga.pagerank(edges, n_iter=10).collect()}
+    assert all(abs(v - 1.0) < 1e-9 for v in ranks.values())
+
+
+def test_pagerank_sum_preserved(chain_and_pair):
+    total = (
+        ga.pagerank(chain_and_pair, n_iter=10)
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+    )
+    assert abs(total - 5.0) < 1e-6  # N vertices
+
+
+def test_triangle_count(spark):
+    # K3 plus a dangling edge: exactly one triangle
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D")],
+        "src string, dst string",
+    )
+    assert ga.triangle_count(edges).collect()[0]["triangles"] == 1
+
+
+def test_label_propagation_two_cliques(spark):
+    tri1 = [("A", "B"), ("B", "C"), ("A", "C")]
+    tri2 = [("X", "Y"), ("Y", "Z"), ("X", "Z")]
+    edges = spark.createDataFrame(tri1 + tri2, "src string, dst string")
+    labels = {r["id"]: r["label"] for r in ga.label_propagation(edges).collect()}
+    assert len({labels["A"], labels["B"], labels["C"]}) == 1
+    assert len({labels["X"], labels["Y"], labels["Z"]}) == 1
+    assert labels["A"] != labels["X"]
+
+
+def test_shortest_paths_chain(spark):
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D")], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("A",)], "start string")
+    dists = {
+        r["id"]: r["dist"]
+        for r in ga.shortest_path_lengths(edges, srcs, max_hops=5).collect()
+    }
+    assert dists == {"A": 0, "B": 1, "C": 2, "D": 3}
+
+
+def test_shortest_paths_prefers_min(spark):
+    # diamond: A->B->D and A->C->D plus direct A->D: dist(D)=1
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("A", "D")],
+        "src string, dst string",
+    )
+    srcs = spark.createDataFrame([("A",)], "start string")
+    dists = {
+        r["id"]: r["dist"]
+        for r in ga.shortest_path_lengths(edges, srcs).collect()
+    }
+    assert dists["D"] == 1

@@ -40,6 +40,10 @@ HEADLINE = [
     "q_event_hourly",
     "q_collect_sorted",
     "q_exists_semi",
+    # pipeline + streaming operators (beyond-reference surface)
+    "q_text_stats",
+    "q_embed_topk",
+    "q_stream_hourly",
 ]
 
 

@@ -64,6 +64,10 @@ class CypherToSpark:
         self.max_hops = max_hops
         self.store = store
         self._sym = itertools.count()
+        # (colname, desc) sort keys established by the immediately-preceding
+        # sorted WITH — consumed by ordered collect() (reference
+        # collectOrderBy, src/translator.ts:2884-2916)
+        self._last_order: list[tuple[str, bool]] | None = None
 
     def gensym(self, prefix: str) -> str:
         return f"_{prefix}{next(self._sym)}"
@@ -87,6 +91,8 @@ class CypherToSpark:
         state = CompileState(df=None, scope=Scope())
         final: DataFrame | None = None
         for i, clause in enumerate(q.clauses):
+            if not isinstance(clause, (ast.With, ast.Return)):
+                self._last_order = None  # joins/explodes invalidate row order
             if isinstance(clause, ast.Match):
                 state = self.compile_match(state, clause)
             elif isinstance(clause, ast.Unwind):
@@ -913,7 +919,9 @@ class CypherToSpark:
             st = CompileState(df=out_df, scope=out_scope)
             st = self._apply_where(st, proj.where)
             # pattern-predicate markers may have added columns; re-trim
-            out_df = st.require_df().select(*dict.fromkeys(output_cols))
+            # (keep hidden __ord_* sort keys for a following ordered collect)
+            hidden = [c for c in out_df.columns if c.startswith("__ord_")]
+            out_df = st.require_df().select(*dict.fromkeys(output_cols), *hidden)
         return CompileState(df=out_df, scope=out_scope)
 
     def compile_return(self, state: CompileState, proj: ast.Return) -> DataFrame:
@@ -1016,12 +1024,30 @@ class CypherToSpark:
             df = df.select(*dict.fromkeys(output_cols)).dropDuplicates()
             order_scope = out_scope
         df = self._order_skip_limit(df, proj, order_scope)
-        df = df.select(*dict.fromkeys(output_cols))
+        # retain sort keys as hidden columns so a following aggregate can
+        # produce an *ordered* collect() (Spark's shuffle would otherwise
+        # destroy the order the user just established)
+        hidden: list[str] = []
+        self._last_order = None
+        if proj.order_by and not proj.distinct:
+            ctx = ExprCtx(scope=order_scope, params=self.params)
+            order_info: list[tuple[str, bool]] = []
+            for i, oi in enumerate(proj.order_by):
+                name = f"__ord_{i}"
+                df = df.withColumn(name, ExprCompiler(ctx).compile(oi.expr).col)
+                order_info.append((name, oi.desc))
+                hidden.append(name)
+            self._last_order = order_info
+        df = df.select(*dict.fromkeys(output_cols), *hidden)
         return df, out_scope, output_cols
 
     def _project_aggregate(
         self, state: CompileState, items: list[ast.ReturnItem], proj: ast.Projection
     ):
+        # consume (and clear) any order established by the preceding WITH —
+        # collect() honors it (reference collectOrderBy semantics)
+        self._agg_order = self._last_order
+        self._last_order = None
         df = state.require_df()
         group_cols: list[str] = []
         out_scope = Scope()
@@ -1164,8 +1190,26 @@ class CypherToSpark:
         if name == "max":
             return F.max(tc.col), tc.dtype
         if name == "collect":
-            col = F.collect_set(tc.col) if call.distinct else F.collect_list(tc.col)
-            return col, T.ArrayType(tc.dtype) if tc.dtype else None
+            if call.distinct:
+                return F.collect_set(tc.col), (
+                    T.ArrayType(tc.dtype) if tc.dtype else None
+                )
+            order = getattr(self, "_agg_order", None)
+            if order and len({desc for _, desc in order}) == 1:
+                # ordered collect: pack (sortkeys, value) structs, sort the
+                # collected array, unwrap — restores the WITH ... ORDER BY
+                # order that the groupBy shuffle destroyed
+                desc = order[0][1]
+                packed = F.struct(
+                    *[F.col(c).alias(f"__k{i}") for i, (c, _) in enumerate(order)],
+                    tc.col.alias("__cv"),
+                )
+                arr = F.sort_array(F.collect_list(packed), asc=not desc)
+                col = F.transform(arr, lambda s: s.getField("__cv"))
+                return col, T.ArrayType(tc.dtype) if tc.dtype else None
+            return F.collect_list(tc.col), (
+                T.ArrayType(tc.dtype) if tc.dtype else None
+            )
         if name == "stdev":
             return F.stddev_samp(tc.col), T.DoubleType()
         if name == "stdevp":
@@ -1200,13 +1244,34 @@ class CypherToSpark:
             )
         return np_.labels[0]
 
+    @staticmethod
+    def _validate_storable(key: str, tc: TypedCol) -> None:
+        """Reference property-value domain (src/property-value.ts:1-25):
+        primitives and flat lists only; maps / nested lists are query-time
+        values and must not be stored."""
+        dt = tc.dtype
+        bad = isinstance(dt, (T.StructType, T.MapType)) or (
+            isinstance(dt, T.ArrayType)
+            and isinstance(dt.elementType, (T.ArrayType, T.StructType, T.MapType))
+        )
+        if bad:
+            raise CypherCompileError(
+                f"InvalidPropertyType: property `{key}` must be a primitive "
+                "or a list of primitives"
+            )
+
     def _compiled_props(
         self, state: CompileState, props: ast.MapLit | None
     ) -> dict[str, TypedCol]:
         if props is None:
             return {}
         comp = ExprCompiler(self._ctx(state))
-        return {k: comp.compile(v) for k, v in props.items}
+        out = {}
+        for k, v in props.items:
+            tc = comp.compile(v)
+            self._validate_storable(k, tc)
+            out[k] = tc
+        return out
 
     def compile_create(self, state: CompileState, c: ast.Create) -> CompileState:
         state = self._ensure_df(state)
@@ -1354,6 +1419,8 @@ class CypherToSpark:
         # the in-flight binding columns
         tmp_cols = {}
         for k, tc in updates.items():
+            if not isinstance(tc.dtype, T.NullType):  # SET to null = removal
+                self._validate_storable(k, tc)
             tmp = f"__set_{var}_{k}"
             df = df.withColumn(tmp, tc.col)
             tmp_cols[k] = tmp

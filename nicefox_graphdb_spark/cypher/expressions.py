@@ -131,8 +131,16 @@ class ExprCompiler:
                 T.ArrayType(elem) if elem else None,
             )
         if isinstance(expr, ast.MapLit):
-            fields = [self.compile(v).col.alias(k) for k, v in expr.items]
-            return TypedCol(F.struct(*fields), None)
+            tcs = [(k, self.compile(v)) for k, v in expr.items]
+            dtype = T.StructType(
+                [
+                    T.StructField(k, tc.dtype or T.StringType())
+                    for k, tc in tcs
+                ]
+            )
+            return TypedCol(
+                F.struct(*[tc.col.alias(k) for k, tc in tcs]), dtype
+            )
         if isinstance(expr, ast.Unary):
             return self._unary(expr)
         if isinstance(expr, ast.Binary):

@@ -158,3 +158,24 @@ def test_aggregate_distinct(engine):
 def test_stdev(engine):
     rows = engine.query("UNWIND [1.0, 2.0, 3.0] AS v RETURN stDev(v) AS s")
     assert abs(rows[0]["s"] - 1.0) < 1e-12
+
+
+def test_ordered_collect_after_with_order(engine):
+    rows = engine.query(
+        "UNWIND [3, 1, 2] AS x WITH x ORDER BY x DESC RETURN collect(x) AS l"
+    )
+    assert rows == [{"l": [3, 2, 1]}]
+    rows = engine.query(
+        "UNWIND [3, 1, 2] AS x WITH x ORDER BY x ASC RETURN collect(x) AS l"
+    )
+    assert rows == [{"l": [1, 2, 3]}]
+
+
+def test_ordered_collect_grouped(engine):
+    rows = engine.query(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "WITH r, n ORDER BY n.name DESC "
+        "RETURN r.name AS region, collect(n.name) AS nations ORDER BY region LIMIT 1"
+    )
+    names = rows[0]["nations"]
+    assert names == sorted(names, reverse=True)

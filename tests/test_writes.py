@@ -146,3 +146,15 @@ def test_write_on_immutable_engine_fails(spark):
     eng = CypherEngine(spark, GraphCatalog(spark), mutable=False)
     with pytest.raises(Exception, match="mutable"):
         eng.query("CREATE (n:X {a: 1})")
+
+
+def test_invalid_property_type_rejected(wengine):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="InvalidPropertyType"):
+        wengine.query("CREATE (n:P {bad: {nested: 1}})")
+    with _pytest.raises(Exception, match="InvalidPropertyType"):
+        wengine.query("CREATE (n:P {bad: [[1, 2], [3]]})")
+    wengine.query("CREATE (n:P {ok: [1, 2, 3]})")  # flat list is storable
+    with _pytest.raises(Exception, match="InvalidPropertyType"):
+        wengine.query("MATCH (n:P) SET n.bad = {a: 1}")

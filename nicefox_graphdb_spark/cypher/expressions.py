@@ -439,15 +439,25 @@ class ExprCompiler:
         source = self.compile(e.source)
         elem = source.dtype.elementType if _is_array(source.dtype) else None
         init = self.compile(e.init)
+        # Spark's aggregate() requires zero-type == merge-result type; an
+        # integer literal init must be promoted to match the element type
+        acc_dtype = init.dtype
+        init_col = init.col
+        if _is_int(init.dtype) and (elem is None or _is_int(elem)):
+            acc_dtype = T.LongType()
+            init_col = init_col.cast("long")
+        elif isinstance(elem, (T.DoubleType, T.FloatType)) and _is_int(init.dtype):
+            acc_dtype = T.DoubleType()
+            init_col = init_col.cast("double")
 
         def merge(acc: Column, x: Column) -> Column:
             sub = ExprCompiler(
-                self.ctx.child_with_lambda(e.acc, TypedCol(acc, init.dtype))
+                self.ctx.child_with_lambda(e.acc, TypedCol(acc, acc_dtype))
                 .child_with_lambda(e.var, TypedCol(x, elem))
             )
             return sub.compile(e.body).col
 
-        return TypedCol(F.aggregate(source.col, init.col, merge), init.dtype)
+        return TypedCol(F.aggregate(source.col, init_col, merge), acc_dtype)
 
     # -- function calls ----------------------------------------------------
     def _func(self, e: ast.FuncCall) -> TypedCol:

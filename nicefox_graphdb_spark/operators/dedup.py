@@ -66,42 +66,106 @@ def jaccard_pairs(
     """Pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
     Output: id_a, id_b, jaccard (rounded to 6dp for stable comparison).
+
+    Candidate generation uses **prefix filtering** (the PPJoin family's core
+    trick): order each doc's shingles canonically (by hash), index only the
+    first `sz - ceil(t*sz) + 1` of them. Any pair with Jaccard >= t MUST
+    share a prefix shingle, so the result is exactly the full self-join's —
+    but the inverted index (and the quadratic join fan-out) shrinks by ~t.
+    A size-ratio predicate (`t*|A| <= |B| <= |A|/t`) prunes candidates
+    before the exact verify. Both optimizations are lossless — the SQL
+    oracle computes the naive full join and must agree.
     """
     base = df.select(F.col(id_col).alias("id"), shingles_col.alias("sh"))
-    sizes = base.select("id", F.size("sh").alias("sz"))
-    inv = base.select("id", F.explode("sh").alias("shingle"))
     if max_shingle_freq is not None:
-        # drop ultra-common shingles: they only add candidates, and any pair
-        # above a high threshold still shares plenty of rare shingles
-        freq = inv.groupBy("shingle").agg(F.count("*").alias("f"))
-        inv = inv.join(
-            freq.where(F.col("f") <= max_shingle_freq).select("shingle"),
-            on="shingle",
-            how="left_semi",
+        # drop ultra-common shingles corpus-wide (lossy cap for hot keys —
+        # disable for exact-parity runs)
+        freq = (
+            base.select(F.explode("sh").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("f"))
+            .where(F.col("f") > max_shingle_freq)
         )
-    a = inv.select(F.col("id").alias("id_a"), "shingle")
-    b = inv.select(F.col("id").alias("id_b"), "shingle")
+        hot = F.collect_list("shingle")
+        # small hot-list broadcast via join (keeps everything distributed)
+        base = base.crossJoin(
+            freq.agg(hot.alias("__hot")).select("__hot")
+        ).select(
+            "id",
+            F.filter(
+                F.col("sh"),
+                lambda s: ~F.coalesce(
+                    F.array_contains(F.col("__hot"), s), F.lit(False)
+                ),
+            ).alias("sh"),
+        )
+    base = base.withColumn("sz", F.size("sh"))
+    size_ok = (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")) & (
+        F.col("sz_b") * F.lit(threshold) <= F.col("sz_a")
+    )
+    if threshold >= 0.5:
+        # prefix-filtered candidate generation (pairs only — arrays are
+        # re-attached per candidate, never shuffled through the fan-out)
+        canon = F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
+                )
+            ),
+            lambda x: x.getField("s"),
+        )
+        prefix_len = (
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+        )
+        pref = base.withColumn(
+            "__prefix", F.slice(canon, 1, F.greatest(prefix_len, F.lit(1)))
+        ).select("id", "sz", F.explode("__prefix").alias("shingle"))
+        a = pref.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
+        b = pref.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
+        cands = (
+            a.join(b, on="shingle")
+            .where((F.col("id_a") < F.col("id_b")) & size_ok)
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        full_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        full_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+        return (
+            verified.withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # low threshold: lean count-based full join (only (id, sz, shingle)
+    # tuples shuffle); size-ratio predicate prunes inside the join
+    sizes = base.select("id", "sz")
+    inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = inv.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
     common = (
         a.join(b, on="shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & size_ok)
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
     )
-    out = (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
-        .withColumn(
+    return (
+        common.withColumn(
             "jaccard",
             F.round(
-                F.col("common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
                 6,
             ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # -- MinHash + LSH ---------------------------------------------------------

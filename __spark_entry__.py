@@ -202,6 +202,44 @@ _CYPHER: dict[str, str] = {
         MATCH (r:Region)
         WHERE any(x IN split(r.name, ' ') WHERE size(x) > 4)
         RETURN sort(collect(r.name)) AS names""",
+    # §2.3 cartesian product of disconnected patterns
+    "q_cross_join": """
+        MATCH (r:Region), (n:Nation)
+        RETURN count(*) AS cnt""",
+    # §2.5 WITH DISTINCT as pipeline stage
+    "q_with_distinct": """
+        MATCH (c:Customer)
+        WITH DISTINCT c.mktsegment AS segment
+        RETURN count(*) AS cnt""",
+    # §2.6 UNWIND over a collected list (reference COLLECT_UNWIND path)
+    "q_unwind_collect": """
+        MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        WITH r.name AS region, collect(n.name) AS ns
+        UNWIND ns AS nation
+        RETURN region, count(*) AS cnt ORDER BY region""",
+    # §2.3 OPTIONAL MATCH with WHERE (condition inside the left join)
+    "q_optional_where": """
+        MATCH (c:Customer)
+        OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+        WHERE o.totalprice > 200000.0
+        RETURN c.mktsegment AS segment, count(o) AS big_orders
+        ORDER BY segment""",
+    # §2.2 simple CASE (operand form)
+    "q_case_simple": """
+        MATCH (o:Order)
+        RETURN CASE o.orderstatus WHEN 'F' THEN 'finished'
+                                  WHEN 'O' THEN 'open'
+                                  ELSE 'other' END AS st,
+               count(*) AS cnt ORDER BY st""",
+    # §2.7 startNode/endNode
+    "q_start_end_nodes": """
+        MATCH (c:Customer)-[r:IN_NATION]->(n:Nation)
+        WHERE c.custkey <= 50
+        RETURN startNode(r) AS src, endNode(r) AS dst""",
+    # §2.7 keys()
+    "q_keys": """
+        MATCH (r:Region)
+        RETURN r.name AS name, keys(r) AS ks ORDER BY name""",
 }
 
 _ORACLE: dict[str, str] = {
@@ -359,6 +397,34 @@ _ORACLE: dict[str, str] = {
     "q_quantifier": """
         SELECT list_sort(list(r_name)) AS names FROM region
         WHERE len(list_filter(string_split(r_name, ' '), x -> len(x) > 4)) > 0""",
+    "q_cross_join": """
+        SELECT (SELECT count(*) FROM region) * (SELECT count(*) FROM nation)
+               AS cnt""",
+    "q_with_distinct": """
+        SELECT count(*) AS cnt
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) t""",
+    "q_unwind_collect": """
+        SELECT r_name AS region, count(*) AS cnt
+        FROM nation JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1 ORDER BY 1""",
+    "q_optional_where": """
+        SELECT c_mktsegment AS segment, count(o_orderkey) AS big_orders
+        FROM customer LEFT JOIN orders
+             ON o_custkey = c_custkey AND o_totalprice > 200000.0
+        GROUP BY 1 ORDER BY 1""",
+    "q_case_simple": """
+        SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
+                                  WHEN 'O' THEN 'open'
+                                  ELSE 'other' END AS st,
+               count(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_start_end_nodes": """
+        SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src,
+               'N' || CAST(c_nationkey AS VARCHAR) AS dst
+        FROM customer WHERE c_custkey <= 50""",
+    "q_keys": """
+        SELECT r_name AS name, CAST(['name', 'regionkey'] AS VARCHAR[]) AS ks
+        FROM region ORDER BY 1""",
 }
 
 

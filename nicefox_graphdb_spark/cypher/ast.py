@@ -185,6 +185,7 @@ class PatternPath:
 
     name: Optional[str] = None  # named path p = (...)
     elements: list[Union[NodePattern, RelPattern]] = field(default_factory=list)
+    shortest: Optional[Lit["single", "all"]] = None  # shortestPath()/allShortestPaths()
 
     @property
     def nodes(self) -> list[NodePattern]:

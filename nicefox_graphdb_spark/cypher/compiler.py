@@ -373,6 +373,7 @@ class CypherToSpark:
         first = elements[0]
         assert isinstance(first, ast.NodePattern)
         state, left_var = self._add_node(state, first)
+        first_var = left_var
         # path bookkeeping: node-id / edge-id array fragments in order
         node_frags: list = [F.array(F.col(vcol(left_var, "id")))]
         rel_frags: list = []
@@ -393,6 +394,36 @@ class CypherToSpark:
                     rel_frags.append(F.array(F.col(vcol(rinfo.name, "eid"))))
                     node_frags.append(F.array(F.col(vcol(left_var, "id"))))
             i += 2
+        if path.shortest is not None:
+            # shortestPath()/allShortestPaths(): keep only minimal-hop rows
+            # per (start, end) pair — a window over the BFS expansion
+            # (extension beyond the reference, which has no shortest paths)
+            from pyspark.sql import Window
+
+            vl_rels = [r for r in new_edge_vars if r.var_length]
+            if not vl_rels:
+                raise CypherCompileError(
+                    "shortestPath() requires a variable-length relationship"
+                )
+            rel_name = vl_rels[-1].name
+            len_col = F.col(vcol(rel_name, "len"))
+            w = Window.partitionBy(
+                F.col(vcol(first_var, "id")), F.col(vcol(left_var, "id"))
+            )
+            df = state.require_df()
+            df = (
+                df.withColumn("__minlen", F.min(len_col).over(w))
+                .where(len_col == F.col("__minlen"))
+                .drop("__minlen")
+            )
+            if path.shortest == "single":
+                w2 = w.orderBy(len_col, F.col(vcol(rel_name, "path")))
+                df = (
+                    df.withColumn("__sp_rn", F.row_number().over(w2))
+                    .where(F.col("__sp_rn") == 1)
+                    .drop("__sp_rn")
+                )
+            state = CompileState(df=df, scope=state.scope)
         if path.name:
             df = state.require_df()
             nodes_col = (
@@ -974,7 +1005,9 @@ class CypherToSpark:
             state, ne = self._rewrite_pattern_predicates(state, item.expr)
             new_items.append(ast.ReturnItem(expr=ne, alias=item.alias))
         items = new_items
-        has_agg = any(contains_aggregate(i.expr) for i in items)
+        has_agg = any(contains_aggregate(i.expr) for i in items) or any(
+            contains_aggregate(oi.expr) for oi in proj.order_by
+        )
         if has_agg:
             out_df, out_scope, output_cols = self._project_aggregate(
                 state, items, proj

@@ -530,21 +530,31 @@ class Parser:
     # -- patterns ---------------------------------------------------------
     def parse_pattern_path(self) -> ast.PatternPath:
         name = None
-        if (
-            self.peek().type == "ident"
-            and self.at_op("=", offset=1)
-            and self.peek(2).type == "op"
-            and self.peek(2).value == "("
-        ):
+        starts_path = (
+            self.peek(2).type == "op" and self.peek(2).value == "("
+        ) or (
+            self.peek(2).kw() in ("SHORTESTPATH", "ALLSHORTESTPATHS")
+            and self.at_op("(", offset=3)
+        )
+        if self.peek().type == "ident" and self.at_op("=", offset=1) and starts_path:
             name = self.expect_ident()
             self.expect_op("=")
+        shortest = None
+        if self.peek().kw() in ("SHORTESTPATH", "ALLSHORTESTPATHS") and self.at_op(
+            "(", offset=1
+        ):
+            shortest = "single" if self.peek().kw() == "SHORTESTPATH" else "all"
+            self.advance()
+            self.expect_op("(")
         elements: list = [self.parse_node_pattern()]
         while self.at_op("-", "<"):
             rel = self.parse_rel_pattern()
             node = self.parse_node_pattern()
             elements.append(rel)
             elements.append(node)
-        return ast.PatternPath(name=name, elements=elements)
+        if shortest is not None:
+            self.expect_op(")")
+        return ast.PatternPath(name=name, elements=elements, shortest=shortest)
 
     def parse_node_pattern(self) -> ast.NodePattern:
         self.expect_op("(")

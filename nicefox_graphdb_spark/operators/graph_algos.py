@@ -100,6 +100,10 @@ def connected_components(
                 F.coalesce("__m_comp", F.col("component")).alias("component"),
             )
         )
+        # materialize every superstep (chaining two supersteps of joins
+        # costs more than the checkpoint), then check convergence — with
+        # pointer jumping the loop exits after ~log2(diameter) steps, so a
+        # prompt exit beats saving the check's action
         new_state = new_state.localCheckpoint(eager=True)
         changed = not (
             new_state.alias("n")

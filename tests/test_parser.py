@@ -182,3 +182,11 @@ def test_comments_ignored():
 def test_call_yield():
     c = parse("CALL db.labels() YIELD label RETURN label").clauses[0]
     assert c.proc == "db.labels" and c.yield_items == ["label"]
+
+
+def test_shortest_path_syntax():
+    q = parse("MATCH p = shortestPath((a)-[:E*1..5]->(b)) RETURN p")
+    path = q.clauses[0].paths[0]
+    assert path.shortest == "single" and path.name == "p"
+    q = parse("MATCH allShortestPaths((a)-[*]->(b)) RETURN a")
+    assert q.clauses[0].paths[0].shortest == "all"

@@ -173,3 +173,19 @@ def test_order_null_handling(engine):
     # Cypher: nulls last on ASC
     assert rows[0]["nation"] == "NATION_3"
     assert rows[-1]["nation"] is None
+
+
+def test_shortest_path_single(engine):
+    rows = engine.query(
+        "MATCH p = shortestPath((e:Event {event_id: 0})-[:NEXT*1..3]->(f:Event)) "
+        "RETURN f.event_id AS dst, length(p) AS len ORDER BY len"
+    )
+    assert [r["len"] for r in rows] == [1, 2, 3]
+
+
+def test_all_shortest_paths(engine):
+    rows = engine.query(
+        "MATCH allShortestPaths((e:Event {event_id: 0})-[:NEXT*1..2]->(f:Event)) "
+        "RETURN count(*) AS c"
+    )
+    assert rows == [{"c": 2}]

@@ -855,6 +855,16 @@ SCALAR_FUNCTIONS: dict[str, Callable] = {
     "datetime": _fn_datetime,
     "localdatetime": _fn_datetime,
     "duration": _fn_duration,
+    # time-of-day values anchored on the epoch date (no TimeType in Spark;
+    # the reference stores ISO strings — same accessor surface either way)
+    "time": _simple(
+        lambda c: F.to_timestamp(F.concat(F.lit("1970-01-01T"), c)),
+        T.TimestampType(),
+    ),
+    "localtime": _simple(
+        lambda c: F.to_timestamp(F.concat(F.lit("1970-01-01T"), c)),
+        T.TimestampType(),
+    ),
 }
 
 AGGREGATE_FUNCTIONS = {

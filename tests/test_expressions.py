@@ -179,3 +179,10 @@ def test_ordered_collect_grouped(engine):
     )
     names = rows[0]["nations"]
     assert names == sorted(names, reverse=True)
+
+
+def test_time_of_day(engine):
+    rows = engine.query(
+        "RETURN time('12:31:14').hour AS h, localtime('07:05:00').minute AS m"
+    )
+    assert rows == [{"h": 12, "m": 5}]

@@ -240,6 +240,35 @@ _CYPHER: dict[str, str] = {
     "q_keys": """
         MATCH (r:Region)
         RETURN r.name AS name, keys(r) AS ks ORDER BY name""",
+    # §2.4 ordered collect across a sorted WITH (reference collectOrderBy)
+    "q_ordered_collect": """
+        MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        WITH r, n ORDER BY n.name DESC
+        RETURN r.name AS region, collect(n.name) AS nations ORDER BY region""",
+    # §2.3 three-hop chain with DISTINCT aggregate
+    "q_three_hop": """
+        MATCH (s:Supplier)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        RETURN r.name AS region, count(DISTINCT s.suppkey) AS suppliers
+        ORDER BY region""",
+    # TPC-H Q3 analog: shipping-priority revenue
+    "q_tpch_q3": """
+        MATCH (c:Customer {mktsegment: 'BUILDING'})-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part)
+        WHERE o.orderdate < datetime('1995-03-15T00:00:00')
+          AND l.shipdate > datetime('1995-03-15T00:00:00')
+        RETURN o.orderkey AS orderkey,
+               round(sum(l.extendedprice * (1 - l.discount)), 2) AS revenue,
+               o.orderdate AS orderdate
+        ORDER BY revenue DESC, orderkey LIMIT 10""",
+    # TPC-H Q5 analog: local-supplier revenue per nation
+    "q_tpch_q5": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part),
+              (c)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        WHERE r.name = 'ASIA'
+          AND o.orderdate >= datetime('1996-01-01T00:00:00')
+          AND o.orderdate < datetime('1998-01-01T00:00:00')
+        RETURN n.name AS nation,
+               round(sum(l.extendedprice * (1 - l.discount)), 2) AS revenue
+        ORDER BY revenue DESC, nation""",
 }
 
 _ORACLE: dict[str, str] = {
@@ -425,6 +454,39 @@ _ORACLE: dict[str, str] = {
     "q_keys": """
         SELECT r_name AS name, CAST(['name', 'regionkey'] AS VARCHAR[]) AS ks
         FROM region ORDER BY 1""",
+    "q_ordered_collect": """
+        SELECT r_name AS region, list(n_name ORDER BY n_name DESC) AS nations
+        FROM nation JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1 ORDER BY 1""",
+    "q_three_hop": """
+        SELECT r_name AS region, count(DISTINCT s_suppkey) AS suppliers
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q3": """
+        SELECT o_orderkey AS orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate AS orderdate
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY 1, 3 ORDER BY revenue DESC, orderkey LIMIT 10""",
+    "q_tpch_q5": """
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1 ORDER BY revenue DESC, nation""",
 }
 
 

@@ -186,3 +186,9 @@ def test_time_of_day(engine):
         "RETURN time('12:31:14').hour AS h, localtime('07:05:00').minute AS m"
     )
     assert rows == [{"h": 12, "m": 5}]
+
+
+def test_cross_type_comparison_null(engine):
+    # Cypher: comparisons across incomparable types yield null
+    assert one(engine, "1 < 'a'") is None
+    assert one(engine, "true < 'x'") is None

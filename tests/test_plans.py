@@ -1,0 +1,81 @@
+"""Physical-plan regression guards: pushdown, pruning, and hop fusion must
+survive compiler changes (the 100 TB properties are plan properties)."""
+
+import contextlib
+import io
+
+
+def plan_of(engine, q: str) -> str:
+    df = engine.dataframe(q)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_property_filter_pushdown(engine):
+    plan = plan_of(
+        engine,
+        "MATCH (c:Customer) WHERE c.mktsegment = 'BUILDING' AND c.acctbal > 100.0 "
+        "RETURN c.name AS n",
+    )
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(c_acctbal,100.0)" in plan
+
+
+def test_column_pruning(engine):
+    plan = plan_of(engine, "MATCH (c:Customer) RETURN c.name AS n")
+    # only the projected column (plus nothing else) reaches the scan
+    assert "ReadSchema: struct<c_name:string>" in plan
+
+
+def test_covered_destination_fusion_single_scan(engine):
+    # (c)-[:PLACED]->(o) must NOT scan orders.parquet twice: the edge scan
+    # carries the Order columns
+    plan = plan_of(
+        engine,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "RETURN c.name AS n, o.totalprice AS p",
+    )
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("customer.parquet") == 1
+
+
+def test_unfused_hop_reads_two_tables(engine):
+    plan = plan_of(
+        engine,
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) RETURN n.name AS nm, count(*) AS c",
+    )
+    # IN_NATION edges derive from customer; Nation props need nation.parquet
+    assert plan.count("nation.parquet") == 1
+
+
+def test_label_pruning_skips_edge_tables(engine):
+    # supplier-side IN_NATION must not read customer.parquet at all
+    plan = plan_of(
+        engine,
+        "MATCH (s:Supplier)-[:IN_NATION]->(n:Nation) RETURN count(*) AS c",
+    )
+    assert "customer.parquet" not in plan
+    assert "supplier.parquet" in plan
+
+
+def test_broadcast_for_dimension_side(engine):
+    plan = plan_of(
+        engine,
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN r.name AS rn, count(*) AS c",
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_match_continuation_after_with(engine):
+    rows = engine.query(
+        "MATCH (r:Region) WITH r ORDER BY r.name LIMIT 2 "
+        "MATCH (r)<-[:IN_REGION]-(n:Nation) "
+        "RETURN r.name AS region, count(*) AS nations ORDER BY region"
+    )
+    assert rows == [
+        {"region": "AFRICA", "nations": 5},
+        {"region": "AMERICA", "nations": 5},
+    ]

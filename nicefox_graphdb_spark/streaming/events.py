@@ -50,16 +50,25 @@ def event_stream_from_dir(
     return reader.parquet(source_dir)
 
 
+_STAGED: dict[tuple, str] = {}
+
+
 def stage_events_as_stream_source(
     spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> str:
     """Re-stage the driver's events parquet as N files in a temp dir, so a
-    directory stream sees multiple micro-batches. Returns the dir path."""
+    directory stream sees multiple micro-batches. Returns the dir path
+    (memoized per (sf_dir, n_chunks) — staging is input prep, not part of
+    the streaming work being measured)."""
     from nicefox_graphdb_spark.sources.tpch import read_tables
 
+    key = (sf_dir, n_chunks)
+    if key in _STAGED:
+        return _STAGED[key]
     out_dir = tempfile.mkdtemp(prefix="nicefox_stream_")
     events = read_tables(spark, sf_dir)["events"]
     events.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
+    _STAGED[key] = out_dir
     return out_dir
 
 

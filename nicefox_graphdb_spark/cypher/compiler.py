@@ -90,6 +90,7 @@ class CypherToSpark:
     def _compile_single(self, q: ast.Query) -> DataFrame:
         state = CompileState(df=None, scope=Scope())
         final: DataFrame | None = None
+        self._vl_max_rows = self._limit_bound_for_traversal(q)
         for i, clause in enumerate(q.clauses):
             if not isinstance(clause, (ast.With, ast.Return)):
                 self._last_order = None  # joins/explodes invalidate row order
@@ -148,6 +149,38 @@ class CypherToSpark:
                 )
             raise CypherCompileError("query must end with RETURN")
         return final
+
+    def _limit_bound_for_traversal(self, q: ast.Query) -> int | None:
+        """LIMIT-aware traversal bound (reference caps var-length expansion
+        at min(limit*10, 10000), src/translator.ts:3355-3359). Only safe
+        when nothing after the expansion can drop rows or demand global
+        order: exactly MATCH (no WHERE) + RETURN LIMIT n with no ORDER BY,
+        no DISTINCT, and no aggregates."""
+        if len(q.clauses) != 2:
+            return None
+        m, r = q.clauses
+        if not isinstance(m, ast.Match) or not isinstance(r, ast.Return):
+            return None
+        if m.optional or m.where is not None or len(m.paths) != 1:
+            return None
+        elements = m.paths[0].elements
+        if len(elements) != 3 or m.paths[0].shortest is not None:
+            return None
+        rel, right = elements[1], elements[2]
+        if not (isinstance(rel, ast.RelPattern) and rel.var_length):
+            return None
+        # anything that filters AFTER the expansion invalidates the bound
+        if right.labels or right.props is not None:
+            return None
+        if r.order_by or r.distinct or r.limit is None:
+            return None
+        if any(contains_aggregate(i.expr) for i in r.items):
+            return None
+        try:
+            limit = int(self._static_eval(r.limit))  # type: ignore[arg-type]
+        except Exception:  # noqa: BLE001
+            return None
+        return min(limit * 10, 10_000)
 
     # -- helpers ------------------------------------------------------------
     def _ctx(self, state: CompileState) -> ExprCtx:
@@ -600,7 +633,13 @@ class CypherToSpark:
             # recursive-CTE equivalent of forgetting to memoize the base case
             edges = edges.localCheckpoint(eager=True)
         seed = df.select(F.col(vcol(left_var, "id"))).distinct()
-        expansion = vl.var_length_expand(edges, max(min_h, 1), max_h, seed_ids=seed)
+        expansion = vl.var_length_expand(
+            edges,
+            max(min_h, 1),
+            max_h,
+            seed_ids=seed,
+            max_rows=getattr(self, "_vl_max_rows", None),
+        )
         exp = expansion.select(
             F.col(vl.START).alias("__from"),
             F.col(vl.END).alias("__to"),

@@ -189,3 +189,13 @@ def test_all_shortest_paths(engine):
         "RETURN count(*) AS c"
     )
     assert rows == [{"c": 2}]
+
+
+def test_var_length_limit_bound(engine):
+    # LIMIT without ORDER BY on a bare var-length expansion: early-stop
+    # path must still return exactly `limit` rows
+    rows = engine.query(
+        "MATCH (e:Event {event_id: 0})-[:NEXT*1..5]->(f) "
+        "RETURN f.event_id AS id LIMIT 2"
+    )
+    assert len(rows) == 2

@@ -259,6 +259,11 @@ _CYPHER: dict[str, str] = {
                round(sum(l.extendedprice * (1 - l.discount)), 2) AS revenue,
                o.orderdate AS orderdate
         ORDER BY revenue DESC, orderkey LIMIT 10""",
+    # JSON property-bag access (reference's storage model: json_extract)
+    "q_json_props": """
+        MATCH (e:Event)
+        RETURN toInteger(e.props.k) % 10 AS bucket, count(*) AS cnt
+        ORDER BY bucket""",
     # TPC-H Q5 analog: local-supplier revenue per nation
     "q_tpch_q5": """
         MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part),
@@ -475,6 +480,10 @@ _ORACLE: dict[str, str] = {
           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         GROUP BY 1, 3 ORDER BY revenue DESC, orderkey LIMIT 10""",
+    "q_json_props": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+               count(*) AS cnt
+        FROM events GROUP BY 1 ORDER BY 1""",
     "q_tpch_q5": """
         SELECT n_name AS nation,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -1286,6 +1286,19 @@ class CypherToSpark:
             return F.stddev_samp(tc.col), T.DoubleType()
         if name == "stdevp":
             return F.stddev_pop(tc.col), T.DoubleType()
+        if name == "approxcountdistinct":
+            if len(call.args) > 1:
+                rsd = float(self._static_eval(call.args[1]))  # type: ignore[arg-type]
+                return F.approx_count_distinct(tc.col, rsd), T.LongType()
+            return F.approx_count_distinct(tc.col), T.LongType()
+        if name == "approxpercentile":
+            p = self._compile_expr(state, call.args[1]).col
+            acc = (
+                F.lit(int(self._static_eval(call.args[2])))  # type: ignore[arg-type]
+                if len(call.args) > 2
+                else F.lit(10000)
+            )
+            return F.percentile_approx(tc.col, p, acc), tc.dtype
         if name in ("percentiledisc", "percentilecont"):
             p = self._compile_expr(state, call.args[1]).col
             if name == "percentilecont":

@@ -246,6 +246,13 @@ class ExprCompiler:
             dtype = match[0].dataType
         elif isinstance(base.dtype, T.MapType):
             dtype = base.dtype.valueType
+        elif _is_string(base.dtype):
+            # JSON property bag stored as a string — the reference's entire
+            # storage model (json_extract, src/translator.ts:4557+); here a
+            # JSON-path extraction on the scan
+            return TypedCol(
+                F.get_json_object(base.col, f"$.{e.key}"), T.StringType()
+            )
         return TypedCol(base.col.getItem(e.key), dtype)
 
     def _index(self, e: ast.Index) -> TypedCol:
@@ -878,6 +885,9 @@ AGGREGATE_FUNCTIONS = {
     "percentilecont",
     "stdev",
     "stdevp",
+    # sketch aggregates (beyond-reference, for corpus-scale profiling):
+    "approxcountdistinct",  # HyperLogLog++
+    "approxpercentile",  # GK quantile sketch
 }
 
 

@@ -192,3 +192,22 @@ def test_cross_type_comparison_null(engine):
     # Cypher: comparisons across incomparable types yield null
     assert one(engine, "1 < 'a'") is None
     assert one(engine, "true < 'x'") is None
+
+
+def test_json_property_bag_access(engine):
+    rows = engine.query(
+        "MATCH (e:Event {event_id: 0}) RETURN toInteger(e.props.k) AS k"
+    )
+    assert isinstance(rows[0]["k"], int)
+
+
+def test_approx_aggregates(engine):
+    rows = engine.query(
+        "MATCH (o:Order) RETURN count(DISTINCT o.orderkey) AS exact, "
+        "approxCountDistinct(o.orderkey, 0.01) AS approx, "
+        "approxPercentile(o.totalprice, 0.5) AS p50a, "
+        "percentileCont(o.totalprice, 0.5) AS p50e"
+    )
+    r = rows[0]
+    assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05
+    assert abs(r["p50a"] - r["p50e"]) / r["p50e"] < 0.05

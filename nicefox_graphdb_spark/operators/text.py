@@ -99,6 +99,9 @@ def lang_id(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
-    token set (near-dup-robust to shuffling/whitespace/case)."""
-    canon = F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
-    return F.md5(canon)
+    token set (near-dup-robust to shuffling/whitespace/case). NULL for a
+    token-less document (also DuckDB's natural result — array_to_string of
+    an empty list is NULL there, caught by the differential fuzzer)."""
+    toks = tokens(col)
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return F.when(F.size(toks) > 0, F.md5(canon))

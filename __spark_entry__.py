@@ -673,6 +673,21 @@ def _p_ann_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _p_ivf_topk(spark, sf_dir):
+    """IVF (coarse-quantizer) approximate top-k — the inverted-file scale
+    path beside the LSH variant; deterministic k-means, n_probe clusters."""
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import similarity as sim
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_topk(
+        emb, "vec_id", "embedding", qv, dim=64, k=10,
+        n_clusters=16, n_probe=4, exclude_id=0,
+    )
+
+
 def _p_multimodal_features(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -816,6 +831,7 @@ _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_topk": _p_embed_topk,
     "q_embed_neardup": _p_embed_neardup,
     "q_ann_neardup": _p_ann_neardup,  # rows-only (seeded planes)
+    "q_ivf_topk": _p_ivf_topk,  # rows-only (k-means quantizer)
     "q_multimodal_features": _p_multimodal_features,
 }
 

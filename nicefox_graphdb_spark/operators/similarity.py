@@ -77,6 +77,116 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _assign_clusters(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """id → nearest-centroid cluster via a broadcast cross-join against the
+    k-row centroid table + min_by argmin. ONE distance lambda in the plan —
+    inlining k centroid-literal expressions explodes codegen compile time
+    (measured: minutes for k=16, d=64)."""
+    spark = base.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cluster int, c array<double>"
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("c"), lambda a, b: (a.cast("double") - b) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.crossJoin(F.broadcast(cdf))
+        .withColumn("dist", d)
+        .groupBy("id")
+        .agg(F.min_by("cluster", "dist").alias("cluster"))
+    )
+
+
+def _kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int,
+    n_iter: int = 5,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding column.
+
+    Init = rows with the smallest xxhash64(id) (seedless determinism);
+    assignment = broadcast cross-join + min_by; update = per-dimension avg.
+    Centroids (k·dim floats) live on the driver — the distributed work is
+    one scan per iteration, which is how IVF training runs at corpus scale.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seed_rows = (
+        base.orderBy(F.xxhash64(F.col("id").cast("string")))
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = base.join(
+            _assign_clusters(base, centroids), on="id"
+        )
+        stats = assigned.groupBy("cluster").agg(
+            *[
+                F.avg(F.element_at(F.col("v"), i + 1)).alias(f"d{i}")
+                for i in range(dim)
+            ],
+        )
+        new = {
+            r["cluster"]: [r[f"d{i}"] for i in range(dim)]
+            for r in stats.collect()
+        }
+        centroids = [
+            new.get(c, centroids[c]) for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """IVF approximate nearest neighbors: train a coarse quantizer, probe
+    only the n_probe clusters nearest the query, exact cosine inside them.
+
+    The scan is cut to ~n_probe/n_clusters of the corpus — the standard
+    inverted-file trade (recall grows with n_probe). Deterministic: same
+    data → same centroids → same answer.
+    """
+    import math
+
+    centroids = _kmeans_centroids(df, id_col, vec_col, dim, n_clusters)
+    qnorm = math.sqrt(sum(x * x for x in query_vec))
+
+    def dist2(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[
+        :n_probe
+    ]
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    assigned = base.join(_assign_clusters(base, centroids), on="id")
+    cand = assigned.where(F.col("cluster").isin(probe))
+    if exclude_id is not None:
+        cand = cand.where(F.col("id") != exclude_id)
+    q_col = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = cand.select(
+        "id",
+        F.round(dot(F.col("v"), q_col) / (norm(F.col("v")) * F.lit(qnorm)), 6).alias(
+            "cosine"
+        ),
+    )
+    return out.orderBy(F.col("cosine").desc(), F.col("id")).limit(k)
+
+
 def ann_neardup_pairs(
     df: DataFrame,
     id_col: str,

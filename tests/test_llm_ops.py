@@ -177,3 +177,33 @@ def test_multimodal_decode_stub_raises(mini_docs):
     media = mm.attach_fake_media(mini_docs, id_col="doc_id", text_col="text")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         mm.extract_features(media, fake=False).collect()
+
+
+def test_ivf_topk_recall(spark, tables):
+    emb = tables["embeddings"]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [
+        r["id"]
+        for r in sim.topk_cosine(
+            emb, "vec_id", "embedding",
+            F.array(*[F.lit(x) for x in qv]), k=10, exclude_id=0,
+        ).collect()
+    ]
+    approx = [
+        r["id"]
+        for r in sim.ivf_topk(
+            emb, "vec_id", "embedding", qv, dim=64, k=10,
+            n_clusters=8, n_probe=4, exclude_id=0,
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # determinism: same inputs -> same answer
+    approx2 = [
+        r["id"]
+        for r in sim.ivf_topk(
+            emb, "vec_id", "embedding", qv, dim=64, k=10,
+            n_clusters=8, n_probe=4, exclude_id=0,
+        ).collect()
+    ]
+    assert approx == approx2

@@ -37,12 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Cypher text per gate query (SURVEY.md §2 inventory coverage noted inline)
 # --------------------------------------------------------------------------
 _CYPHER: dict[str, str] = {
-    # §2.1 node scan + §2.2 predicates/projection + §2.5 order/limit
+    # §2.1 node scan + §2.2 predicates/projection + §2.5 order/skip/limit
     "q_node_scan": """
         MATCH (c:Customer)
         WHERE c.acctbal > 5000.0 AND c.mktsegment = 'BUILDING'
         RETURN c.name AS name, c.acctbal AS acctbal
-        ORDER BY acctbal DESC, name LIMIT 20""",
+        ORDER BY acctbal DESC, name SKIP 5 LIMIT 20""",
     # §2.3 one-hop join + §2.4 implicit grouping count
     "q_one_hop_count": """
         MATCH (c:Customer)-[:PLACED]->(o:Order)
@@ -64,56 +64,59 @@ _CYPHER: dict[str, str] = {
                round(sum(l.extendedprice * (1 - l.discount)), 2) AS sum_disc_price,
                count(*) AS cnt
         ORDER BY returnflag, linestatus""",
-    # §2.4 avg + count grouped
+    # §2.4 avg + count grouped + §2.8 temporal .year accessor
     "q_avg_order_value": """
         MATCH (c:Customer)-[:PLACED]->(o:Order)
-        RETURN c.mktsegment AS segment, count(*) AS orders,
+        RETURN c.mktsegment AS segment, o.orderdate.year AS year,
+               count(*) AS orders,
                round(avg(o.totalprice), 2) AS avg_price
-        ORDER BY segment""",
-    # §2.3 OPTIONAL MATCH (left join, null-preserving count)
+        ORDER BY segment, year""",
+    # §2.3 OPTIONAL MATCH with WHERE inside the left join (null-preserving count)
     "q_optional_match": """
         MATCH (c:Customer)
         OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
-        RETURN c.name AS name, count(o) AS orders
-        ORDER BY orders ASC, name LIMIT 30""",
-    # §2.2 WHERE tree: boolean ops, IN, STARTS/ENDS WITH
+        WHERE o.totalprice > 200000.0
+        RETURN c.mktsegment AS segment, count(o) AS big_orders
+        ORDER BY segment""",
+    # §2.2 WHERE tree: boolean ops, IN, STARTS/ENDS WITH, =~ regex
     "q_where_ops": """
         MATCH (o:Order)
         WHERE o.orderpriority STARTS WITH '1'
            OR (o.orderstatus IN ['F', 'P'] AND o.totalprice >= 150000.0
                AND NOT o.orderpriority ENDS WITH 'LOW')
+           OR o.orderpriority =~ '[45]-.*'
         RETURN count(*) AS cnt""",
-    # §2.2 CASE (searched)
+    # §2.2 CASE: searched + simple (operand) forms in one projection
     "q_case_buckets": """
         MATCH (o:Order)
         RETURN CASE WHEN o.totalprice < 100000.0 THEN 'low'
                     WHEN o.totalprice < 250000.0 THEN 'mid'
                     ELSE 'high' END AS bucket,
+               CASE o.orderstatus WHEN 'F' THEN 'finished'
+                                  WHEN 'O' THEN 'open'
+                                  ELSE 'other' END AS st,
                count(*) AS cnt
-        ORDER BY bucket""",
-    # §2.5 DISTINCT
-    "q_distinct_nations": """
-        MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
-        RETURN DISTINCT n.name AS nation ORDER BY nation""",
-    # §2.5 UNION (dedup)
+        ORDER BY bucket, st""",
+    # §2.5 UNION (dedup) + RETURN DISTINCT
     "q_union_names": """
-        MATCH (r:Region) RETURN r.name AS name
+        MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        RETURN DISTINCT n.name AS name
         UNION
-        MATCH (n:Nation) RETURN n.name AS name""",
-    # §2.5 SKIP/LIMIT
-    "q_skip_limit": """
-        MATCH (o:Order)
-        RETURN o.orderkey AS orderkey, o.totalprice AS totalprice
-        ORDER BY totalprice DESC, orderkey SKIP 10 LIMIT 15""",
-    # §2.6 UNWIND + range + WITH WHERE
+        MATCH (r:Region) RETURN r.name AS name""",
+    # §2.6 UNWIND + range + WITH WHERE + collect + reduce + list comprehension
     "q_unwind_range": """
         UNWIND range(1, 200) AS x
         WITH x WHERE x % 7 = 0
-        RETURN count(*) AS cnt, sum(x) AS total""",
-    # §2.4 ordered collect (sort() engine extension pins shuffle order)
+        WITH collect(x) AS l
+        RETURN size(l) AS n, reduce(acc = 0, y IN l | acc + y) AS total,
+               join(sort([z IN l WHERE z % 2 = 0 | toString(z)]), '|') AS evens""",
+    # §2.4 sorted collect (sort() extension) + §2.6 UNWIND of a collected list
     "q_collect_sorted": """
         MATCH (n:Nation)-[:IN_REGION]->(r:Region)
-        RETURN r.name AS region, sort(collect(n.name)) AS nations
+        WITH r.name AS region, sort(collect(n.name)) AS ns
+        UNWIND ns AS nation
+        RETURN region, count(*) AS cnt,
+               join(sort(collect(nation)), '|') AS nations
         ORDER BY region""",
     # §2.4 percentileCont/percentileDisc
     "q_percentiles": """
@@ -122,16 +125,15 @@ _CYPHER: dict[str, str] = {
                round(percentileCont(o.totalprice, 0.5), 2) AS p50,
                round(percentileDisc(o.totalprice, 0.9), 2) AS p90d
         ORDER BY status""",
-    # §2.2 EXISTS(pattern) semi-join
-    "q_exists_semi": """
-        MATCH (s:Supplier)
-        WHERE EXISTS((:Part)-[:SUPPLIED_BY]->(s))
-        RETURN count(*) AS cnt""",
-    # §2.2 NOT (pattern) anti-join
-    "q_anti_join": """
+    # §2.2 EXISTS(pattern) semi-join + NOT(pattern) anti-join, chained
+    # through a WITH-aggregate boundary (multi-part query)
+    "q_semi_anti": """
         MATCH (u:User)
         WHERE NOT (u)-[:TRIGGERED]->(:Event {event_type: 'purchase'})
-        RETURN count(*) AS cnt""",
+        WITH count(*) AS no_purchase
+        MATCH (s:Supplier)
+        WHERE EXISTS((:Part)-[:SUPPLIED_BY]->(s))
+        RETURN no_purchase, count(*) AS with_parts""",
     # §2.3 theta join (shared-node pattern + inequality)
     "q_theta_pairs": """
         MATCH (c1:Customer)-[:IN_NATION]->(n:Nation)<-[:IN_NATION]-(c2:Customer)
@@ -151,100 +153,47 @@ _CYPHER: dict[str, str] = {
         MATCH (e:Event)-[:NEXT*1..3]->(f:Event)
         WHERE e.event_id % 50 = 0
         RETURN e.event_id AS src, count(*) AS reach ORDER BY src""",
-    # §2.7 string functions
-    "q_string_funcs": """
+    # §2.7 string + math functions in one grouped projection
+    "q_string_math_funcs": """
         MATCH (p:Part)
-        RETURN toUpper(left(p.name, 5)) AS prefix, count(*) AS cnt
-        ORDER BY prefix""",
-    # §2.7 math functions
-    "q_math_funcs": """
-        MATCH (p:Part)
-        RETURN p.brand AS brand,
+        RETURN toUpper(left(p.name, 5)) AS prefix, count(*) AS cnt,
                round(sqrt(sum(p.size)), 3) AS s,
                round(avg(abs(p.retailprice - 1000.0)), 2) AS dev
-        ORDER BY brand""",
-    # §2.3 multi-type relationship + type()
+        ORDER BY prefix""",
+    # §2.3 multi-type relationship + type() + undirected expansion
     "q_multi_type": """
-        MATCH (c:Customer)-[r:PLACED|IN_NATION]->(x)
+        MATCH (n:Nation)-[r:IN_NATION|IN_REGION]-(x)
         RETURN type(r) AS rel_type, count(*) AS cnt ORDER BY rel_type""",
-    # §2.3 undirected expansion
-    "q_undirected": """
-        MATCH (n:Nation)-[:IN_NATION]-(x)
-        RETURN count(*) AS cnt""",
-    # §2.6 pattern comprehension
-    "q_pattern_comprehension": """
-        MATCH (r:Region)
-        RETURN r.name AS region,
-               size([(n:Nation)-[:IN_REGION]->(r) | n.name]) AS n_nations
-        ORDER BY region""",
-    # §2.6 list HOFs: reduce over UNWIND of nested lists
-    "q_list_ops": """
-        UNWIND [[1,2,3,4], [5,6], []] AS l
-        RETURN size(l) AS n, reduce(acc = 0, x IN l | acc + x) AS total
-        ORDER BY n""",
-    # §2.8 temporal accessor (.year)
-    "q_temporal_year": """
-        MATCH (o:Order)
-        RETURN o.orderdate.year AS year, count(*) AS cnt ORDER BY year""",
     # §2.8 temporal truncate + event-time rollup (streaming batch shape)
     "q_event_hourly": """
         MATCH (e:Event)
         RETURN e.ts.truncate('hour') AS hour_bucket, count(*) AS cnt,
                round(sum(e.value), 2) AS total
         ORDER BY hour_bucket""",
-    # §2.2 regex full-match
-    "q_regex": """
-        MATCH (c:Customer)
-        WHERE c.name =~ '.*00[0-9]1'
-        RETURN count(*) AS cnt""",
-    # §2.6 quantifier + split + collect
-    "q_quantifier": """
+    # §2.6 pattern comprehension + quantifier + split + §2.7 keys()
+    "q_pattern_comprehension": """
         MATCH (r:Region)
-        WHERE any(x IN split(r.name, ' ') WHERE size(x) > 4)
-        RETURN sort(collect(r.name)) AS names""",
-    # §2.3 cartesian product of disconnected patterns
+        RETURN r.name AS region,
+               size([(n:Nation)-[:IN_REGION]->(r) | n.name]) AS n_nations,
+               any(x IN split(r.name, ' ') WHERE size(x) > 4) AS has_long,
+               join(keys(r), '|') AS ks
+        ORDER BY region""",
+    # §2.3 cartesian product of disconnected patterns + §2.5 WITH DISTINCT
     "q_cross_join": """
         MATCH (r:Region), (n:Nation)
+        WITH DISTINCT r.name AS rn, n.nationkey % 5 AS nk
         RETURN count(*) AS cnt""",
-    # §2.5 WITH DISTINCT as pipeline stage
-    "q_with_distinct": """
-        MATCH (c:Customer)
-        WITH DISTINCT c.mktsegment AS segment
-        RETURN count(*) AS cnt""",
-    # §2.6 UNWIND over a collected list (reference COLLECT_UNWIND path)
-    "q_unwind_collect": """
-        MATCH (n:Nation)-[:IN_REGION]->(r:Region)
-        WITH r.name AS region, collect(n.name) AS ns
-        UNWIND ns AS nation
-        RETURN region, count(*) AS cnt ORDER BY region""",
-    # §2.3 OPTIONAL MATCH with WHERE (condition inside the left join)
-    "q_optional_where": """
-        MATCH (c:Customer)
-        OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
-        WHERE o.totalprice > 200000.0
-        RETURN c.mktsegment AS segment, count(o) AS big_orders
-        ORDER BY segment""",
-    # §2.2 simple CASE (operand form)
-    "q_case_simple": """
-        MATCH (o:Order)
-        RETURN CASE o.orderstatus WHEN 'F' THEN 'finished'
-                                  WHEN 'O' THEN 'open'
-                                  ELSE 'other' END AS st,
-               count(*) AS cnt ORDER BY st""",
     # §2.7 startNode/endNode
     "q_start_end_nodes": """
         MATCH (c:Customer)-[r:IN_NATION]->(n:Nation)
         WHERE c.custkey <= 50
         RETURN startNode(r) AS src, endNode(r) AS dst""",
-    # §2.7 keys()
-    "q_keys": """
-        MATCH (r:Region)
-        RETURN r.name AS name, keys(r) AS ks ORDER BY name""",
     # §2.4 ordered collect across a sorted WITH (reference collectOrderBy)
     "q_ordered_collect": """
         MATCH (n:Nation)-[:IN_REGION]->(r:Region)
         WITH r, n ORDER BY n.name DESC
-        RETURN r.name AS region, collect(n.name) AS nations ORDER BY region""",
+        RETURN r.name AS region, join(collect(n.name), '|') AS nations
+        ORDER BY region""",
     # §2.3 three-hop chain with DISTINCT aggregate
     "q_three_hop": """
         MATCH (s:Supplier)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
@@ -280,7 +229,7 @@ _ORACLE: dict[str, str] = {
     "q_node_scan": """
         SELECT c_name AS name, c_acctbal AS acctbal FROM customer
         WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'
-        ORDER BY acctbal DESC, name LIMIT 20""",
+        ORDER BY acctbal DESC, name LIMIT 20 OFFSET 5""",
     "q_one_hop_count": """
         SELECT c_name AS name, count(*) AS orders
         FROM customer JOIN orders ON o_custkey = c_custkey
@@ -303,41 +252,51 @@ _ORACLE: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_avg_order_value": """
-        SELECT c_mktsegment AS segment, count(*) AS orders,
+        SELECT c_mktsegment AS segment,
+               CAST(year(o_orderdate) AS BIGINT) AS year,
+               count(*) AS orders,
                round(avg(o_totalprice), 2) AS avg_price
         FROM customer JOIN orders ON o_custkey = c_custkey
-        GROUP BY 1 ORDER BY 1""",
+        GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_optional_match": """
-        SELECT c_name AS name, count(o_orderkey) AS orders
-        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-        GROUP BY 1 ORDER BY orders ASC, name LIMIT 30""",
+        SELECT c_mktsegment AS segment, count(o_orderkey) AS big_orders
+        FROM customer LEFT JOIN orders
+             ON o_custkey = c_custkey AND o_totalprice > 200000.0
+        GROUP BY 1 ORDER BY 1""",
     "q_where_ops": """
         SELECT count(*) AS cnt FROM orders
         WHERE o_orderpriority LIKE '1%'
            OR (o_orderstatus IN ('F', 'P') AND o_totalprice >= 150000.0
-               AND NOT (o_orderpriority LIKE '%LOW'))""",
+               AND NOT (o_orderpriority LIKE '%LOW'))
+           OR regexp_full_match(o_orderpriority, '[45]-.*')""",
     "q_case_buckets": """
         SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
                     WHEN o_totalprice < 250000.0 THEN 'mid'
                     ELSE 'high' END AS bucket,
+               CASE o_orderstatus WHEN 'F' THEN 'finished'
+                                  WHEN 'O' THEN 'open'
+                                  ELSE 'other' END AS st,
                count(*) AS cnt
-        FROM orders GROUP BY 1 ORDER BY 1""",
-    "q_distinct_nations": """
-        SELECT DISTINCT n_name AS nation
-        FROM customer JOIN nation ON n_nationkey = c_nationkey
-        ORDER BY 1""",
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_union_names": """
-        SELECT r_name AS name FROM region
+        SELECT DISTINCT n_name AS name
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
         UNION
-        SELECT n_name AS name FROM nation""",
-    "q_skip_limit": """
-        SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
-        FROM orders ORDER BY totalprice DESC, orderkey LIMIT 15 OFFSET 10""",
+        SELECT r_name AS name FROM region""",
     "q_unwind_range": """
-        SELECT count(*) AS cnt, CAST(sum(x) AS BIGINT) AS total
-        FROM generate_series(1, 200) t(x) WHERE x % 7 = 0""",
+        WITH l AS (
+            SELECT list(x) AS l
+            FROM generate_series(1, 200) t(x) WHERE x % 7 = 0)
+        SELECT len(l) AS n,
+               CAST(list_aggregate(l, 'sum') AS BIGINT) AS total,
+               array_to_string(
+                   list_sort(list_transform(list_filter(l, z -> z % 2 = 0),
+                                            z -> CAST(z AS VARCHAR))),
+                   '|') AS evens
+        FROM l""",
     "q_collect_sorted": """
-        SELECT r_name AS region, list_sort(list(n_name)) AS nations
+        SELECT r_name AS region, count(*) AS cnt,
+               array_to_string(list_sort(list(n_name)), '|') AS nations
         FROM nation JOIN region ON r_regionkey = n_regionkey
         GROUP BY 1 ORDER BY 1""",
     "q_percentiles": """
@@ -345,15 +304,15 @@ _ORACLE: dict[str, str] = {
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
                round(quantile_disc(o_totalprice, 0.9), 2) AS p90d
         FROM orders GROUP BY 1 ORDER BY 1""",
-    "q_exists_semi": """
-        SELECT count(*) AS cnt FROM supplier
-        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""",
-    "q_anti_join": """
-        SELECT count(*) AS cnt
-        FROM (SELECT DISTINCT user_id FROM events) u
-        WHERE NOT EXISTS (SELECT 1 FROM events e
-                          WHERE e.user_id = u.user_id
-                            AND e.event_type = 'purchase')""",
+    "q_semi_anti": """
+        SELECT (SELECT count(*) FROM supplier
+                WHERE EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_suppkey = s_suppkey)) AS with_parts,
+               (SELECT count(*)
+                FROM (SELECT DISTINCT user_id FROM events) u
+                WHERE NOT EXISTS (SELECT 1 FROM events e
+                                  WHERE e.user_id = u.user_id
+                                    AND e.event_type = 'purchase')) AS no_purchase""",
     "q_theta_pairs": """
         SELECT n_name AS nation, count(*) AS pairs
         FROM customer c1
@@ -392,75 +351,42 @@ _ORACLE: dict[str, str] = {
             WHERE p.depth < 3)
         SELECT start AS src, count(*) AS reach FROM paths
         GROUP BY 1 ORDER BY 1""",
-    "q_string_funcs": """
-        SELECT upper(left(p_name, 5)) AS prefix, count(*) AS cnt
-        FROM part GROUP BY 1 ORDER BY 1""",
-    "q_math_funcs": """
-        SELECT p_brand AS brand,
+    "q_string_math_funcs": """
+        SELECT upper(left(p_name, 5)) AS prefix, count(*) AS cnt,
                round(sqrt(sum(p_size)), 3) AS s,
                round(avg(abs(p_retailprice - 1000.0)), 2) AS dev
         FROM part GROUP BY 1 ORDER BY 1""",
     "q_multi_type": """
         SELECT rel_type, cnt FROM (
-            SELECT 'IN_NATION' AS rel_type, count(*) AS cnt FROM customer
-            UNION ALL SELECT 'PLACED', count(*) FROM orders
+            SELECT 'IN_NATION' AS rel_type,
+                   (SELECT count(*) FROM customer)
+                   + (SELECT count(*) FROM supplier) AS cnt
+            UNION ALL
+            SELECT 'IN_REGION', (SELECT count(*) FROM nation)
         ) ORDER BY rel_type""",
-    "q_undirected": """
-        SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
-               AS cnt""",
     "q_pattern_comprehension": """
         SELECT r_name AS region,
                (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
-               AS n_nations
+               AS n_nations,
+               len(list_filter(string_split(r_name, ' '), x -> len(x) > 4)) > 0
+               AS has_long,
+               'name|regionkey' AS ks
         FROM region ORDER BY 1""",
-    "q_list_ops": """
-        SELECT len(l) AS n,
-               CAST(coalesce(list_aggregate(l, 'sum'), 0) AS BIGINT) AS total
-        FROM (VALUES ([1,2,3,4]), ([5,6]), (CAST([] AS INT[]))) t(l)
-        ORDER BY 1""",
-    "q_temporal_year": """
-        SELECT CAST(year(o_orderdate) AS BIGINT) AS year, count(*) AS cnt
-        FROM orders GROUP BY 1 ORDER BY 1""",
     "q_event_hourly": """
         SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS cnt,
                round(sum(value), 2) AS total
         FROM events GROUP BY 1 ORDER BY 1""",
-    "q_regex": """
-        SELECT count(*) AS cnt FROM customer
-        WHERE regexp_full_match(c_name, '.*00[0-9]1')""",
-    "q_quantifier": """
-        SELECT list_sort(list(r_name)) AS names FROM region
-        WHERE len(list_filter(string_split(r_name, ' '), x -> len(x) > 4)) > 0""",
     "q_cross_join": """
-        SELECT (SELECT count(*) FROM region) * (SELECT count(*) FROM nation)
-               AS cnt""",
-    "q_with_distinct": """
-        SELECT count(*) AS cnt
-        FROM (SELECT DISTINCT c_mktsegment FROM customer) t""",
-    "q_unwind_collect": """
-        SELECT r_name AS region, count(*) AS cnt
-        FROM nation JOIN region ON r_regionkey = n_regionkey
-        GROUP BY 1 ORDER BY 1""",
-    "q_optional_where": """
-        SELECT c_mktsegment AS segment, count(o_orderkey) AS big_orders
-        FROM customer LEFT JOIN orders
-             ON o_custkey = c_custkey AND o_totalprice > 200000.0
-        GROUP BY 1 ORDER BY 1""",
-    "q_case_simple": """
-        SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
-                                  WHEN 'O' THEN 'open'
-                                  ELSE 'other' END AS st,
-               count(*) AS cnt
-        FROM orders GROUP BY 1 ORDER BY 1""",
+        SELECT count(*) AS cnt FROM (
+            SELECT DISTINCT r_name, n_nationkey % 5
+            FROM region, nation) t""",
     "q_start_end_nodes": """
         SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src,
                'N' || CAST(c_nationkey AS VARCHAR) AS dst
         FROM customer WHERE c_custkey <= 50""",
-    "q_keys": """
-        SELECT r_name AS name, CAST(['name', 'regionkey'] AS VARCHAR[]) AS ks
-        FROM region ORDER BY 1""",
     "q_ordered_collect": """
-        SELECT r_name AS region, list(n_name ORDER BY n_name DESC) AS nations
+        SELECT r_name AS region,
+               array_to_string(list(n_name ORDER BY n_name DESC), '|') AS nations
         FROM nation JOIN region ON r_regionkey = n_regionkey
         GROUP BY 1 ORDER BY 1""",
     "q_three_hop": """
@@ -579,10 +505,19 @@ def _p_fingerprint(spark, sf_dir):
 
 
 def _p_dedup_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from nicefox_graphdb_spark.operators import dedup as dd
 
     docs = _tables(spark, sf_dir)["documents"]
-    return dd.exact_dup_groups(docs, "doc_id", "text").orderBy("digest")
+    groups = dd.exact_dup_groups(docs, "doc_id", "text")
+    # ids joined to a string: array cells aren't portable through every
+    # client-side hasher (driver gate hashes pandas frames)
+    return groups.select(
+        "digest",
+        "n",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), "|").alias("ids"),
+    ).orderBy("digest")
 
 
 def _p_ngram_jaccard(spark, sf_dir):
@@ -899,7 +834,10 @@ _ORACLE.update(
             FROM documents""",
         "q_dedup_exact": """
             SELECT md5(text) AS digest, count(*) AS n,
-                   list_sort(list(doc_id)) AS ids
+                   array_to_string(
+                       list_transform(list_sort(list(doc_id)),
+                                      x -> CAST(x AS VARCHAR)),
+                       '|') AS ids
             FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
         "q_ngram_jaccard": f"""
             WITH d AS (SELECT doc_id, {_SHINGLES3} AS sh FROM documents),

@@ -39,7 +39,7 @@ HEADLINE = [
     "q_var_length",
     "q_event_hourly",
     "q_collect_sorted",
-    "q_exists_semi",
+    "q_semi_anti",
     # pipeline + streaming operators (beyond-reference surface)
     "q_text_stats",
     "q_embed_topk",

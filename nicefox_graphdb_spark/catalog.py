@@ -85,6 +85,11 @@ class GraphCatalog:
     spark: SparkSession
     _nodes: dict[str, NodeTable] = field(default_factory=dict)
     _edges: list[EdgeTable] = field(default_factory=list)
+    # True once a write MAY have put one node id into several label tables
+    # (SET n:Label, CREATE (n:A:B)). Bulk-registered tables are id-disjoint
+    # by construction (prefix scheme), so readers skip the membership join
+    # entirely until this flips — incremental invalidation, not a scan.
+    multi_label_dirty: bool = False
 
     # -- registration -----------------------------------------------------
     def register_node(self, label: str, df: DataFrame) -> None:
@@ -189,3 +194,22 @@ class GraphCatalog:
         """All labels that a node of the given primary table carries (here:
         one table per label; multi-label = same _id in several tables)."""
         return [label]
+
+    def label_membership(self) -> DataFrame:
+        """``(_id, _labels)`` — the full, sorted label set of every node id
+        (reference returns the whole normalized label array,
+        src/executor.ts:10494-10504). One union of the id columns + one
+        groupBy; only consulted when ``multi_label_dirty`` (the common
+        bulk-loaded graph answers ``labels()`` at compile time)."""
+        parts = [
+            t.df.select(F.col(ID_COL), F.lit(t.label).alias("_label"))
+            for t in self._nodes.values()
+        ]
+        if not parts:
+            raise ValueError("no node tables registered")
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.groupBy(ID_COL).agg(
+            F.sort_array(F.collect_set("_label")).alias("_labels")
+        )

@@ -38,6 +38,28 @@ from nicefox_graphdb_spark.cypher.scope import Scope, VarInfo, pcol, vcol
 from nicefox_graphdb_spark.operators import var_length as vl
 
 
+def _expr_var_names(expr: ast.Expr) -> set[str]:
+    """All variable names referenced anywhere in an expression tree
+    (over-approximate: includes lambda-bound names, which callers filter
+    by scope kind)."""
+    out: set[str] = set()
+
+    def walk(node) -> None:
+        if isinstance(node, ast.Var):
+            out.add(node.name)
+            return
+        if isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+            return
+        if hasattr(node, "__dataclass_fields__"):
+            for fname in node.__dataclass_fields__:
+                walk(getattr(node, fname))
+
+    walk(expr)
+    return out
+
+
 @dataclass
 class CompileState:
     df: DataFrame | None
@@ -171,6 +193,11 @@ class CypherToSpark:
             return None
         # anything that filters AFTER the expansion invalidates the bound
         if right.labels or right.props is not None:
+            return None
+        # a bound right node (e.g. (a)-[:T*]->(a)) adds a post-expansion
+        # row-dropping join — the cap would undercount below LIMIT
+        left_el = elements[0]
+        if right.var is not None and right.var == getattr(left_el, "var", None):
             return None
         if r.order_by or r.distinct or r.limit is None:
             return None
@@ -354,6 +381,11 @@ class CypherToSpark:
         parts = []
         for et, ori in chosen:
             from_col, to_col = ("_src", "_dst") if ori == "out" else ("_dst", "_src")
+            base_df = et.df
+            if direction == "both" and ori == "in":
+                # a self-loop edge matches an undirected pattern ONCE (Neo4j
+                # semantics); the 'out' orientation already produced its row
+                base_df = base_df.where(F.col("_src") != F.col("_dst"))
             have = {f_.name for f_ in et.df.schema.fields}
             sel = [
                 F.col(from_col).alias("__from"),
@@ -372,7 +404,7 @@ class CypherToSpark:
                 sel.append(F.col("_dst").alias(vcol(fuse_var, "id")))
                 for k in fused_info.props:
                     sel.append(F.col(f"_dstp_{k}").alias(pcol(fuse_var, k)))
-            parts.append(et.df.select(*sel))
+            parts.append(base_df.select(*sel))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -606,10 +638,20 @@ class CypherToSpark:
         # Oriented edge set for the traversal. Label constraints only prune
         # the first/last hop in general, so for multi-hop we cannot constrain
         # intermediate labels — use type-only pruning.
-        edf, _, _ = self._edge_scan(
+        edf, vle_info, _ = self._edge_scan(
             "__vle", rel.types, rel.direction, None, None
         )
         df = state.require_df()
+        if edf is not None and rel.props is not None:
+            # -[r:T* {k: v}]-> applies the property filter to EVERY edge in
+            # the path (reference translator.ts edgePropConditions): filter
+            # the oriented edge set before expansion. Values must be
+            # constants — they can't reference per-row outer bindings here.
+            vle_scope = Scope()
+            vle_scope.bind(vle_info)
+            edf = self._inline_prop_filter(
+                edf, CompileState(df=edf, scope=vle_scope), vle_info, rel.props
+            )
         if edf is None:
             empty = df.where(F.lit(False))
             rinfo = VarInfo(
@@ -747,6 +789,14 @@ class CypherToSpark:
                 if v:
                     pattern_vars.add(v)
         shared = [v for v in pattern_vars if v in state.scope]
+        # outer VALUE variables referenced by the WHERE must also ride into
+        # the correlated sub-plan (e.g. WITH a, a.x AS t OPTIONAL MATCH
+        # (a)-->(b) WHERE b.y > t) — they become extra correlation keys
+        if m.where is not None:
+            for v in sorted(_expr_var_names(m.where)):
+                info = state.scope.get(v)
+                if info is not None and info.kind == "value" and v not in shared:
+                    shared.append(v)
         shared_cols: list[str] = []
         seed_scope = Scope()
         for v in shared:
@@ -763,7 +813,17 @@ class CypherToSpark:
         sub_state = CompileState(df=seed, scope=seed_scope)
         sub_state = self.compile_match(sub_state, replace(m, optional=False))
         sub_df = sub_state.require_df()
-        join_keys = [vcol(v, "id" if state.scope.get(v).kind == "node" else "eid") for v in shared]  # type: ignore[union-attr]
+
+        def _key(v: str) -> str:
+            info = state.scope.get(v)
+            assert info is not None
+            if info.kind == "node":
+                return vcol(v, "id")
+            if info.kind == "edge":
+                return vcol(v, "eid")
+            return vcol(v, "val")
+
+        join_keys = [_key(v) for v in shared]
         # drop duplicated non-key shared columns from the sub side
         dup = [c for c in shared_cols if c not in join_keys]
         sub_df = sub_df.drop(*dup)
@@ -782,6 +842,16 @@ class CypherToSpark:
         marker columns computed via semi-join-style subplans."""
 
         def walk(st: CompileState, e: ast.Expr) -> tuple[CompileState, ast.Expr]:
+            if (
+                isinstance(e, ast.FuncCall)
+                and e.name == "labels"
+                and len(e.args) == 1
+                and isinstance(e.args[0], ast.Var)
+                and self.catalog.multi_label_dirty
+            ):
+                st2, repl = self._labels_membership_marker(st, e.args[0].name)
+                if repl is not None:
+                    return st2, repl
             if isinstance(e, (ast.PatternExpr, ast.ExistsExpr)):
                 path = e.path if isinstance(e, ast.PatternExpr) else e.pattern
                 where = e.where if isinstance(e, ast.ExistsExpr) else None
@@ -820,6 +890,34 @@ class CypherToSpark:
             return st, e
 
         return walk(state, expr)
+
+    def _labels_membership_marker(
+        self, state: CompileState, var: str
+    ) -> tuple[CompileState, ast.Expr | None]:
+        """labels(n) after any multi-label write: left-join the catalog's
+        membership frame (id → sorted full label array, reference
+        src/executor.ts:10494-10504) and substitute a value var. Falls back
+        to the scan label for ids the join misses (impossible in practice —
+        every bound id exists in some table)."""
+        info = state.scope.get(var)
+        if info is None or info.kind != "node":
+            return state, None
+        marker = self.gensym("lbls")
+        df = state.require_df()
+        mem = self.catalog.label_membership().select(
+            F.col("_id").alias(info.id_col()),
+            F.col("_labels").alias(vcol(marker, "val")),
+        )
+        out = df.join(mem, on=info.id_col(), how="left")
+        scope = state.scope.copy()
+        scope.bind(
+            VarInfo(
+                name=marker,
+                kind="value",
+                dtype=T.ArrayType(T.StringType()),
+            )
+        )
+        return CompileState(df=out, scope=scope), ast.Var(marker)
 
     def _pattern_anchors(
         self, state: CompileState, path: ast.PatternPath

@@ -681,6 +681,23 @@ def _fn_sort(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     return TypedCol(F.sort_array(tc.col), tc.dtype)
 
 
+def _fn_join(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    """Engine extension: join(list, sep) → string (APOC apoc.text.join
+    analog). Makes list-valued results portable across clients that can't
+    hash arrays; compiles to native array_join."""
+    tc = _c(comp, args, 0)
+    if len(args) > 1:
+        if not isinstance(args[1], ast.Literal):
+            raise CypherCompileError("join() separator must be a string literal")
+        sep = str(args[1].value)
+    else:
+        sep = ","
+    col = tc.col
+    if _is_array(tc.dtype) and not _is_string(tc.dtype.elementType):
+        col = F.transform(col, lambda x: x.cast("string"))
+    return TypedCol(F.array_join(col, sep), T.StringType())
+
+
 def _fn_head(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     tc = _c(comp, args, 0)
     elem = tc.dtype.elementType if _is_array(tc.dtype) else None
@@ -830,6 +847,7 @@ SCALAR_FUNCTIONS: dict[str, Callable] = {
     "last": _fn_last,
     "tail": _fn_tail,
     "range": _fn_range,
+    "join": _fn_join,
     # math
     "abs": _simple(F.abs, None),
     "round": _fn_round,

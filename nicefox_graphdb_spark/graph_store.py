@@ -22,6 +22,11 @@ from pyspark.sql import types as T
 
 from nicefox_graphdb_spark.catalog import EdgeTable, GraphCatalog
 
+
+class CypherRuntimeError(Exception):
+    """Execution-time constraint violation (reference src/executor.ts raises
+    plain Errors for these, e.g. delete-with-relationships :10162)."""
+
 _CHECKPOINT_EVERY = 8
 
 
@@ -132,6 +137,9 @@ class MutableGraph:
         existing = self.catalog.node(new_label).df.select("_id")
         rows = rows.join(existing, on="_id", how="left_anti")
         self.append_nodes(new_label, rows)
+        # labels() must now consult actual table membership (catalog
+        # invariant "one id per label table" no longer holds)
+        self.catalog.multi_label_dirty = True
 
     def remove_label_from_nodes(self, label: str, ids: DataFrame) -> None:
         if not self.catalog.has_label(label):
@@ -145,6 +153,24 @@ class MutableGraph:
 
     def delete_nodes(self, ids: DataFrame, detach: bool = False) -> None:
         idcol = ids.select(F.col(ids.columns[0]).alias("_id"))
+        if not detach:
+            # plain DELETE must fail if any relationship still references a
+            # deleted node (reference src/executor.ts:10162); one union-all
+            # endpoint set + one semi-join + one isEmpty action
+            endpoint_parts = [
+                et.df.select(F.col(side).alias("_id"))
+                for et in self.catalog._edges
+                for side in ("_src", "_dst")
+            ]
+            if endpoint_parts:
+                endpoints = endpoint_parts[0]
+                for p in endpoint_parts[1:]:
+                    endpoints = endpoints.unionByName(p)
+                if not endpoints.join(idcol, on="_id", how="left_semi").isEmpty():
+                    raise CypherRuntimeError(
+                        "Cannot delete node because it still has relationships"
+                        " (use DETACH DELETE)"
+                    )
         for label in list(self.catalog._nodes):
             base = self.catalog.node(label).df
             self.catalog.register_node(

@@ -1,0 +1,102 @@
+"""Regression tests for round-2 semantic fixes (ADVICE.md r1):
+
+1. var-length relationship property filters apply to every edge in the path
+   (reference translator.ts edgePropConditions)
+2. LIMIT-bound traversal cap disabled when the right node var is pre-bound
+3. plain DELETE of a node with live relationships raises
+   (reference src/executor.ts:10162)
+4. OPTIONAL MATCH WHERE can reference outer value variables
+5. undirected patterns match a self-loop edge once (Neo4j semantics)
+"""
+
+import pytest
+
+from nicefox_graphdb_spark import CypherEngine
+from nicefox_graphdb_spark.catalog import GraphCatalog
+from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+
+@pytest.fixture()
+def g(spark):
+    return CypherEngine(spark, GraphCatalog(spark), mutable=True)
+
+
+def test_var_length_edge_props_filter_every_hop(g):
+    g.query("CREATE (a:N {name: 'a'})-[:T {w: 1}]->(b:N {name: 'b'})")
+    g.query(
+        "MATCH (b:N {name: 'b'}) CREATE (b)-[:T {w: 2}]->(c:N {name: 'c'})"
+    )
+    rows = g.query(
+        "MATCH (x:N {name: 'a'})-[:T*1..2 {w: 1}]->(y) "
+        "RETURN y.name AS name ORDER BY name"
+    )
+    # only the w=1 edge participates: reach b, NOT c (c needs the w=2 edge)
+    assert rows == [{"name": "b"}]
+    rows_all = g.query(
+        "MATCH (x:N {name: 'a'})-[:T*1..2]->(y) RETURN y.name AS name ORDER BY name"
+    )
+    assert rows_all == [{"name": "b"}, {"name": "c"}]
+
+
+def test_limit_bound_disabled_for_bound_right_var(g):
+    from nicefox_graphdb_spark.cypher.compiler import CypherToSpark
+    from nicefox_graphdb_spark.cypher.parser import parse
+
+    compiler = CypherToSpark(g.spark, g.catalog)
+    bound_q = parse("MATCH (a)-[:T*1..5]->(a) RETURN a LIMIT 3")
+    assert compiler._limit_bound_for_traversal(bound_q) is None
+    free_q = parse("MATCH (a)-[:T*1..5]->(b) RETURN b LIMIT 3")
+    assert compiler._limit_bound_for_traversal(free_q) == 30
+
+
+def test_delete_with_relationships_raises(g):
+    g.query("CREATE (a:N {name: 'a'})-[:T]->(b:N {name: 'b'})")
+    with pytest.raises(CypherRuntimeError, match="still has relationships"):
+        g.query("MATCH (n:N {name: 'a'}) DELETE n")
+    # DETACH DELETE removes node and incident edges
+    g.query("MATCH (n:N {name: 'a'}) DETACH DELETE n")
+    assert g.query("MATCH (n:N) RETURN count(*) AS c") == [{"c": 1}]
+    assert g.query("MATCH ()-[r:T]->() RETURN count(*) AS c") == [{"c": 0}]
+    # plain DELETE is fine once no edges reference the node
+    g.query("MATCH (n:N {name: 'b'}) DELETE n")
+    assert g.query("MATCH (n:N) RETURN count(*) AS c") == [{"c": 0}]
+
+
+def test_optional_match_where_outer_value_var(g):
+    g.query("CREATE (a:P {name: 'a1', x: 5})-[:L]->(b:Q {y: 10})")
+    g.query("CREATE (a:P {name: 'a2', x: 50})-[:L]->(b:Q {y: 10})")
+    rows = g.query(
+        "MATCH (a:P) WITH a, a.x AS t "
+        "OPTIONAL MATCH (a)-[:L]->(b:Q) WHERE b.y > t "
+        "RETURN a.name AS name, b.y AS y ORDER BY name"
+    )
+    assert rows == [{"name": "a1", "y": 10}, {"name": "a2", "y": None}]
+
+
+def test_labels_full_membership_after_set_label(g):
+    g.query("CREATE (:Person {name: 'a'})")
+    g.query("CREATE (:Person {name: 'b'})")
+    g.query("MATCH (n:Person {name: 'a'}) SET n:Admin")
+    rows = g.query(
+        "MATCH (n:Person) RETURN n.name AS name, join(labels(n), '|') AS ls "
+        "ORDER BY name"
+    )
+    assert rows == [
+        {"name": "a", "ls": "Admin|Person"},
+        {"name": "b", "ls": "Person"},
+    ]
+    # scanning the secondary label also reports full membership
+    assert g.query("MATCH (n:Admin) RETURN join(labels(n), '|') AS ls") == [
+        {"ls": "Admin|Person"}
+    ]
+
+
+def test_undirected_self_loop_matches_once(g):
+    g.query("CREATE (a:N {name: 'a'})")
+    g.query("MATCH (a:N) CREATE (a)-[:T]->(a)")
+    rows = g.query("MATCH (a:N)-[:T]-(x) RETURN count(*) AS c")
+    assert rows == [{"c": 1}]
+    # a normal (non-loop) edge still matches in both orientations
+    g.query("CREATE (p:M {name: 'p'})-[:U]->(q:M {name: 'q'})")
+    rows2 = g.query("MATCH (m:M)-[:U]-(x) RETURN count(*) AS c")
+    assert rows2 == [{"c": 2}]

@@ -213,6 +213,22 @@ _CYPHER: dict[str, str] = {
         MATCH (e:Event)
         RETURN toInteger(e.props.k) % 10 AS bucket, count(*) AS cnt
         ORDER BY bucket""",
+    # §2.8 week-date/ordinal/quarter constructors + IANA-zone datetimes
+    # (zone-shifted accessors, offset, epoch) — reference
+    # src/translator.ts:69-130, 6418-6806
+    "q_temporal_funcs": """
+        MATCH (o:Order) WHERE o.orderkey <= 40
+        WITH o.orderkey AS orderkey, o.orderdate.year AS yr,
+             datetime('2020-06-01T12:30:45[America/New_York]') AS zd,
+             datetime({year: 2021, month: 3, day: 14, hour: 5, minute: 30,
+                       timezone: 'Asia/Tokyo'}) AS tk
+        RETURN orderkey,
+               date({year: yr, ordinalDay: 60}) AS ord60,
+               date({year: yr, week: 9, dayOfWeek: 2}) AS w9t,
+               date({year: yr, quarter: 2, dayOfQuarter: 20}) AS q2,
+               zd.epochSeconds AS zes, zd.offset AS zoff, zd.day AS zday,
+               tk.epochSeconds AS tkes, tk.offset AS tkoff
+        ORDER BY orderkey""",
     # TPC-H Q5 analog: local-supplier revenue per nation
     "q_tpch_q5": """
         MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part),
@@ -410,6 +426,25 @@ _ORACLE: dict[str, str] = {
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
                count(*) AS cnt
         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_temporal_funcs": """
+        SELECT o_orderkey AS orderkey,
+               (make_date(CAST(year(o_orderdate) AS INT), 1, 1)
+                + 59)::DATE AS ord60,
+               (make_date(CAST(year(o_orderdate) AS INT), 1, 4)
+                - CAST(
+                    isodow(make_date(CAST(year(o_orderdate) AS INT), 1, 4)) - 1
+                    AS INT)
+                + 57)::DATE AS w9t,
+               (make_date(CAST(year(o_orderdate) AS INT), 4, 1)
+                + 19)::DATE AS q2,
+               CAST(epoch(TIMESTAMP '2020-06-01 12:30:45'
+                          AT TIME ZONE 'America/New_York') AS BIGINT) AS zes,
+               '-04:00' AS zoff,
+               CAST(1 AS BIGINT) AS zday,
+               CAST(epoch(TIMESTAMP '2021-03-14 05:30:00'
+                          AT TIME ZONE 'Asia/Tokyo') AS BIGINT) AS tkes,
+               '+09:00' AS tkoff
+        FROM orders WHERE o_orderkey <= 40 ORDER BY 1""",
     "q_tpch_q5": """
         SELECT n_name AS nation,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -608,19 +643,26 @@ def _p_ann_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+_IVF_INDEXES: dict = {}
+
+
 def _p_ivf_topk(spark, sf_dir):
     """IVF (coarse-quantizer) approximate top-k — the inverted-file scale
-    path beside the LSH variant; deterministic k-means, n_probe clusters."""
+    path beside the LSH variant; deterministic k-means, n_probe clusters.
+    The index (centroids + persisted assignments) is built once per corpus
+    and reused across query calls."""
     from pyspark.sql import functions as F
 
     from nicefox_graphdb_spark.operators import similarity as sim
 
     emb = _tables(spark, sf_dir)["embeddings"]
+    key = (id(spark), sf_dir)
+    if key not in _IVF_INDEXES:
+        _IVF_INDEXES[key] = sim.build_ivf_index(
+            emb, "vec_id", "embedding", dim=64, n_clusters=16
+        )
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return sim.ivf_topk(
-        emb, "vec_id", "embedding", qv, dim=64, k=10,
-        n_clusters=16, n_probe=4, exclude_id=0,
-    )
+    return _IVF_INDEXES[key].query(qv, k=10, n_probe=4, exclude_id=0)
 
 
 def _p_multimodal_features(spark, sf_dir):

@@ -44,6 +44,10 @@ HEADLINE = [
     "q_text_stats",
     "q_embed_topk",
     "q_stream_hourly",
+    # the expensive families, measured on purpose: prefix-filtered
+    # similarity self-join and iterative graph analytics
+    "q_ngram_jaccard",
+    "q_connected_components",
 ]
 
 

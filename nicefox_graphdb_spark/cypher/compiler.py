@@ -421,12 +421,115 @@ class CypherToSpark:
         if m.optional:
             return self._compile_optional_match(state, m)
         new_edge_vars: list[VarInfo] = []
-        for path in m.paths:
+        where_scores = self._selectivity_scores(m.where)
+        paths = self._order_paths(m.paths, state.scope, where_scores)
+        for path in paths:
+            path = self._maybe_reverse_path(path, state.scope, where_scores)
             state = self._compile_path(state, path, new_edge_vars)
         state = self._apply_edge_uniqueness(state, new_edge_vars)
         if m.where is not None:
             state = self._apply_where(state, m.where)
         return state
+
+    # -- selectivity-aware pattern ordering ---------------------------------
+    # DataFrame-chained joins are NOT reordered by Catalyst/AQE (no CBO
+    # stats), so written-order compilation makes a highly selective filter
+    # on the LAST pattern element prune only the last join — the full
+    # fan-out is materialized first. Anchor each path at its most selective
+    # element instead (the reference picks index-backed anchors the same
+    # way its SQLite planner would).
+    @staticmethod
+    def _conjuncts(expr: ast.Expr) -> list[ast.Expr]:
+        if isinstance(expr, ast.Binary) and expr.op == "AND":
+            return CypherToSpark._conjuncts(expr.left) + CypherToSpark._conjuncts(
+                expr.right
+            )
+        return [expr]
+
+    def _selectivity_scores(self, where: ast.Expr | None) -> dict[str, float]:
+        """Per-variable selectivity weight from top-level WHERE conjuncts
+        that reference exactly one variable (OR-branches prune nothing)."""
+        scores: dict[str, float] = {}
+        if where is None:
+            return scores
+        for c in self._conjuncts(where):
+            names = _expr_var_names(c)
+            if len(names) != 1:
+                continue
+            v = next(iter(names))
+            if isinstance(c, ast.Binary) and c.op in ("=", "IN"):
+                w = 2.0
+            elif isinstance(c, ast.Binary) and c.op in (
+                "<", "<=", ">", ">=", "STARTSWITH",
+            ):
+                w = 0.5
+            else:
+                w = 0.25
+            scores[v] = scores.get(v, 0.0) + w
+        return scores
+
+    @staticmethod
+    def _node_score(
+        np_: ast.NodePattern, scope: Scope, where_scores: dict[str, float]
+    ) -> float:
+        s = 0.0
+        if np_.var and np_.var in scope:
+            s += 3.0  # already bound: the binding table is the anchor
+        if np_.props is not None:
+            s += 2.0 * len(np_.props.items)
+        if np_.var:
+            s += where_scores.get(np_.var, 0.0)
+        return s
+
+    def _order_paths(
+        self,
+        paths: list[ast.PatternPath],
+        scope: Scope,
+        where_scores: dict[str, float],
+    ) -> list[ast.PatternPath]:
+        if len(paths) < 2:
+            return list(paths)
+
+        def best(p: ast.PatternPath) -> float:
+            return max(
+                self._node_score(el, scope, where_scores)
+                for el in p.elements
+                if isinstance(el, ast.NodePattern)
+            )
+
+        # stable: ties keep written order
+        return sorted(paths, key=best, reverse=True)
+
+    def _maybe_reverse_path(
+        self,
+        path: ast.PatternPath,
+        scope: Scope,
+        where_scores: dict[str, float],
+    ) -> ast.PatternPath:
+        els = path.elements
+        if path.name or path.shortest is not None or len(els) < 3:
+            return path
+        # var-length expansion seeds from the left; keep written orientation
+        if any(
+            isinstance(e, ast.RelPattern) and e.var_length for e in els
+        ):
+            return path
+        first, last = els[0], els[-1]
+        assert isinstance(first, ast.NodePattern) and isinstance(
+            last, ast.NodePattern
+        )
+        if self._node_score(last, scope, where_scores) <= self._node_score(
+            first, scope, where_scores
+        ):
+            return path
+        flip = {"out": "in", "in": "out", "both": "both"}
+        rev: list = []
+        for e in reversed(els):
+            if isinstance(e, ast.RelPattern):
+                rev.append(replace(e, direction=flip[e.direction]))
+            else:
+                rev.append(e)
+        return replace(path, elements=rev)
 
     def _compile_path(
         self,
@@ -1182,7 +1285,9 @@ class CypherToSpark:
             tc = self._compile_expr(state, item.expr)
             colname = vcol(alias, "val")
             new_cols[colname] = tc.col
-            out_scope.bind(VarInfo(name=alias, kind="value", dtype=tc.dtype))
+            out_scope.bind(
+                VarInfo(name=alias, kind="value", dtype=tc.dtype, tz=tc.tz)
+            )
             output_cols.append(colname)
         for name, col in new_cols.items():
             df = df.withColumn(name, col)
@@ -1249,7 +1354,9 @@ class CypherToSpark:
                 colname = vcol(alias, "val")
                 pre_cols[colname] = tc.col
                 group_cols.append(colname)
-                out_scope.bind(VarInfo(name=alias, kind="value", dtype=tc.dtype))
+                out_scope.bind(
+                VarInfo(name=alias, kind="value", dtype=tc.dtype, tz=tc.tz)
+            )
                 output_cols.append(colname)
 
         for name, col in pre_cols.items():
@@ -1324,7 +1431,9 @@ class CypherToSpark:
             colname = vcol(alias, "val")
             agg_df = agg_df.withColumn(colname, tc.col)
             post_state = CompileState(df=agg_df, scope=post_scope)
-            out_scope.bind(VarInfo(name=alias, kind="value", dtype=tc.dtype))
+            out_scope.bind(
+                VarInfo(name=alias, kind="value", dtype=tc.dtype, tz=tc.tz)
+            )
             output_cols.append(colname)
 
         order_scope = Scope()
@@ -1401,12 +1510,15 @@ class CypherToSpark:
             p = self._compile_expr(state, call.args[1]).col
             if name == "percentilecont":
                 return F.percentile(tc.col, p), T.DoubleType()
-            # discrete percentile via sorted-collect + index
-            arr = F.sort_array(F.collect_list(tc.col))
-            idx = F.greatest(
-                F.ceil(p * F.size(arr)).cast("int"), F.lit(1)
+            # discrete percentile = smallest element with rank >= ceil(p*N).
+            # percentile_approx returns an actual column element with rank
+            # error <= N/accuracy — EXACT for groups under `accuracy` rows,
+            # and bounded sketch memory (no whole-group collect_list that
+            # OOMs an executor on a skewed group at 100x scale) beyond it.
+            return (
+                F.percentile_approx(tc.col, p, F.lit(1_000_000)),
+                tc.dtype,
             )
-            return F.element_at(arr, idx), tc.dtype
         raise CypherCompileError(f"unknown aggregate {name}()")
 
     # -- write clauses (reference: translator INSERT/UPDATE/DELETE emission

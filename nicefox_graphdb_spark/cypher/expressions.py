@@ -36,6 +36,11 @@ class CypherCompileError(Exception):
 class TypedCol:
     col: Column
     dtype: Optional[T.DataType] = None
+    # IANA zone attached to a zoned datetime value. Spark timestamps are
+    # zone-less instants; the zone rides as compile-time metadata (the
+    # reference stores it inside its ISO strings, src/translator.ts:69-130)
+    # so component accessors read wall-clock values in that zone.
+    tz: Optional[str] = None
 
 
 _NUMERIC_INT = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -189,7 +194,9 @@ class ExprCompiler:
         if info is None:
             raise CypherCompileError(f"variable `{name}` not defined")
         if info.kind == "value":
-            return TypedCol(F.col(vcol(name, "val")), info.dtype)
+            return TypedCol(
+                F.col(vcol(name, "val")), info.dtype, tz=getattr(info, "tz", None)
+            )
         if info.kind in ("node", "edge"):
             # generic value position: the entity's identity (id equality is
             # Cypher node/edge equality — reference src/translator.ts:4739)
@@ -215,9 +222,18 @@ class ExprCompiler:
         "dayofweek": F.dayofweek,
         "quarter": F.quarter,
         "ordinalday": F.dayofyear,
+        # sub-second components (timestamps are microsecond-precision, so
+        # nanosecond reports micros*1000 — reference src/translator.ts:13221+)
+        "millisecond": lambda c: F.floor(
+            (F.unix_micros(c) % 1_000_000) / 1000
+        ),
+        "microsecond": lambda c: F.unix_micros(c) % 1_000_000,
+        "nanosecond": lambda c: (F.unix_micros(c) % 1_000_000) * 1000,
         "epochseconds": lambda c: F.unix_timestamp(c),
         "epochmillis": lambda c: F.unix_millis(c),
     }
+    # accessors reading the absolute instant (never zone-shifted)
+    _INSTANT_ACCESSORS = {"epochseconds", "epochmillis"}
 
     def _prop(self, e: ast.Prop) -> TypedCol:
         if isinstance(e.base, ast.Var) and e.base.name not in self.ctx.lambdas:
@@ -234,10 +250,33 @@ class ExprCompiler:
         base = self.compile(e.base)
         # temporal accessors: d.year, d.month, ... on date/timestamp values
         if _is_temporal(base.dtype):
-            fn = self._TEMPORAL_ACCESSORS.get(e.key.lower())
+            key = e.key.lower()
+            if key == "timezone":
+                return TypedCol(F.lit(base.tz or "Z"), T.StringType())
+            if key == "offset":
+                # wall-clock minus instant = UTC offset at that instant
+                local = F.from_utc_timestamp(base.col, base.tz or "UTC")
+                secs = F.unix_timestamp(local) - F.unix_timestamp(base.col)
+                sign = F.when(secs < 0, F.lit("-")).otherwise(F.lit("+"))
+                mag = F.abs(secs)
+                return TypedCol(
+                    F.concat(
+                        sign,
+                        F.lpad(F.floor(mag / 3600).cast("string"), 2, "0"),
+                        F.lit(":"),
+                        F.lpad(
+                            F.floor((mag % 3600) / 60).cast("string"), 2, "0"
+                        ),
+                    ),
+                    T.StringType(),
+                )
+            fn = self._TEMPORAL_ACCESSORS.get(key)
             if fn is None:
                 raise CypherCompileError(f"unknown temporal accessor .{e.key}")
-            return TypedCol(fn(base.col).cast("long"), T.LongType())
+            col = base.col
+            if base.tz and key not in self._INSTANT_ACCESSORS:
+                col = F.from_utc_timestamp(col, base.tz)
+            return TypedCol(fn(col).cast("long"), T.LongType())
         dtype = None
         if isinstance(base.dtype, T.StructType):
             match = [f_ for f_ in base.dtype.fields if f_.name == e.key]
@@ -722,41 +761,92 @@ def _map_args(comp: ExprCompiler, m: ast.MapLit) -> dict[str, Column]:
     return {k.lower(): comp.compile(v).col for k, v in m.items}
 
 
+def _date_from_parts(m: dict[str, Column]) -> Column:
+    """Calendar / ISO-week / ordinal / quarter date forms (reference
+    src/translator.ts:6418-6806)."""
+    year = m.get("year", F.lit(1970)).cast("int")
+    if "week" in m:
+        # ISO 8601 week date: week 1 always contains Jan 4; weekday() is
+        # Monday=0, so jan4 - weekday(jan4) is week 1's Monday
+        jan4 = F.make_date(year, F.lit(1), F.lit(4))
+        monday1 = F.date_sub(jan4, F.weekday(jan4))
+        off = (m["week"].cast("int") - 1) * 7 + (
+            m.get("dayofweek", F.lit(1)).cast("int") - 1
+        )
+        return F.date_add(monday1, off)
+    if "ordinalday" in m:
+        return F.date_add(
+            F.make_date(year, F.lit(1), F.lit(1)),
+            m["ordinalday"].cast("int") - 1,
+        )
+    if "quarter" in m:
+        q_start = F.add_months(
+            F.make_date(year, F.lit(1), F.lit(1)),
+            (m["quarter"].cast("int") - 1) * 3,
+        )
+        return F.date_add(q_start, m.get("dayofquarter", F.lit(1)).cast("int") - 1)
+    return F.make_date(
+        year, m.get("month", F.lit(1)).cast("int"), m.get("day", F.lit(1)).cast("int")
+    )
+
+
 def _fn_date(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     if not args:
         return TypedCol(F.current_date(), T.DateType())
     if isinstance(args[0], ast.MapLit):
         m = _map_args(comp, args[0])
-        return TypedCol(
-            F.make_date(
-                m.get("year", F.lit(1970)),
-                m.get("month", F.lit(1)),
-                m.get("day", F.lit(1)),
-            ),
-            T.DateType(),
-        )
+        return TypedCol(_date_from_parts(m), T.DateType())
     return TypedCol(F.to_date(_c(comp, args, 0).col), T.DateType())
+
+
+# trailing [Zone] on an ISO datetime literal, e.g.
+# '2020-01-01T00:00:00[America/New_York]'
+_ZONED_LITERAL_RE = re.compile(r"^(?P<local>.+?)\[(?P<zone>[A-Za-z][\w/+\-]*)\]$")
+
+
+def _literal_tz(arg: ast.Expr) -> Optional[str]:
+    """Compile-time IANA zone from a map's `timezone` key."""
+    if isinstance(arg, ast.Literal) and isinstance(arg.value, str):
+        return arg.value
+    raise CypherCompileError("timezone must be a string literal")
 
 
 def _fn_datetime(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     if not args:
         return TypedCol(F.current_timestamp(), T.TimestampType())
     if isinstance(args[0], ast.MapLit):
+        tz = None
+        for k, v in args[0].items:
+            if k.lower() == "timezone":
+                tz = _literal_tz(v)
         m = _map_args(comp, args[0])
-        return TypedCol(
-            F.make_timestamp(
-                m.get("year", F.lit(1970)).cast("int"),
-                m.get("month", F.lit(1)).cast("int"),
-                m.get("day", F.lit(1)).cast("int"),
-                m.get("hour", F.lit(0)).cast("int"),
-                m.get("minute", F.lit(0)).cast("int"),
-                (
-                    m.get("second", F.lit(0)).cast("double")
-                    + m.get("millisecond", F.lit(0)).cast("double") / 1000.0
-                ),
-            ),
-            T.TimestampType(),
+        date_col = _date_from_parts(m)
+        sec = (
+            m.get("second", F.lit(0)).cast("double")
+            + m.get("millisecond", F.lit(0)).cast("double") / 1000.0
+            + m.get("microsecond", F.lit(0)).cast("double") / 1_000_000.0
+            + m.get("nanosecond", F.lit(0)).cast("double") / 1_000_000_000.0
         )
+        local = F.make_timestamp(
+            F.year(date_col),
+            F.month(date_col),
+            F.dayofmonth(date_col),
+            m.get("hour", F.lit(0)).cast("int"),
+            m.get("minute", F.lit(0)).cast("int"),
+            sec,
+        )
+        if tz is not None:
+            # interpret the wall-clock parts in the zone; store the instant
+            return TypedCol(F.to_utc_timestamp(local, tz), T.TimestampType(), tz=tz)
+        return TypedCol(local, T.TimestampType())
+    if isinstance(args[0], ast.Literal) and isinstance(args[0].value, str):
+        zm = _ZONED_LITERAL_RE.match(args[0].value)
+        if zm:
+            local = F.to_timestamp(F.lit(zm.group("local")))
+            zone = zm.group("zone")
+            return TypedCol(
+                F.to_utc_timestamp(local, zone), T.TimestampType(), tz=zone
+            )
     return TypedCol(F.to_timestamp(_c(comp, args, 0).col), T.TimestampType())
 
 

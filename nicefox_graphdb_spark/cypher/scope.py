@@ -42,6 +42,7 @@ class VarInfo:
     types: list[str] = field(default_factory=list)  # edge: resolved types
     props: dict[str, T.DataType] = field(default_factory=dict)
     dtype: T.DataType | None = None  # value vars
+    tz: str | None = None  # value vars holding zoned datetimes (IANA zone)
     var_length: bool = False  # edge vars bound by *min..max patterns
     has_label_col: bool = False  # node came from a union scan
 

@@ -68,13 +68,15 @@ def jaccard_pairs(
     Output: id_a, id_b, jaccard (rounded to 6dp for stable comparison).
 
     Candidate generation uses **prefix filtering** (the PPJoin family's core
-    trick): order each doc's shingles canonically (by hash), index only the
-    first `sz - ceil(t*sz) + 1` of them. Any pair with Jaccard >= t MUST
-    share a prefix shingle, so the result is exactly the full self-join's —
-    but the inverted index (and the quadratic join fan-out) shrinks by ~t.
-    A size-ratio predicate (`t*|A| <= |B| <= |A|/t`) prunes candidates
-    before the exact verify. Both optimizations are lossless — the SQL
-    oracle computes the naive full join and must agree.
+    trick): order each doc's shingles by ascending global corpus frequency,
+    index only the first `sz - ceil(t*sz) + 1` of them. Any pair with
+    Jaccard >= t MUST share a prefix shingle (valid at EVERY t, since
+    J >= t forces overlap >= ceil(t*max(|A|,|B|))), so the result is
+    exactly the full self-join's — and the corpus's hottest shingles sort
+    into every doc's suffix, so they are never indexed at all. A size-ratio
+    predicate (`t*|A| <= |B| <= |A|/t`) and the PPJoin positional bound
+    prune candidates before the exact verify. All three optimizations are
+    lossless — the SQL oracle computes the naive full join and must agree.
     """
     base = df.select(F.col(id_col).alias("id"), shingles_col.alias("sh"))
     if max_shingle_freq is not None:
@@ -103,66 +105,71 @@ def jaccard_pairs(
     size_ok = (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")) & (
         F.col("sz_b") * F.lit(threshold) <= F.col("sz_a")
     )
-    if threshold >= 0.5:
-        # prefix-filtered candidate generation (pairs only — arrays are
-        # re-attached per candidate, never shuffled through the fan-out)
-        canon = F.transform(
-            F.array_sort(
-                F.transform(
-                    F.col("sh"),
-                    lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
-                )
-            ),
-            lambda x: x.getField("s"),
-        )
-        prefix_len = (
-            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
-        )
-        pref = base.withColumn(
-            "__prefix", F.slice(canon, 1, F.greatest(prefix_len, F.lit(1)))
-        ).select("id", "sz", F.explode("__prefix").alias("shingle"))
-        a = pref.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
-        b = pref.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
-        cands = (
-            a.join(b, on="shingle")
-            .where((F.col("id_a") < F.col("id_b")) & size_ok)
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        full_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-        full_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-        verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
-        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-        union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-        return (
-            verified.withColumn("jaccard", F.round(inter / union, 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-    # low threshold: lean count-based full join (only (id, sz, shingle)
-    # tuples shuffle); size-ratio predicate prunes inside the join
-    sizes = base.select("id", "sz")
-    inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
-    a = inv.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "shingle")
-    b = inv.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "shingle")
-    common = (
-        a.join(b, on="shingle")
-        .where((F.col("id_a") < F.col("id_b")) & size_ok)
-        .groupBy("id_a", "id_b")
+    # Canonical order = ascending GLOBAL corpus frequency (ties by value):
+    # J >= t implies overlap c >= ceil(t*max(|A|,|B|)), so indexing only the
+    # first sz - ceil(t*sz) + 1 shingles of each doc is LOSSLESS at every t
+    # (the first shared shingle in a global total order lands inside both
+    # prefixes). Frequency ordering puts the corpus's hottest shingles at
+    # the END of every doc, i.e. outside every prefix — the hot-key
+    # quadratic join blowup disappears instead of being capped.
+    inv = base.select("id", F.explode("sh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count("*").alias("f"))
+    canon = (
+        inv.join(freq, on="shingle")
+        .groupBy("id")
         .agg(
-            F.count("*").alias("common"),
-            F.first("sz_a").alias("sz_a"),
-            F.first("sz_b").alias("sz_b"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "shingle"))),
+                lambda x: x.getField("shingle"),
+            ).alias("canon")
         )
     )
-    return (
-        common.withColumn(
-            "jaccard",
-            F.round(
-                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-                6,
-            ),
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    )
+    pref = (
+        base.select("id", "sz")
+        .join(canon, on="id")
+        .withColumn("__prefix", F.slice("canon", 1, F.greatest(prefix_len, F.lit(1))))
+        .select(
+            "id",
+            "sz",
+            F.posexplode("__prefix").alias("pos", "shingle"),
         )
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"), "shingle",
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"), "shingle",
+    )
+    # PPJoin positional filter: at the first shared canonical shingle, the
+    # remaining suffixes bound the overlap; a qualifying pair always
+    # survives via that first-shared row, so dropping later rows is lossless
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("sz_a") + F.col("sz_b"))
+    )
+    pos_ok = (
+        1 + F.least(F.col("sz_a") - 1 - F.col("pos_a"),
+                    F.col("sz_b") - 1 - F.col("pos_b"))
+    ) >= alpha
+    cands = (
+        a.join(b, on="shingle")
+        .where((F.col("id_a") < F.col("id_b")) & size_ok & pos_ok)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # arrays re-attached per CANDIDATE only — never shuffled through the
+    # inverted-index fan-out
+    full_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    full_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -201,9 +208,12 @@ def minhash_lsh_pairs(
     base = df.select(F.col(id_col).alias("id"), shingles_col.alias("sh")).select(
         "id", "sh", minhash_signature(F.col("sh"), k).alias("sig")
     )
+    # band (id, band, bucket) ONLY — the shingle arrays must not ride
+    # through the bands-x explode, the bucket-join fan-out, or the pair
+    # dedup (at corpus scale that's a bands-fold payload amplification
+    # through the shuffle); they are re-attached per CANDIDATE below
     banded = base.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -220,23 +230,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
-    )
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (
         left.join(right, on=["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    full_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    full_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
-        cands.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

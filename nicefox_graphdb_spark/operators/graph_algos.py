@@ -139,10 +139,11 @@ def pagerank(
         F.lit(1.0).alias("rank"),
     )
     for i in range(n_iter):
-        dangling = (
-            state.where(F.col("out_degree") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass as a 1-row aggregate FRAME folded into the superstep
+        # (broadcast nested-loop with one row) — a driver-side collect here
+        # would schedule an extra job per superstep over the whole lineage
+        dang = state.where(F.col("out_degree") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
         )
         contribs = (
             edges.join(state, edges["src"] == state["id"])
@@ -154,16 +155,22 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("incoming"))
         )
-        state = state.select("id", "out_degree").join(
-            contribs, on="id", how="left"
-        ).select(
-            "id",
-            "out_degree",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping)
-                * (F.coalesce("incoming", F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
+        state = (
+            state.select("id", "out_degree")
+            .join(contribs, on="id", how="left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                "out_degree",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("incoming", F.lit(0.0))
+                        + F.col("__dang") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
         )
         if i % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
             state = state.localCheckpoint(eager=True)

@@ -143,6 +143,73 @@ def _kmeans_centroids(
     return centroids
 
 
+class IvfIndex:
+    """A built IVF index: trained centroids + the corpus with persisted
+    cluster assignments (plus precomputed norms). Build ONCE per corpus
+    (`build_ivf_index`), then serve any number of queries (`query`) — each
+    query scans only its probed clusters, never re-trains or re-assigns
+    (training per query was the round-1 anti-pattern)."""
+
+    def __init__(self, centroids: list[list[float]], assigned: DataFrame):
+        self.centroids = centroids
+        self.assigned = assigned  # id, v, nrm, cluster (persisted)
+
+    def query(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 4,
+        exclude_id=None,
+    ) -> DataFrame:
+        import math
+
+        qnorm = math.sqrt(sum(x * x for x in query_vec))
+
+        def dist2(c):
+            return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+        probe = sorted(
+            range(len(self.centroids)), key=lambda i: dist2(self.centroids[i])
+        )[:n_probe]
+        cand = self.assigned.where(F.col("cluster").isin(probe))
+        if exclude_id is not None:
+            cand = cand.where(F.col("id") != exclude_id)
+        q_col = F.array(*[F.lit(float(x)) for x in query_vec])
+        out = cand.select(
+            "id",
+            F.round(
+                dot(F.col("v"), q_col) / (F.col("nrm") * F.lit(qnorm)), 6
+            ).alias("cosine"),
+        )
+        return out.orderBy(F.col("cosine").desc(), F.col("id")).limit(k)
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+) -> IvfIndex:
+    """Train the coarse quantizer and persist cluster assignments + norms.
+    Deterministic: same data → same centroids → same index. At cluster
+    scale the assigned frame would be written out partitioned by
+    `cluster` so probes prune partitions; here `.persist()` plays that role.
+    """
+    centroids = _kmeans_centroids(df, id_col, vec_col, dim, n_clusters, n_iter)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    assigned = (
+        base.join(_assign_clusters(base, centroids), on="id")
+        .withColumn("nrm", norm(F.col("v")))
+        .persist()
+    )
+    return IvfIndex(centroids, assigned)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -153,38 +220,15 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     exclude_id=None,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
-    """IVF approximate nearest neighbors: train a coarse quantizer, probe
-    only the n_probe clusters nearest the query, exact cosine inside them.
-
-    The scan is cut to ~n_probe/n_clusters of the corpus — the standard
-    inverted-file trade (recall grows with n_probe). Deterministic: same
-    data → same centroids → same answer.
-    """
-    import math
-
-    centroids = _kmeans_centroids(df, id_col, vec_col, dim, n_clusters)
-    qnorm = math.sqrt(sum(x * x for x in query_vec))
-
-    def dist2(c):
-        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
-
-    probe = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[
-        :n_probe
-    ]
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    assigned = base.join(_assign_clusters(base, centroids), on="id")
-    cand = assigned.where(F.col("cluster").isin(probe))
-    if exclude_id is not None:
-        cand = cand.where(F.col("id") != exclude_id)
-    q_col = F.array(*[F.lit(float(x)) for x in query_vec])
-    out = cand.select(
-        "id",
-        F.round(dot(F.col("v"), q_col) / (norm(F.col("v")) * F.lit(qnorm)), 6).alias(
-            "cosine"
-        ),
-    )
-    return out.orderBy(F.col("cosine").desc(), F.col("id")).limit(k)
+    """IVF approximate nearest neighbors: probe the n_probe clusters nearest
+    the query, exact cosine inside them (~n_probe/n_clusters of the corpus
+    scanned; recall grows with n_probe). Pass a prebuilt ``index`` to serve
+    repeated queries; otherwise one is built ad hoc."""
+    if index is None:
+        index = build_ivf_index(df, id_col, vec_col, dim, n_clusters)
+    return index.query(query_vec, k=k, n_probe=n_probe, exclude_id=exclude_id)
 
 
 def ann_neardup_pairs(
@@ -215,23 +259,25 @@ def ann_neardup_pairs(
                 lsh_bucket(F.col("v"), planes).alias("bucket"),
             )
         )
+    # (id, table, bucket) only through the bucket join + pair dedup; the
+    # vectors are re-attached per candidate (no tables-fold payload
+    # amplification through the shuffle)
     bucketed = base.select(
-        "id", "v", F.explode(F.array(*bucket_structs)).alias("tb")
-    ).select("id", "v", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    a = bucketed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "table", "bucket"
-    )
-    b = bucketed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "table", "bucket"
-    )
+        "id", F.explode(F.array(*bucket_structs)).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    a = bucketed.select(F.col("id").alias("id_a"), "table", "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "table", "bucket")
     cands = (
         a.join(b, on=["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    full_a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    full_b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
     return (
-        cands.withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        verified.withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

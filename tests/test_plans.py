@@ -79,3 +79,53 @@ def test_match_continuation_after_with(engine):
         {"region": "AFRICA", "nations": 5},
         {"region": "AMERICA", "nations": 5},
     ]
+
+
+def test_percentile_disc_no_group_materialization(engine):
+    plan = plan_of(
+        engine,
+        "MATCH (o:Order) RETURN o.orderstatus AS st, "
+        "percentileDisc(o.totalprice, 0.9) AS p90 ORDER BY st",
+    )
+    # bounded-memory sketch aggregate, not a whole-group collect_list
+    assert "collect_list" not in plan
+    assert "percentile_approx" in plan
+
+
+def _scan_order(plan: str) -> list[str]:
+    """Parquet table names in physical-plan leaf order (leftmost-deepest
+    first = first joined)."""
+    import re
+
+    return [
+        m.group(1)
+        for m in re.finditer(r"/(\w+)\.parquet\]", plan)
+    ]
+
+
+def test_selective_filter_anchors_join_order(engine):
+    # p.brand is the only selective predicate: the part scan must be the
+    # join anchor, not the tail of the customer->order->lineitem fan-out
+    plan = plan_of(
+        engine,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part) "
+        "WHERE p.brand = 'Brand#11' "
+        "RETURN c.name AS name, sum(l.quantity) AS qty",
+    )
+    order = _scan_order(plan)
+    assert order and order[0] == "part"
+    assert "EqualTo(p_brand,Brand#11)" in plan
+
+
+def test_selective_second_path_compiled_first(engine):
+    # TPC-H Q5 shape: r.name = 'ASIA' must anchor the whole match
+    plan = plan_of(
+        engine,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part), "
+        "(c)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+        "WHERE r.name = 'ASIA' "
+        "RETURN n.name AS nation, sum(l.extendedprice) AS rev",
+    )
+    order = _scan_order(plan)
+    assert order and order[0] == "region"
+    assert "EqualTo(r_name,ASIA)" in plan

@@ -1461,7 +1461,19 @@ class CypherToSpark:
             return F.count(tc.col), T.LongType()
         tc = self._compile_expr(state, call.args[0])
         if name == "sum":
-            return F.sum(tc.col), tc.dtype
+            # sum of no values is 0, not null (openCypher; reference
+            # aggregation parity) — min/max/avg stay null. A VOID input
+            # (unknown/missing property) sums to INTEGER 0, not 0.0.
+            if isinstance(tc.dtype, T.NullType):
+                # always-null input: constant 0, typed long (never 0.0)
+                return (
+                    F.coalesce(
+                        F.sum(tc.col.cast("long")), F.lit(0).cast("long")
+                    ),
+                    T.LongType(),
+                )
+            zero = F.lit(0).cast(tc.dtype) if tc.dtype else F.lit(0)
+            return F.coalesce(F.sum(tc.col), zero), tc.dtype
         if name == "avg":
             return F.avg(tc.col), T.DoubleType()
         if name == "min":
@@ -1484,7 +1496,12 @@ class CypherToSpark:
                     tc.col.alias("__cv"),
                 )
                 arr = F.sort_array(F.collect_list(packed), asc=not desc)
-                col = F.transform(arr, lambda s: s.getField("__cv"))
+                col = F.filter(
+                    # collect() skips nulls; the struct packing would
+                    # otherwise smuggle them through collect_list
+                    F.transform(arr, lambda s: s.getField("__cv")),
+                    lambda v: v.isNotNull(),
+                )
                 return col, T.ArrayType(tc.dtype) if tc.dtype else None
             return F.collect_list(tc.col), (
                 T.ArrayType(tc.dtype) if tc.dtype else None
@@ -1598,7 +1615,9 @@ class CypherToSpark:
                     f"variable `{var}` already bound; cannot re-create"
                 )
             return state, var
-        label = self._single_label(np_, var)
+        if not np_.labels:
+            raise CypherCompileError(f"CREATE node `{var}` requires a label")
+        label = np_.labels[0]
         props = self._compiled_props(state, np_.props)
         df = state.require_df().withColumn(vcol(var, "id"), F.expr("uuid()"))
         prop_types: dict[str, T.DataType] = {}
@@ -1611,8 +1630,16 @@ class CypherToSpark:
             *[F.col(pcol(var, k)).alias(k) for k in props],
         )
         self.store.append_nodes(label, rows)
+        # CREATE (:A:B ...): membership in every extra label table
+        # (reference normalizes multi-label nodes the same way on insert)
+        for extra in np_.labels[1:]:
+            self.store.add_label_to_nodes(label, rows.select("_id"), extra)
         scope = state.scope.copy()
-        scope.bind(VarInfo(name=var, kind="node", labels=[label], props=prop_types))
+        scope.bind(
+            VarInfo(
+                name=var, kind="node", labels=list(np_.labels), props=prop_types
+            )
+        )
         return CompileState(df=df, scope=scope), var
 
     def _create_edge(
@@ -1930,14 +1957,46 @@ class CypherToSpark:
         scope.bind(updated_info)
         return CompileState(df=joined, scope=scope)
 
+    def _merge_standalone_path(
+        self, state: CompileState, m: ast.Merge
+    ) -> CompileState:
+        match_state = self.compile_match(
+            CompileState(df=None, scope=Scope()),
+            ast.Match(paths=[m.path]),
+        )
+        matched = match_state.require_df()
+        if matched.isEmpty():
+            st = self.compile_create(state, ast.Create(paths=[m.path]))
+            if m.on_create:
+                st = self.compile_set(st, ast.SetClause(items=m.on_create))
+            return st
+        out = state.require_df().crossJoin(matched)
+        scope = state.scope.copy()
+        for info in match_state.scope.vars.values():
+            scope.bind(info)
+        st = CompileState(df=out, scope=scope)
+        if m.on_match:
+            st = self.compile_set(st, ast.SetClause(items=m.on_match))
+        return st
+
     def _merge_relationship(self, state: CompileState, m: ast.Merge) -> CompileState:
         left_np, rel, right_np = m.path.elements
         assert isinstance(rel, ast.RelPattern)
-        for np_ in (left_np, right_np):
-            if np_.var is None or np_.var not in state.scope:
-                raise CypherCompileError(
-                    "MERGE relationship endpoints must be bound variables"
-                )
+        unbound = [
+            np_
+            for np_ in (left_np, right_np)
+            if np_.var is None or np_.var not in state.scope
+        ]
+        if unbound:
+            # MERGE of a whole unbound path: match the FULL pattern; if
+            # nothing matches, create the full pattern (openCypher MERGE
+            # atomicity — never a half-created path). Only the uncorrelated
+            # form is supported (no outer binding rows to correlate with).
+            if len(unbound) == 2 and not state.scope.vars:
+                return self._merge_standalone_path(state, m)
+            raise CypherCompileError(
+                "MERGE relationship endpoints must be bound variables"
+            )
         if rel.direction == "both" or len(rel.types) != 1:
             raise CypherCompileError(
                 "MERGE relationship requires a single directed type"

@@ -219,7 +219,8 @@ class ExprCompiler:
         "minute": F.minute,
         "second": F.second,
         "week": F.weekofyear,
-        "dayofweek": F.dayofweek,
+        # ISO-8601: Monday=1..Sunday=7 (Spark's dayofweek is Sunday=1)
+        "dayofweek": lambda c: F.weekday(c) + 1,
         "quarter": F.quarter,
         "ordinalday": F.dayofyear,
         # sub-second components (timestamps are microsecond-precision, so
@@ -248,6 +249,23 @@ class ExprCompiler:
                 # missing property is NULL (Cypher semantics)
                 return TypedCol(F.lit(None), T.NullType())
         base = self.compile(e.base)
+        # duration accessors: duration.between(..).days etc. on intervals
+        if isinstance(
+            base.dtype, (T.DayTimeIntervalType, T.YearMonthIntervalType)
+        ):
+            unit = {
+                "years": "YEAR",
+                "months": "MONTH",
+                "days": "DAY",
+                "hours": "HOUR",
+                "minutes": "MINUTE",
+                "seconds": "SECOND",
+            }.get(e.key.lower())
+            if unit is None:
+                raise CypherCompileError(f"unknown duration accessor .{e.key}")
+            return TypedCol(
+                F.date_part(F.lit(unit), base.col).cast("long"), T.LongType()
+            )
         # temporal accessors: d.year, d.month, ... on date/timestamp values
         if _is_temporal(base.dtype):
             key = e.key.lower()
@@ -342,7 +360,27 @@ class ExprCompiler:
             return TypedCol(left != right, T.BooleanType())  # 3VL XOR
         if op == "IN":
             left, right = self.compile(e.left), self.compile(e.right)
-            return TypedCol(F.array_contains(right.col, left.col), T.BooleanType())
+            lcol, rcol = left.col, right.col
+            # VOID literals (null subject, empty/all-null list) can't feed
+            # array_contains; give them concrete types — the 3VL result is
+            # unaffected (null compares as null against anything)
+            elem_t = right.dtype.elementType if _is_array(right.dtype) else None
+            if isinstance(elem_t, T.NullType):
+                elem_t = left.dtype if left.dtype and not isinstance(
+                    left.dtype, T.NullType
+                ) else T.StringType()
+                rcol = rcol.cast(T.ArrayType(elem_t))
+            if isinstance(left.dtype, T.NullType):
+                lcol = lcol.cast(elem_t or T.StringType())
+            # Cypher IN 3VL: x IN [] is false even for null x; otherwise
+            # array_contains is already three-valued (true if found, null if
+            # the list has nulls or x is null and no match, false else)
+            return TypedCol(
+                F.when(F.size(rcol) == 0, F.lit(False)).otherwise(
+                    F.array_contains(rcol, lcol)
+                ),
+                T.BooleanType(),
+            )
         if op in ("STARTSWITH", "ENDSWITH", "CONTAINS", "REGEX"):
             left, right = self.compile(e.left), self.compile(e.right)
             if op == "STARTSWITH":
@@ -367,6 +405,12 @@ class ExprCompiler:
             }
             return TypedCol(ops[op], T.BooleanType())
         if op == "+":
+            if isinstance(left.dtype, T.NullType) or isinstance(
+                right.dtype, T.NullType
+            ):
+                # null + x is null under EVERY + overload — in particular a
+                # null operand must not become an appended list element
+                return TypedCol(F.lit(None), T.NullType())
             if _is_string(left.dtype) or _is_string(right.dtype):
                 return TypedCol(F.concat(left.col, right.col), T.StringType())
             if _is_array(left.dtype) or _is_array(right.dtype):
@@ -430,7 +474,12 @@ class ExprCompiler:
                     ast.Binary("=", e.test, cond_expr)
                 ).col
             else:
-                cond = self.compile(cond_expr).col
+                cond_tc = self.compile(cond_expr)
+                cond = cond_tc.col
+                if isinstance(cond_tc.dtype, T.NullType):
+                    # WHEN null THEN — a VOID literal needs a boolean type
+                    # for Spark's CASE (null condition = not taken)
+                    cond = cond.cast("boolean")
             then = self.compile(then_expr)
             dtype = dtype or then.dtype
             out = F.when(cond, then.col) if out is None else out.when(cond, then.col)
@@ -514,7 +563,9 @@ class ExprCompiler:
         if name == "duration.between":
             a = self.compile(e.args[0])
             b = self.compile(e.args[1])
-            return TypedCol(b.col - a.col, None)
+            # date-date / timestamp-timestamp subtraction is an ANSI
+            # day-time interval; typing it lets .days/.hours/... dispatch
+            return TypedCol(b.col - a.col, T.DayTimeIntervalType())
         if "." in name:
             # method-call syntax: x.truncate(unit) — the receiver is the
             # dotted prefix (reference translateTemporalTruncate,
@@ -695,11 +746,16 @@ def _fn_tail(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 
 def _fn_range(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
-    a = _c(comp, args, 0).col
-    b = _c(comp, args, 1).col
-    step = _c(comp, args, 2).col if len(args) > 2 else F.lit(1)
+    a = _c(comp, args, 0).col.cast("long")
+    b = _c(comp, args, 1).col.cast("long")
+    step = (_c(comp, args, 2).col if len(args) > 2 else F.lit(1)).cast("long")
+    # Cypher: empty when the step points away from the bound (range(3, 1)
+    # is []) — Spark's sequence would instead auto-descend or throw
+    fits = ((step > 0) & (a <= b)) | ((step < 0) & (a >= b))
     return TypedCol(
-        F.sequence(a.cast("long"), b.cast("long"), step.cast("long")),
+        F.when(fits, F.sequence(a, b, step)).otherwise(
+            F.array().cast("array<long>")
+        ),
         T.ArrayType(T.LongType()),
     )
 

@@ -39,6 +39,8 @@ def get_spark(
         # Cypher semantics: malformed casts / out-of-range list access are
         # NULL, not errors (ANSI mode would throw)
         .config("spark.sql.ansi.enabled", "false")
+        # size(null) is null in Cypher, not -1
+        .config("spark.sql.legacy.sizeOfNull", "false")
         # driver testdata writes TIMESTAMP(NANOS) parquet; read as long and
         # convert to timestamp at load (sources/tpch.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

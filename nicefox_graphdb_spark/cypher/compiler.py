@@ -1448,10 +1448,38 @@ class CypherToSpark:
         agg_df = agg_df.select(*dict.fromkeys(output_cols))
         return agg_df, out_scope, output_cols
 
+    @staticmethod
+    def _reject_nondeterministic(expr: ast.Expr | None) -> None:
+        """Non-deterministic functions inside aggregates are a syntax error
+        (reference translator.ts:5414-5418) — per-row re-evaluation across
+        shuffle retries would make the aggregate unstable."""
+        if expr is None:
+            return
+        if isinstance(expr, ast.FuncCall) and expr.name in (
+            "rand",
+            "randomuuid",
+        ):
+            raise CypherCompileError(
+                "Can't use non-deterministic (random) functions inside of "
+                "aggregate functions."
+            )
+        for f_ in getattr(expr, "__dataclass_fields__", {}):
+            v = getattr(expr, f_)
+            for item in v if isinstance(v, (list, tuple)) else [v]:
+                if isinstance(item, ast.Expr):
+                    CypherToSpark._reject_nondeterministic(item)
+                elif isinstance(item, tuple):
+                    for sub in item:
+                        if isinstance(sub, ast.Expr):
+                            CypherToSpark._reject_nondeterministic(sub)
+
     def _compile_aggregate(
         self, state: CompileState, call: ast.FuncCall
     ) -> tuple[F.Column, T.DataType | None]:
         name = call.name
+        for a in call.args:
+            if not isinstance(a, ast.Star):
+                self._reject_nondeterministic(a)
         if name == "count":
             if call.args and isinstance(call.args[0], ast.Star):
                 return F.count(F.lit(1)), T.LongType()

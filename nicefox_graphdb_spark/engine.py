@@ -60,5 +60,40 @@ class CypherEngine:
 
     execute = query  # reference client API alias (src/types.ts:92-167)
 
+    def query_response(self, cypher: str, params: dict | None = None) -> dict:
+        """Full client response envelope (reference QueryResponse,
+        src/types.ts:55-68): success flag, data rows, meta.count /
+        meta.time_ms, and a structured error with line/column on failure
+        instead of a raised exception."""
+        import time
+
+        from nicefox_graphdb_spark.cypher.parser import CypherSyntaxError
+
+        t0 = time.time()
+        try:
+            data = self.query(cypher, params)
+        except CypherSyntaxError as e:
+            return {
+                "success": False,
+                "data": [],
+                "meta": {"count": 0, "time_ms": int((time.time() - t0) * 1000)},
+                "error": {"message": e.message, "line": e.line, "column": e.col},
+            }
+        except Exception as e:  # noqa: BLE001 — envelope, like the reference
+            return {
+                "success": False,
+                "data": [],
+                "meta": {"count": 0, "time_ms": int((time.time() - t0) * 1000)},
+                "error": {"message": str(e)},
+            }
+        return {
+            "success": True,
+            "data": data,
+            "meta": {
+                "count": len(data),
+                "time_ms": int((time.time() - t0) * 1000),
+            },
+        }
+
     def explain(self, cypher: str, params: dict | None = None, mode: str = "formatted"):
         self.dataframe(cypher, params).explain(mode)

@@ -35,13 +35,21 @@ def char_shingles(col: Column, n: int = 5) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (ARRAY<STRING>), from the shared tokenizer."""
-    toks = tokens(col)
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), cnt)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    """Distinct word n-grams (ARRAY<STRING>), from the shared tokenizer.
+
+    The tokenizer output is let-bound through a one-element-array lambda:
+    referencing ``tokens(col)`` directly inside the per-position transform
+    would make Catalyst re-run the regex split once per shingle position
+    (O(words²) per document — measured 20x slower at sf0.1)."""
+
+    def shingle(toks: Column) -> Column:
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), cnt)
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        )
+
+    return F.get(F.transform(F.array(tokens(col)), shingle), 0)
 
 
 # -- exact ----------------------------------------------------------------
@@ -101,7 +109,10 @@ def jaccard_pairs(
                 ),
             ).alias("sh"),
         )
-    base = base.withColumn("sz", F.size("sh"))
+    # base feeds FOUR scans (freq, canon join, and both verify re-attach
+    # sides) and pref feeds both self-join sides — materialize each once or
+    # the shingle-tokenization lineage recomputes per consumer
+    base = base.withColumn("sz", F.size("sh")).localCheckpoint(eager=True)
     size_ok = (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")) & (
         F.col("sz_b") * F.lit(threshold) <= F.col("sz_a")
     )
@@ -136,6 +147,7 @@ def jaccard_pairs(
             "sz",
             F.posexplode("__prefix").alias("pos", "shingle"),
         )
+        .localCheckpoint(eager=True)
     )
     a = pref.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),

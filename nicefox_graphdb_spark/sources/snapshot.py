@@ -1,0 +1,181 @@
+"""Versioned graph snapshots — the Spark answer to the reference's backup
+sink (reference src/backup.ts: hot SQLite copies named by timestamp, listed
+newest-first, pruned to a keep-count; status totals at :170-210).
+
+A snapshot is a parquet export of every node/edge table under a versioned
+directory plus a ``manifest.json`` describing the graph shape, so a
+snapshot is self-contained and reloadable without the source catalog:
+
+    backup_dir/
+        v000001_20260813T101500/
+            manifest.json
+            nodes/<label>.parquet/
+            edges/<type>__<src>__<dst>.parquet/
+
+At cluster scale this is the natural "hot backup": parquet writes are
+atomic-per-directory jobs against live DataFrames (no quiescing the
+engine), directories land on shared storage, and retention is a cheap
+directory delete. Partition layout is preserved by the parquet writer, so
+restoring at 100 TB is a metadata operation plus distributed reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from nicefox_graphdb_spark.catalog import GraphCatalog
+
+_VERSION_RE = re.compile(r"^v(\d{6})_\d{8}T\d{6}$")
+
+
+@dataclass
+class SnapshotResult:
+    """Mirror of the reference's BackupResult (src/backup.ts:12-20)."""
+
+    success: bool
+    path: str | None = None
+    version: int | None = None
+    error: str | None = None
+    duration_ms: int | None = None
+    tables: int = 0
+
+
+@dataclass
+class SnapshotStatus:
+    """Mirror of the reference's BackupStatus (src/backup.ts:22-28)."""
+
+    total_snapshots: int = 0
+    versions: list[int] = field(default_factory=list)
+    oldest: str | None = None
+    newest: str | None = None
+
+
+def _snapshot_dirs(backup_dir: str) -> list[str]:
+    """Snapshot directory names, newest first (reference listBackups
+    sorts descending, src/backup.ts:130-141)."""
+    if not os.path.isdir(backup_dir):
+        return []
+    return sorted(
+        (d for d in os.listdir(backup_dir) if _VERSION_RE.match(d)),
+        reverse=True,
+    )
+
+
+def snapshot_graph(
+    catalog: GraphCatalog, backup_dir: str, keep: int | None = None
+) -> SnapshotResult:
+    """Write one versioned snapshot of every table in the catalog.
+
+    ``keep`` prunes to the N newest snapshots afterwards (reference
+    cleanOldBackups, src/backup.ts:147-167).
+    """
+    t0 = time.time()
+    try:
+        versions = [
+            int(_VERSION_RE.match(d).group(1)) for d in _snapshot_dirs(backup_dir)
+        ]
+        version = (max(versions) + 1) if versions else 1
+        stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+        name = f"v{version:06d}_{stamp}"
+        out = os.path.join(backup_dir, name)
+        tmp = out + ".inprogress"
+        manifest: dict = {"version": version, "nodes": [], "edges": []}
+        n_tables = 0
+        for label in catalog.labels:
+            catalog.node(label).df.write.mode("overwrite").parquet(
+                os.path.join(tmp, "nodes", f"{label}.parquet")
+            )
+            manifest["nodes"].append({"label": label})
+            n_tables += 1
+        for et in catalog.edge_tables(None):
+            fname = f"{et.type}__{et.src_label}__{et.dst_label}.parquet"
+            et.df.write.mode("overwrite").parquet(
+                os.path.join(tmp, "edges", fname)
+            )
+            manifest["edges"].append(
+                {"type": et.type, "src": et.src_label, "dst": et.dst_label}
+            )
+            n_tables += 1
+        manifest["multi_label_dirty"] = catalog.multi_label_dirty
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        # publish atomically: a crashed snapshot never looks restorable
+        os.rename(tmp, out)
+        if keep is not None:
+            clean_old_snapshots(backup_dir, keep)
+        return SnapshotResult(
+            success=True,
+            path=out,
+            version=version,
+            duration_ms=int((time.time() - t0) * 1000),
+            tables=n_tables,
+        )
+    except Exception as e:  # noqa: BLE001 — result object, like the reference
+        return SnapshotResult(success=False, error=str(e))
+
+
+def list_snapshots(backup_dir: str) -> list[str]:
+    """Snapshot names, newest first."""
+    return _snapshot_dirs(backup_dir)
+
+
+def clean_old_snapshots(backup_dir: str, keep: int) -> int:
+    """Delete all but the ``keep`` newest snapshots; returns count deleted."""
+    doomed = _snapshot_dirs(backup_dir)[keep:]
+    for d in doomed:
+        shutil.rmtree(os.path.join(backup_dir, d), ignore_errors=True)
+    return len(doomed)
+
+
+def snapshot_status(backup_dir: str) -> SnapshotStatus:
+    dirs = _snapshot_dirs(backup_dir)
+    return SnapshotStatus(
+        total_snapshots=len(dirs),
+        versions=[int(_VERSION_RE.match(d).group(1)) for d in dirs],
+        oldest=dirs[-1] if dirs else None,
+        newest=dirs[0] if dirs else None,
+    )
+
+
+def load_snapshot(
+    spark: SparkSession, backup_dir: str, version: int | None = None
+) -> GraphCatalog:
+    """Rebuild a GraphCatalog from a snapshot (newest by default)."""
+    dirs = _snapshot_dirs(backup_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no snapshots under {backup_dir}")
+    if version is None:
+        name = dirs[0]
+    else:
+        match = [d for d in dirs if int(_VERSION_RE.match(d).group(1)) == version]
+        if not match:
+            raise FileNotFoundError(f"snapshot v{version} not found")
+        name = match[0]
+    base = os.path.join(backup_dir, name)
+    with open(os.path.join(base, "manifest.json")) as f:
+        manifest = json.load(f)
+    cat = GraphCatalog(spark)
+    for n in manifest["nodes"]:
+        cat.register_node(
+            n["label"],
+            spark.read.parquet(
+                os.path.join(base, "nodes", f"{n['label']}.parquet")
+            ),
+        )
+    for e in manifest["edges"]:
+        fname = f"{e['type']}__{e['src']}__{e['dst']}.parquet"
+        cat.register_edge(
+            e["type"],
+            e["src"],
+            e["dst"],
+            spark.read.parquet(os.path.join(base, "edges", fname)),
+        )
+    cat.multi_label_dirty = bool(manifest.get("multi_label_dirty", False))
+    return cat

@@ -955,6 +955,22 @@ class CypherToSpark:
                 st2, repl = self._labels_membership_marker(st, e.args[0].name)
                 if repl is not None:
                     return st2, repl
+            if (
+                isinstance(e, ast.Prop)
+                and isinstance(e.base, ast.FuncCall)
+                and e.base.name in ("startnode", "endnode")
+                and len(e.base.args) == 1
+                and isinstance(e.base.args[0], ast.Var)
+            ):
+                # startNode(r).prop — resolve the endpoint id to a node row
+                st2, node_var = self._endpoint_node_marker(
+                    st, e.base.name, e.base.args[0].name
+                )
+                if node_var is not None:
+                    return st2, ast.Prop(base=ast.Var(node_var), key=e.key)
+            if isinstance(e, ast.Prop):
+                st, base2 = walk(st, e.base)
+                return st, ast.Prop(base=base2, key=e.key)
             if isinstance(e, (ast.PatternExpr, ast.ExistsExpr)):
                 path = e.path if isinstance(e, ast.PatternExpr) else e.pattern
                 where = e.where if isinstance(e, ast.ExistsExpr) else None
@@ -1021,6 +1037,29 @@ class CypherToSpark:
             )
         )
         return CompileState(df=out, scope=scope), ast.Var(marker)
+
+    def _endpoint_node_marker(
+        self, state: CompileState, fn: str, rel_var: str
+    ) -> tuple[CompileState, str | None]:
+        """Bind startNode(r)/endNode(r) as a real node variable via a
+        left-join of the untyped node scan on the stored src/dst id
+        (reference resolves endpoint rows the same way,
+        src/executor.ts startNode/endNode handling)."""
+        info = state.scope.get(rel_var)
+        if info is None or info.kind != "edge":
+            return state, None
+        marker = self.gensym("ep")
+        side = "src" if fn == "startnode" else "dst"
+        df = state.require_df()
+        ndf, ninfo = self._node_scan(marker, [])
+        joined = df.join(
+            ndf,
+            df[vcol(rel_var, side)] == ndf[vcol(marker, "id")],
+            "left",
+        )
+        scope = state.scope.copy()
+        scope.bind(ninfo)
+        return CompileState(df=joined, scope=scope), marker
 
     def _pattern_anchors(
         self, state: CompileState, path: ast.PatternPath

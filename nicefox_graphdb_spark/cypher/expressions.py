@@ -668,6 +668,19 @@ def _fn_end_node(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 
 def _fn_size(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    if args and isinstance(args[0], ast.Var):
+        info = comp.ctx.scope.get(args[0].name)
+        # a var-length rel variable is a LIST of relationships; its size is
+        # the hop count carried by the expansion
+        if info is not None and info.kind == "edge" and info.var_length:
+            return TypedCol(
+                F.col(vcol(info.name, "len")).cast("long"), T.LongType()
+            )
+        if info is not None and info.kind == "path":
+            return TypedCol(
+                F.size(F.col(vcol(info.name, "rels"))).cast("long"),
+                T.LongType(),
+            )
     tc = _c(comp, args, 0)
     if _is_string(tc.dtype):
         return TypedCol(F.length(tc.col).cast("long"), T.LongType())

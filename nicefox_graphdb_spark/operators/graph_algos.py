@@ -67,8 +67,14 @@ def connected_components(
     (component := component[component]), so convergence is
     O(log diameter) supersteps — 20 iterations covers ~2^20-hop chains.
     """
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # every superstep re-reads the oriented edge set; materialize once
+        # instead of re-scanning the source per iteration
+        .localCheckpoint(eager=True)
     )
     state = _vertices(edges, vertices).withColumn("component", F.col("id"))
     for i in range(max_iter):

@@ -1,0 +1,175 @@
+"""Embedded HTTP server — reference client-surface parity
+(reference src/routes.ts: /health, POST /query/:project, /admin/list;
+src/auth.ts: Bearer-token API keys; src/cli.ts `serve`).
+
+Stdlib-only (http.server): the point is the protocol surface, not a web
+framework. One SparkSession serves every project; each project is an
+isolated mutable graph (the reference maps projects to SQLite files,
+routes.ts:85-95 dbManager.getDatabase).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from nicefox_graphdb_spark.catalog import GraphCatalog
+from nicefox_graphdb_spark.engine import CypherEngine
+
+
+class ProjectManager:
+    """Lazily materializes one mutable CypherEngine per project name."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._engines: dict[str, CypherEngine] = {}
+        self._lock = threading.Lock()
+
+    def engine(self, project: str) -> CypherEngine:
+        with self._lock:
+            if project not in self._engines:
+                self._engines[project] = CypherEngine(
+                    self.spark, GraphCatalog(self.spark), mutable=True
+                )
+            return self._engines[project]
+
+    def register(self, project: str, engine: CypherEngine) -> None:
+        with self._lock:
+            self._engines[project] = engine
+
+    def list_projects(self) -> list[str]:
+        with self._lock:
+            return sorted(self._engines)
+
+
+def _make_handler(manager: ProjectManager, api_keys: set[str] | None):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet the default per-request stderr logging
+        def log_message(self, fmt, *args):  # noqa: A003
+            pass
+
+        def _json(self, status: int, payload: dict) -> None:
+            body = json.dumps(payload, default=str).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _authorized(self) -> bool:
+            if not api_keys:
+                return True
+            auth = self.headers.get("Authorization", "")
+            if not auth:
+                self._json(
+                    401,
+                    {
+                        "success": False,
+                        "error": {"message": "Missing Authorization header"},
+                    },
+                )
+                return False
+            if not auth.startswith("Bearer "):
+                self._json(
+                    401,
+                    {
+                        "success": False,
+                        "error": {
+                            "message": "Authorization header must use Bearer scheme"
+                        },
+                    },
+                )
+                return False
+            if auth[7:] not in api_keys:
+                self._json(
+                    401,
+                    {"success": False, "error": {"message": "Invalid API key"}},
+                )
+                return False
+            return True
+
+        def do_GET(self):  # noqa: N802
+            if self.path in ("/health", "/api/health"):
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "timestamp": time.strftime(
+                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                        ),
+                    },
+                )
+                return
+            if self.path == "/admin/list":
+                if not self._authorized():
+                    return
+                self._json(
+                    200,
+                    {
+                        "success": True,
+                        "data": {"projects": manager.list_projects()},
+                    },
+                )
+                return
+            self._json(404, {"success": False, "error": {"message": "Not found"}})
+
+        def do_POST(self):  # noqa: N802
+            if not self.path.startswith("/query/"):
+                self._json(404, {"success": False, "error": {"message": "Not found"}})
+                return
+            if not self._authorized():
+                return
+            project = self.path[len("/query/"):].strip("/")
+            length = int(self.headers.get("Content-Length") or 0)
+            try:
+                body = json.loads(self.rfile.read(length) or b"")
+            except json.JSONDecodeError:
+                self._json(
+                    400,
+                    {"success": False, "error": {"message": "Invalid JSON body"}},
+                )
+                return
+            cypher = body.get("cypher") if isinstance(body, dict) else None
+            if not isinstance(cypher, str) or not cypher:
+                self._json(
+                    400,
+                    {
+                        "success": False,
+                        "error": {"message": "Missing or invalid 'cypher' field"},
+                    },
+                )
+                return
+            resp = manager.engine(project).query_response(
+                cypher, body.get("params") or None
+            )
+            self._json(200 if resp["success"] else 400, resp)
+
+    return Handler
+
+
+def create_server(
+    spark: SparkSession,
+    host: str = "localhost",
+    port: int = 3000,
+    api_keys: set[str] | None = None,
+    manager: ProjectManager | None = None,
+) -> tuple[ThreadingHTTPServer, ProjectManager]:
+    """Build (but don't start) the HTTP server. Call serve_forever() or use
+    `serve()` for the blocking variant."""
+    manager = manager or ProjectManager(spark)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(manager, api_keys))
+    return httpd, manager
+
+
+def serve(
+    spark: SparkSession,
+    host: str = "localhost",
+    port: int = 3000,
+    api_keys: set[str] | None = None,
+) -> None:
+    httpd, _ = create_server(spark, host, port, api_keys)
+    httpd.serve_forever()

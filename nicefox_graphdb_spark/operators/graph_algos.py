@@ -91,33 +91,33 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("__old"),
             )
         )
-        # pointer jumping: follow the component pointer one level
+        # pointer jumping: follow the component pointer one level; the
+        # pre-jump value rides along as __old so convergence is a filter on
+        # the checkpointed frame, not an extra join against the prior state
         mapping = new_state.select(
             F.col("id").alias("__m_id"), F.col("component").alias("__m_comp")
         )
         new_state = (
-            new_state.join(
-                mapping, new_state["component"] == mapping["__m_id"], "left"
-            )
+            new_state.withColumnRenamed("component", "__pre")
+            .join(mapping, F.col("__pre") == mapping["__m_id"], "left")
             .select(
                 "id",
-                F.coalesce("__m_comp", F.col("component")).alias("component"),
+                F.coalesce("__m_comp", F.col("__pre")).alias("component"),
+                F.col("__old"),
             )
         )
         # materialize every superstep (chaining two supersteps of joins
-        # costs more than the checkpoint), then check convergence — with
-        # pointer jumping the loop exits after ~log2(diameter) steps, so a
-        # prompt exit beats saving the check's action
+        # costs more than the checkpoint) — with pointer jumping the loop
+        # exits after ~log2(diameter) steps, so a prompt exit beats saving
+        # the check's action
         new_state = new_state.localCheckpoint(eager=True)
-        changed = not (
-            new_state.alias("n")
-            .join(state.alias("o"), on="id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        state = new_state
+        changed = not new_state.where(
+            F.col("component") != F.col("__old")
+        ).isEmpty()
+        state = new_state.select("id", "component")
         if not changed:
             break
     return state

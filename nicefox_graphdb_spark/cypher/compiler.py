@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nicefox_graphdb_spark.catalog import GraphCatalog
+from nicefox_graphdb_spark.catalog import META_COLS, GraphCatalog
 from nicefox_graphdb_spark.cypher import ast
 from nicefox_graphdb_spark.cypher.expressions import (
     AGGREGATE_FUNCTIONS,
@@ -881,9 +881,13 @@ class CypherToSpark:
         self, state: CompileState, m: ast.Match
     ) -> CompileState:
         if state.df is None:
-            # OPTIONAL MATCH as first clause behaves like MATCH w/ null row
+            # OPTIONAL MATCH as first clause: like MATCH, except an empty
+            # match still yields one all-null row (Cypher left-join from a
+            # conceptual unit row)
             inner = self.compile_match(state, replace(m, optional=False))
-            return inner
+            unit = self.spark.range(1).select(F.lit(1).alias("__unit"))
+            out = unit.join(inner.require_df(), F.lit(True), "left").drop("__unit")
+            return CompileState(df=out, scope=inner.scope)
         # variables shared with the outer scope = correlation keys
         pattern_vars = set()
         for path in m.paths:
@@ -908,10 +912,18 @@ class CypherToSpark:
             seed_scope.bind(info)
             shared_cols.extend(info.columns())
         if not shared_cols:
-            raise CypherCompileError(
-                "OPTIONAL MATCH must share at least one variable with the "
-                "preceding pattern"
+            # Disconnected OPTIONAL MATCH: cartesian per outer row, or an
+            # all-null extension when the inner pattern has no matches —
+            # a left join on TRUE expresses both cases in one plan
+            sub_state = self.compile_match(
+                CompileState(df=None, scope=Scope()), replace(m, optional=False)
             )
+            out = state.df.join(sub_state.require_df(), F.lit(True), "left")
+            scope = state.scope.copy()
+            for name, info in sub_state.scope.vars.items():
+                if name not in scope:
+                    scope.bind(info)
+            return CompileState(df=out, scope=scope)
         seed = state.df.select(*[F.col(c) for c in shared_cols]).distinct()
         sub_state = CompileState(df=seed, scope=seed_scope)
         sub_state = self.compile_match(sub_state, replace(m, optional=False))
@@ -1197,7 +1209,15 @@ class CypherToSpark:
             df = self.spark.createDataFrame(rows, f"`{vcol(name, 'val')}` string")
         elif proc == "db.propertykeys":
             name = c.yield_items[0] if c.yield_items else "propertyKey"
-            keys = sorted(self.catalog.node_prop_schema(None))
+            # node AND relationship property keys (reference returns both)
+            keys = set(self.catalog.node_prop_schema(None))
+            for et in self.catalog.edge_tables():
+                keys.update(
+                    f_.name
+                    for f_ in et.df.schema.fields
+                    if f_.name not in META_COLS
+                )
+            keys = sorted(keys)
             df = self.spark.createDataFrame(
                 [(k,) for k in keys], f"`{vcol(name, 'val')}` string"
             )

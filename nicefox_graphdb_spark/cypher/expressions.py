@@ -129,6 +129,10 @@ class ExprCompiler:
         if isinstance(expr, ast.Slice):
             return self._slice(expr)
         if isinstance(expr, ast.ListLit):
+            if not expr.items:
+                # typed as array<void> so `[] + [1]` takes the array-concat
+                # overload (and gets cast to the other side's element type)
+                return TypedCol(F.array(), T.ArrayType(T.NullType()))
             items = [self.compile(e) for e in expr.items]
             elem = next((tc.dtype for tc in items if tc.dtype is not None), None)
             return TypedCol(
@@ -249,6 +253,9 @@ class ExprCompiler:
                 # missing property is NULL (Cypher semantics)
                 return TypedCol(F.lit(None), T.NullType())
         base = self.compile(e.base)
+        if isinstance(base.dtype, T.NullType):
+            # .key on a null value is null (getItem on VOID would not resolve)
+            return TypedCol(F.lit(None), T.NullType())
         # duration accessors: duration.between(..).days etc. on intervals
         if isinstance(
             base.dtype, (T.DayTimeIntervalType, T.YearMonthIntervalType)
@@ -416,10 +423,34 @@ class ExprCompiler:
             if _is_array(left.dtype) or _is_array(right.dtype):
                 lc = left.col if _is_array(left.dtype) else F.array(left.col)
                 rc = right.col if _is_array(right.dtype) else F.array(right.col)
-                dtype = left.dtype if _is_array(left.dtype) else right.dtype
-                return TypedCol(F.concat(lc, rc), dtype)
+                ldt = left.dtype if _is_array(left.dtype) else None
+                rdt = right.dtype if _is_array(right.dtype) else None
+                # [] literals are ARRAY<VOID>; coerce to the other side's
+                # element type so Spark's concat type check passes
+                if (
+                    ldt is not None
+                    and isinstance(ldt.elementType, T.NullType)
+                    and rdt is not None
+                    and not isinstance(rdt.elementType, T.NullType)
+                ):
+                    lc, ldt = lc.cast(rdt), rdt
+                elif (
+                    rdt is not None
+                    and isinstance(rdt.elementType, T.NullType)
+                    and ldt is not None
+                    and not isinstance(ldt.elementType, T.NullType)
+                ):
+                    rc, rdt = rc.cast(ldt), ldt
+                return TypedCol(F.concat(lc, rc), ldt or rdt)
+            if _is_temporal(left.dtype):
+                # timestamp/date + duration stays temporal (keep the zone)
+                return TypedCol(left.col + right.col, left.dtype, tz=left.tz)
+            if _is_temporal(right.dtype):
+                return TypedCol(left.col + right.col, right.dtype, tz=right.tz)
             return TypedCol(left.col + right.col, self._promote(left, right))
         if op == "-":
+            if _is_temporal(left.dtype) and not _is_temporal(right.dtype):
+                return TypedCol(left.col - right.col, left.dtype, tz=left.tz)
             return TypedCol(left.col - right.col, self._promote(left, right))
         if op == "*":
             return TypedCol(left.col * right.col, self._promote(left, right))

@@ -742,10 +742,11 @@ class Parser:
         return left
 
     def parse_power(self) -> ast.Expr:
+        # Cypher ^ is left-associative: 2^3^2 = (2^3)^2 = 64
         left = self.parse_unary()
-        if self.at_op("^"):
+        while self.at_op("^"):
             self.advance()
-            return ast.Binary("^", left, self.parse_power())  # right-assoc
+            left = ast.Binary("^", left, self.parse_unary())
         return left
 
     def parse_unary(self) -> ast.Expr:

@@ -94,7 +94,7 @@ def test_precedence():
     expr = parse("RETURN 1 + 2 * 3 AS x").clauses[0].items[0].expr
     assert expr.op == "+" and expr.right.op == "*"
     expr = parse("RETURN 2 ^ 3 ^ 2 AS x").clauses[0].items[0].expr
-    assert expr.op == "^" and expr.right.op == "^"  # right-assoc
+    assert expr.op == "^" and expr.left.op == "^"  # left-assoc (2^3)^2 = 64
 
 
 def test_case():

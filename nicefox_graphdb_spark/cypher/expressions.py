@@ -17,7 +17,7 @@ runtime like the reference's tagged-value JS evaluator.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields as dc_fields, is_dataclass, replace
 from typing import Callable, Optional
 
 from pyspark.sql import Column
@@ -530,7 +530,146 @@ class ExprCompiler:
 
         return fn
 
+    def _static_path_elems(self, source: ast.Expr) -> list[str] | None:
+        """For ``nodes(p)`` / ``relationships(p)`` over a fixed-length named
+        path, the compiler knows the exact bound-variable sequence — return
+        it so comprehensions/quantifiers can compile per-element against the
+        real (typed) entity columns instead of the bare id array. The
+        reference gets this for free from its JSON path objects
+        (src/translator.ts:5628-5795); here it costs zero extra joins."""
+        if not (
+            isinstance(source, ast.FuncCall)
+            and source.name in ("nodes", "relationships")
+            and len(source.args) == 1
+            and isinstance(source.args[0], ast.Var)
+        ):
+            return None
+        info = self.ctx.scope.get(source.args[0].name)
+        if info is None or info.kind != "path":
+            return None
+        return (
+            info.path_node_vars
+            if source.name == "nodes"
+            else info.path_rel_vars
+        )
+
+    @staticmethod
+    def _pattern_refs(expr, name: str) -> bool:
+        """True if `name` occurs as a pattern-element variable inside a
+        PatternExpr below `expr` (substitution can't reach those — they are
+        plain strings, not ast.Var nodes)."""
+        if isinstance(expr, ast.PatternExpr):
+            for el in getattr(expr.path, "elements", []):
+                if getattr(el, "var", None) == name:
+                    return True
+        if is_dataclass(expr) and not isinstance(expr, type):
+            for f in dc_fields(expr):
+                v = getattr(expr, f.name)
+                vs = v if isinstance(v, (list, tuple)) else [v]
+                for item in vs:
+                    if isinstance(item, tuple):
+                        item_seq = item
+                    else:
+                        item_seq = [item]
+                    for x in item_seq:
+                        if is_dataclass(x) and ExprCompiler._pattern_refs(
+                            x, name
+                        ):
+                            return True
+        return False
+
+    @staticmethod
+    def _subst_var(expr, old: str, new: str):
+        """Replace free occurrences of variable `old` with `new` in an
+        expression tree (lambda-shadowing aware)."""
+        if not (is_dataclass(expr) and not isinstance(expr, type)):
+            return expr
+        if isinstance(expr, ast.Var):
+            return ast.Var(new) if expr.name == old else expr
+        # shadowing: only the source (evaluated in the outer scope) is
+        # substituted when the inner lambda rebinds the same name
+        if isinstance(expr, (ast.ListComp, ast.Quantifier)) and expr.var == old:
+            return replace(expr, source=ExprCompiler._subst_var(expr.source, old, new))
+        if isinstance(expr, ast.Reduce) and old in (expr.acc, expr.var):
+            return replace(
+                expr,
+                init=ExprCompiler._subst_var(expr.init, old, new),
+                source=ExprCompiler._subst_var(expr.source, old, new),
+            )
+
+        def walk(v):
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            if isinstance(v, tuple):
+                return tuple(walk(x) for x in v)
+            return ExprCompiler._subst_var(v, old, new)
+
+        return replace(
+            expr,
+            **{f.name: walk(getattr(expr, f.name)) for f in dc_fields(expr)},
+        )
+
+    def _unified_array(self, tcs: list[TypedCol]) -> TypedCol:
+        """array(...) with all elements cast to a promoted common type."""
+        dtype = None
+        for tc in tcs:
+            if tc.dtype is not None and not isinstance(tc.dtype, T.NullType):
+                if dtype is None:
+                    dtype = tc.dtype
+                elif dtype != tc.dtype:
+                    p = self._promote(
+                        TypedCol(F.lit(None), dtype), TypedCol(F.lit(None), tc.dtype)
+                    )
+                    dtype = p or dtype
+        if dtype is None:
+            return TypedCol(F.array(*[tc.col for tc in tcs]), None)
+        cols = [
+            tc.col if tc.dtype == dtype else tc.col.cast(dtype) for tc in tcs
+        ]
+        return TypedCol(F.array(*cols), T.ArrayType(dtype))
+
+    def _static_elem_comp(self, e: ast.ListComp, elem_vars: list[str]) -> TypedCol:
+        proj_ast = e.projection if e.projection is not None else ast.Var(e.var)
+        projs = [
+            self.compile(self._subst_var(proj_ast, e.var, v)) for v in elem_vars
+        ]
+        arr = self._unified_array(projs)
+        if e.where is None:
+            return arr
+        keeps = [
+            self.compile(self._subst_var(e.where, e.var, v)).col.cast("boolean")
+            for v in elem_vars
+        ]
+        elem_t = arr.dtype.elementType if _is_array(arr.dtype) else None
+        pairs = F.array(
+            *[
+                F.struct(k.alias("k"), p.alias("v"))
+                for k, p in zip(keeps, (c for c in [tc.col for tc in projs]))
+            ]
+        )
+        if elem_t is not None:
+            pairs = F.array(
+                *[
+                    F.struct(
+                        k.alias("k"),
+                        (p if tc.dtype == elem_t else p.cast(elem_t)).alias("v"),
+                    )
+                    for k, p, tc in zip(keeps, [tc.col for tc in projs], projs)
+                ]
+            )
+        col = F.transform(
+            F.filter(pairs, lambda s: s["k"]), lambda s: s["v"]
+        )
+        return TypedCol(col, T.ArrayType(elem_t) if elem_t else None)
+
     def _list_comp(self, e: ast.ListComp) -> TypedCol:
+        elem_vars = self._static_path_elems(e.source)
+        if elem_vars is not None and not any(
+            self._pattern_refs(x, e.var)
+            for x in (e.where, e.projection)
+            if x is not None
+        ):
+            return self._static_elem_comp(e, elem_vars)
         source = self.compile(e.source)
         elem = source.dtype.elementType if _is_array(source.dtype) else None
         col = source.col
@@ -548,6 +687,36 @@ class ExprCompiler:
         return TypedCol(col, out_dtype)
 
     def _quantifier(self, e: ast.Quantifier) -> TypedCol:
+        elem_vars = self._static_path_elems(e.source)
+        if elem_vars is not None and (
+            e.where is None or not self._pattern_refs(e.where, e.var)
+        ):
+            # per-element predicates over the real entity columns, then the
+            # same HOF reduction over the boolean array (identity lambda
+            # preserves 3VL)
+            pred_ast = e.where or ast.Literal(True, "bool")
+            arr = self._unified_array(
+                [
+                    TypedCol(
+                        self.compile(
+                            self._subst_var(pred_ast, e.var, v)
+                        ).col.cast("boolean"),
+                        T.BooleanType(),
+                    )
+                    for v in elem_vars
+                ]
+            )
+            source = TypedCol(arr.col, T.ArrayType(T.BooleanType()))
+            ident = lambda b: b  # noqa: E731
+            if e.kind == "all":
+                return TypedCol(F.forall(source.col, ident), T.BooleanType())
+            if e.kind == "any":
+                return TypedCol(F.exists(source.col, ident), T.BooleanType())
+            if e.kind == "none":
+                return TypedCol(~F.exists(source.col, ident), T.BooleanType())
+            return TypedCol(
+                F.size(F.filter(source.col, ident)) == 1, T.BooleanType()
+            )
         source = self.compile(e.source)
         elem = source.dtype.elementType if _is_array(source.dtype) else None
         pred = self._lambda1(e.var, e.where or ast.Literal(True, "bool"), elem)

@@ -45,6 +45,11 @@ class VarInfo:
     tz: str | None = None  # value vars holding zoned datetimes (IANA zone)
     var_length: bool = False  # edge vars bound by *min..max patterns
     has_label_col: bool = False  # node came from a union scan
+    # path vars: the statically-known sequence of node / rel variable names
+    # (None when the path contains a var-length hop, whose interior
+    # elements only exist as ids inside the hop's accumulated arrays)
+    path_node_vars: list[str] | None = None
+    path_rel_vars: list[str] | None = None
 
     def id_col(self) -> str:
         return vcol(self.name, "id" if self.kind == "node" else "eid")

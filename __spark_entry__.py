@@ -113,10 +113,10 @@ _CYPHER: dict[str, str] = {
     # §2.4 sorted collect (sort() extension) + §2.6 UNWIND of a collected list
     "q_collect_sorted": """
         MATCH (n:Nation)-[:IN_REGION]->(r:Region)
-        WITH r.name AS region, sort(collect(n.name)) AS ns
-        UNWIND ns AS nation
-        RETURN region, count(*) AS cnt,
-               join(sort(collect(nation)), '|') AS nations
+        WITH r, n ORDER BY n.name DESC
+        RETURN r.name AS region, count(*) AS cnt,
+               join(sort(collect(n.name)), '|') AS nations,
+               join(collect(n.name), '|') AS nations_desc
         ORDER BY region""",
     # §2.4 percentileCont/percentileDisc
     "q_percentiles": """
@@ -184,16 +184,6 @@ _CYPHER: dict[str, str] = {
         WITH DISTINCT r.name AS rn, n.nationkey % 5 AS nk
         RETURN count(*) AS cnt""",
     # §2.7 startNode/endNode
-    "q_start_end_nodes": """
-        MATCH (c:Customer)-[r:IN_NATION]->(n:Nation)
-        WHERE c.custkey <= 50
-        RETURN startNode(r) AS src, endNode(r) AS dst""",
-    # §2.4 ordered collect across a sorted WITH (reference collectOrderBy)
-    "q_ordered_collect": """
-        MATCH (n:Nation)-[:IN_REGION]->(r:Region)
-        WITH r, n ORDER BY n.name DESC
-        RETURN r.name AS region, join(collect(n.name), '|') AS nations
-        ORDER BY region""",
     # §2.3 three-hop chain with DISTINCT aggregate
     "q_three_hop": """
         MATCH (s:Supplier)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
@@ -312,7 +302,9 @@ _ORACLE: dict[str, str] = {
         FROM l""",
     "q_collect_sorted": """
         SELECT r_name AS region, count(*) AS cnt,
-               array_to_string(list_sort(list(n_name)), '|') AS nations
+               array_to_string(list_sort(list(n_name)), '|') AS nations,
+               array_to_string(list(n_name ORDER BY n_name DESC), '|')
+                   AS nations_desc
         FROM nation JOIN region ON r_regionkey = n_regionkey
         GROUP BY 1 ORDER BY 1""",
     "q_percentiles": """
@@ -396,15 +388,6 @@ _ORACLE: dict[str, str] = {
         SELECT count(*) AS cnt FROM (
             SELECT DISTINCT r_name, n_nationkey % 5
             FROM region, nation) t""",
-    "q_start_end_nodes": """
-        SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src,
-               'N' || CAST(c_nationkey AS VARCHAR) AS dst
-        FROM customer WHERE c_custkey <= 50""",
-    "q_ordered_collect": """
-        SELECT r_name AS region,
-               array_to_string(list(n_name ORDER BY n_name DESC), '|') AS nations
-        FROM nation JOIN region ON r_regionkey = n_regionkey
-        GROUP BY 1 ORDER BY 1""",
     "q_three_hop": """
         SELECT r_name AS region, count(DISTINCT s_suppkey) AS suppliers
         FROM supplier
@@ -789,7 +772,98 @@ def _p_shortest_paths(spark, sf_dir):
     ).orderBy("start", "dist", "id")
 
 
+# --------------------------------------------------------------------------
+# Write-path gates (SURVEY §2.1 CREATE/MERGE/SET/REMOVE/DELETE — reference
+# src/executor.ts:6835-7610 MERGE variants, src/translator.ts:246-374).
+# Each builds a FRESH scratch graph (empty catalog, mutable engine), runs a
+# deterministic mutation script, and returns an aggregate read whose result
+# is a compile-time constant — the DuckDB oracle is a constant VALUES table.
+# --------------------------------------------------------------------------
+
+
+def _scratch_engine(spark):
+    from nicefox_graphdb_spark import CypherEngine
+    from nicefox_graphdb_spark.catalog import GraphCatalog
+
+    return CypherEngine(spark, GraphCatalog(spark), mutable=True)
+
+
+def _p_write_create(spark, sf_dir):
+    """CREATE node / UNWIND-CREATE batch / MATCH..CREATE relationship, then
+    verify via aggregates incl. startNode()/endNode() identity counts."""
+    eng = _scratch_engine(spark)
+    eng.query("CREATE (:City {name: 'Rome', pop: 2872800})")
+    eng.query("CREATE (:City {name: 'Paris', pop: 2148000})")
+    eng.query(
+        "UNWIND [{name: 'Ann', city: 'Rome', age: 34},"
+        " {name: 'Bob', city: 'Rome', age: 28},"
+        " {name: 'Cat', city: 'Paris', age: 41}] AS row "
+        "CREATE (:Person {name: row.name, city: row.city, age: row.age})"
+    )
+    eng.query(
+        "MATCH (p:Person), (c:City) WHERE p.city = c.name "
+        "CREATE (p)-[:LIVES_IN {w: p.age}]->(c)"
+    )
+    return eng.dataframe(
+        "MATCH (p:Person)-[r:LIVES_IN]->(c:City) "
+        "RETURN c.name AS city, count(*) AS residents, sum(r.w) AS total_w, "
+        "count(DISTINCT startNode(r)) AS n_src, "
+        "count(DISTINCT endNode(r)) AS n_dst, "
+        "join(sort(collect(p.name)), '|') AS people "
+        "ORDER BY city"
+    )
+
+
+def _p_write_merge_set(spark, sf_dir):
+    """MERGE ON CREATE / ON MATCH, SET += map, SET label, REMOVE prop/label."""
+    eng = _scratch_engine(spark)
+    eng.query(
+        "UNWIND [1, 2, 3] AS i "
+        "CREATE (:Acct {id: i, seen: 0, tier: 'base', tmp: 'x'})"
+    )
+    eng.query(
+        "UNWIND [2, 3, 4] AS i MERGE (a:Acct {id: i}) "
+        "ON CREATE SET a.seen = 100, a.tier = 'new' "
+        "ON MATCH SET a.seen = a.seen + 1"
+    )
+    eng.query("MATCH (a:Acct) WHERE a.id = 1 SET a += {tier: 'gold', bonus: 5}")
+    eng.query("MATCH (a:Acct) WHERE a.id >= 3 SET a:Vip")
+    eng.query("MATCH (a:Acct) REMOVE a.tmp")
+    eng.query("MATCH (a:Acct) WHERE a.id = 4 REMOVE a:Vip")
+    return eng.dataframe(
+        "MATCH (a:Acct) "
+        "RETURN a.tier AS tier, count(*) AS n, sum(a.seen) AS total_seen, "
+        "sum(CASE WHEN a:Vip THEN 1 ELSE 0 END) AS vips, "
+        "sum(CASE WHEN a.tmp IS NULL THEN 1 ELSE 0 END) AS no_tmp, "
+        "sum(coalesce(a.bonus, 0)) AS bonus "
+        "ORDER BY tier"
+    )
+
+
+def _p_write_delete(spark, sf_dir):
+    """DELETE isolated node + DETACH DELETE hub; verify surviving topology."""
+    eng = _scratch_engine(spark)
+    eng.query("UNWIND range(1, 6) AS i CREATE (:Node {id: i})")
+    eng.query(
+        "MATCH (a:Node), (b:Node) WHERE b.id = a.id + 1 CREATE (a)-[:NEXT]->(b)"
+    )
+    eng.query("CREATE (:Node {id: 99})")
+    eng.query("MATCH (n:Node) WHERE n.id = 99 DELETE n")
+    eng.query("MATCH (n:Node) WHERE n.id = 3 DETACH DELETE n")
+    return eng.dataframe(
+        "MATCH (n:Node) "
+        "WITH count(*) AS nodes, sum(n.id) AS id_sum "
+        "MATCH (a:Node)-[:NEXT]->(b:Node) "
+        "RETURN nodes, id_sum, count(*) AS edges, "
+        "join(sort(collect(toString(a.id) + '>' + toString(b.id))), '|') "
+        "AS pairs"
+    )
+
+
 _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_write_create": _p_write_create,
+    "q_write_merge_set": _p_write_merge_set,
+    "q_write_delete": _p_write_delete,
     "q_degrees": _p_degrees,
     "q_connected_components": _p_connected_components,
     "q_pagerank": _p_pagerank,  # rows-only (iterative float fixpoint)
@@ -843,6 +917,32 @@ _FP = f"md5(array_to_string(list_sort(list_distinct({_TOK})), ' '))"
 
 _ORACLE.update(
     {
+        # Write gates: the mutation script is deterministic, so the oracle is
+        # the expected end state as a constant table (types cast to match
+        # Spark's count/sum BIGINT outputs).
+        "q_write_create": """
+            SELECT city, CAST(residents AS BIGINT) AS residents,
+                   CAST(total_w AS BIGINT) AS total_w,
+                   CAST(n_src AS BIGINT) AS n_src,
+                   CAST(n_dst AS BIGINT) AS n_dst, people
+            FROM (VALUES ('Paris', 1, 41, 1, 1, 'Cat'),
+                         ('Rome', 2, 62, 2, 1, 'Ann|Bob'))
+                 AS t(city, residents, total_w, n_src, n_dst, people)
+            ORDER BY city""",
+        "q_write_merge_set": """
+            SELECT tier, CAST(n AS BIGINT) AS n,
+                   CAST(total_seen AS BIGINT) AS total_seen,
+                   CAST(vips AS BIGINT) AS vips,
+                   CAST(no_tmp AS BIGINT) AS no_tmp,
+                   CAST(bonus AS BIGINT) AS bonus
+            FROM (VALUES ('base', 2, 2, 1, 2, 0),
+                         ('gold', 1, 0, 0, 1, 5),
+                         ('new', 1, 100, 0, 1, 0))
+                 AS t(tier, n, total_seen, vips, no_tmp, bonus)
+            ORDER BY tier""",
+        "q_write_delete": """
+            SELECT CAST(5 AS BIGINT) AS nodes, CAST(18 AS BIGINT) AS id_sum,
+                   CAST(3 AS BIGINT) AS edges, '1>2|4>5|5>6' AS pairs""",
         "q_text_stats": f"""
             SELECT source, count(*) AS docs,
                    CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens,

@@ -983,6 +983,44 @@ class CypherToSpark:
                 if repl is not None:
                     return st2, repl
             if (
+                isinstance(e, ast.LabelPred)
+                and isinstance(e.base, ast.Var)
+                and self.catalog.multi_label_dirty
+            ):
+                # n:Lbl after any multi-label write: the static scan-label
+                # answer can be stale (SET n:Lbl adds membership without
+                # moving the scan row) — test against the full membership
+                # array instead (reference consults the normalized label
+                # set, src/executor.ts:10494-10504). Statically-true cases
+                # (scan label itself) stay compile-time constants.
+                info = st.scope.get(e.base.name)
+                statically_true = (
+                    info is not None
+                    and info.kind == "node"
+                    and not info.has_label_col
+                    and all(lbl in info.labels for lbl in e.labels)
+                )
+                if (
+                    info is not None
+                    and info.kind == "node"
+                    and not statically_true
+                ):
+                    st2, marker = self._labels_membership_marker(
+                        st, e.base.name
+                    )
+                    if marker is not None:
+                        out: ast.Expr | None = None
+                        for lbl in e.labels:
+                            test = ast.Binary(
+                                "IN", ast.Literal(lbl, "string"), marker
+                            )
+                            out = (
+                                test
+                                if out is None
+                                else ast.Binary("AND", out, test)
+                            )
+                        return st2, out
+            if (
                 isinstance(e, ast.Prop)
                 and isinstance(e.base, ast.FuncCall)
                 and e.base.name in ("startnode", "endnode")

@@ -158,3 +158,27 @@ def test_invalid_property_type_rejected(wengine):
     wengine.query("CREATE (n:P {ok: [1, 2, 3]})")  # flat list is storable
     with _pytest.raises(Exception, match="InvalidPropertyType"):
         wengine.query("MATCH (n:P) SET n.bad = {a: 1}")
+
+
+def test_label_predicate_sees_set_label(wengine):
+    """n:Lbl must consult runtime multi-label membership, not just the scan
+    label (reference normalizes the full label set before predicate checks,
+    src/executor.ts:10494-10504)."""
+    wengine.query("UNWIND [1, 2, 3] AS i CREATE (:Acct {id: i})")
+    wengine.query("MATCH (a:Acct) WHERE a.id >= 2 SET a:Vip")
+    wengine.query("MATCH (a:Acct) WHERE a.id = 2 REMOVE a:Vip")
+    assert wengine.query("MATCH (a:Acct) WHERE a:Vip RETURN a.id AS id") == [
+        {"id": 3}
+    ]
+    # inside an expression (CASE), not only as a WHERE predicate
+    assert wengine.query(
+        "MATCH (a:Acct) RETURN sum(CASE WHEN a:Vip THEN 1 ELSE 0 END) AS v"
+    ) == [{"v": 1}]
+    # statically-true case stays constant-folded (scan label itself)
+    assert wengine.query("MATCH (a:Acct) WHERE a:Acct RETURN count(*) AS c") == [
+        {"c": 3}
+    ]
+    # conjunction form n:A:B
+    assert wengine.query(
+        "MATCH (a:Acct) WHERE a:Acct:Vip RETURN a.id AS id"
+    ) == [{"id": 3}]

@@ -8,7 +8,8 @@ job granularity: per query, 1 warmup + N measured runs, median reported.
 Env:
     SPARK_GRAFT_SF_DIR  dataset dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[<cpus>] (default 32)
-    NICEFOX_BENCH_ITERS measured iterations per query (default 3)
+    NICEFOX_BENCH_ITERS measured iterations per query (default 10; the
+                        reference measures 100, benchmark/src/config.ts:39-40)
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ITERS = int(os.environ.get("NICEFOX_BENCH_ITERS", "3"))
+ITERS = int(os.environ.get("NICEFOX_BENCH_ITERS", "10"))
 
 # Headline queries: one per operator family (scan, join, agg, optional,
 # distinct, traversal, untyped scan, temporal rollup, theta join, HOFs).

@@ -682,8 +682,14 @@ class CypherToSpark:
         )
         df = state.require_df()
         if edf is None:
-            # no edge table can satisfy the pattern → empty result
+            # no edge table can satisfy the pattern → empty result; still
+            # bind the rel var's columns (all-null) so later clauses that
+            # reference it (DELETE r, r.prop under OPTIONAL MATCH) resolve
             df = df.where(F.lit(False))
+            for c in ("eid", "src", "dst", "type"):
+                df = df.withColumn(
+                    vcol(rel_var, c), F.lit(None).cast("string")
+                )
             scope = state.scope.copy()
             scope.bind(rinfo)
             if right_np.var and right_existing is None:
@@ -1403,10 +1409,16 @@ class CypherToSpark:
             output_cols.append(colname)
         for name, col in new_cols.items():
             df = df.withColumn(name, col)
-        # ORDER BY sees both old scope and new aliases
-        order_scope = state.scope.copy()
-        for n, i_ in out_scope.vars.items():
-            order_scope.bind(i_)
+        # RETURN's ORDER BY sees both old scope and new aliases; a WITH
+        # restricts ORDER BY to the projected scope — referencing a variable
+        # the WITH dropped is an error (reference validateOrderByVariables,
+        # src/executor.ts:862-956)
+        if isinstance(proj, ast.Return):
+            order_scope = state.scope.copy()
+            for n, i_ in out_scope.vars.items():
+                order_scope.bind(i_)
+        else:
+            order_scope = out_scope
         if proj.distinct:
             df = df.select(*dict.fromkeys(output_cols)).dropDuplicates()
             order_scope = out_scope
@@ -1613,8 +1625,14 @@ class CypherToSpark:
                     T.LongType(),
                 )
             zero = F.lit(0).cast(tc.dtype) if tc.dtype else F.lit(0)
-            return F.coalesce(F.sum(tc.col), zero), tc.dtype
+            agg = F.sum_distinct(tc.col) if call.distinct else F.sum(tc.col)
+            return F.coalesce(agg, zero), tc.dtype
         if name == "avg":
+            if call.distinct:
+                return (
+                    F.sum_distinct(tc.col).cast("double")
+                    / F.count_distinct(tc.col)
+                ), T.DoubleType()
             return F.avg(tc.col), T.DoubleType()
         if name == "min":
             return F.min(tc.col), tc.dtype
@@ -1647,7 +1665,13 @@ class CypherToSpark:
                 T.ArrayType(tc.dtype) if tc.dtype else None
             )
         if name == "stdev":
-            return F.stddev_samp(tc.col), T.DoubleType()
+            # sample stdev of a single value is 0 in Cypher, not null
+            return (
+                F.when(F.count(tc.col) >= 2, F.stddev_samp(tc.col)).when(
+                    F.count(tc.col) == 1, F.lit(0.0)
+                ),
+                T.DoubleType(),
+            )
         if name == "stdevp":
             return F.stddev_pop(tc.col), T.DoubleType()
         if name == "approxcountdistinct":
@@ -1952,11 +1976,19 @@ class CypherToSpark:
             if info is None:
                 raise CypherCompileError(f"variable `{expr.name}` not defined")
             if info.kind == "node":
-                ids = df.select(F.col(info.id_col()).alias("_id")).distinct()
+                # DELETE of a null entity (unmatched OPTIONAL MATCH) is a
+                # no-op, not an error — filter null ids out
+                ids = (
+                    df.select(F.col(info.id_col()).alias("_id"))
+                    .where(F.col("_id").isNotNull())
+                    .distinct()
+                )
                 self.store.delete_nodes(ids, detach=d.detach)
             elif info.kind == "edge":
                 self.store.delete_edges(
-                    df.select(F.col(info.id_col()).alias("_id")).distinct()
+                    df.select(F.col(info.id_col()).alias("_id"))
+                    .where(F.col("_id").isNotNull())
+                    .distinct()
                 )
             else:
                 raise CypherCompileError("DELETE target must be a node or edge")
@@ -1986,6 +2018,12 @@ class CypherToSpark:
             raise CypherCompileError("MERGE node requires key properties")
         self.store.ensure_label(label)
         props = self._compiled_props(state, np_.props)
+        for k, tc in props.items():
+            if isinstance(tc.dtype, T.NullType):
+                # Neo4j: "Cannot merge node using null property value"
+                raise CypherCompileError(
+                    f"Cannot merge node using null property value for `{k}`"
+                )
         df = state.require_df()
         key_tmp = {}
         for k, tc in props.items():

@@ -62,6 +62,119 @@ def _is_temporal(dtype: Optional[T.DataType]) -> bool:
     return isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType))
 
 
+def _order_category(dtype: Optional[T.DataType]) -> Optional[str]:
+    """Cypher orderability category (reference src/db.ts:172-239
+    getCypherTypeForOrdering): values compare only within one category.
+    Cross-category `<`/`>` is NULL; cross-category `=` is FALSE."""
+    if dtype is None:
+        return None
+    if isinstance(dtype, T.NullType):
+        return "null"
+    if isinstance(dtype, _NUMERIC_INT) or isinstance(
+        dtype, (T.FloatType, T.DoubleType, T.DecimalType)
+    ):
+        return "number"
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        # one temporal-instant category: date <= datetime compares by
+        # casting the date to midnight (engine precedent: TCK
+        # temporal_semantics "date strips the time component")
+        return "temporal"
+    if isinstance(dtype, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
+        return "duration"
+    if isinstance(dtype, T.ArrayType):
+        return "list"
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        return "map"
+    return "other"
+
+
+def _null_bool() -> Column:
+    return F.lit(None).cast("boolean")
+
+
+def _any_cond(conds: list[Column]) -> Column:
+    out = None
+    for c in conds:
+        out = c if out is None else (out | c)
+    return out if out is not None else F.lit(False)
+
+
+def _deep_list_eq(left: "TypedCol", right: "TypedCol") -> Column:
+    """Element-wise three-valued list equality (reference deepCypherEquals,
+    src/db.ts:113-151): size mismatch → false; any decided-unequal pair →
+    false; else any null-involved pair → null; else true."""
+    lt, rt = left.dtype, right.dtype
+    lc, rc = left.col, right.col
+    lec = _order_category(lt.elementType if isinstance(lt, T.ArrayType) else None)
+    rec = _order_category(rt.elementType if isinstance(rt, T.ArrayType) else None)
+    if lec == "null" and rec != "null" and rec is not None:
+        lc = lc.cast(rt)
+        lec = rec
+    elif rec == "null" and lec != "null" and lec is not None:
+        rc = rc.cast(lt)
+        rec = lec
+    base = F.when(lc.isNull() | rc.isNull(), _null_bool()).when(
+        F.size(lc) != F.size(rc), F.lit(False)
+    )
+    if lec == "null" and rec == "null":
+        # all-null element lists: only emptiness decides
+        return base.when(F.size(lc) == 0, F.lit(True)).otherwise(_null_bool())
+    if lec is not None and rec is not None and lec != rec:
+        # different element categories: only empty lists are equal
+        return base.when(F.size(lc) == 0, F.lit(True)).otherwise(F.lit(False))
+    pair_false = F.exists(
+        F.zip_with(lc, rc, lambda x, y: x.isNotNull() & y.isNotNull() & (x != y)),
+        lambda b: b,
+    )
+    pair_null = F.exists(
+        F.zip_with(lc, rc, lambda x, y: x.isNull() | y.isNull()), lambda b: b
+    )
+    return (
+        base.when(pair_false, F.lit(False))
+        .when(pair_null, _null_bool())
+        .otherwise(F.lit(True))
+    )
+
+
+def _deep_map_eq(left: "TypedCol", right: "TypedCol") -> Column:
+    """Key-set + field-wise three-valued map equality (reference
+    deepCypherEquals map branch, src/db.ts:131-145)."""
+    lt, rt = left.dtype, right.dtype
+    lc, rc = left.col, right.col
+    lkeys = sorted(f.name for f in lt.fields)
+    rkeys = sorted(f.name for f in rt.fields)
+    if lkeys != rkeys:
+        return F.when(lc.isNull() | rc.isNull(), _null_bool()).otherwise(
+            F.lit(False)
+        )
+    ltypes = {f.name: f.dataType for f in lt.fields}
+    rtypes = {f.name: f.dataType for f in rt.fields}
+    false_conds: list[Column] = []
+    null_conds: list[Column] = []
+    for k in lkeys:
+        lf, rf = lc.getField(k), rc.getField(k)
+        lfc, rfc = _order_category(ltypes[k]), _order_category(rtypes[k])
+        if lfc == "null" or rfc == "null":
+            null_conds.append(F.lit(True))
+            continue
+        if lfc is not None and rfc is not None and lfc != rfc:
+            false_conds.append(lf.isNotNull() & rf.isNotNull())
+            null_conds.append(lf.isNull() | rf.isNull())
+            continue
+        false_conds.append(lf.isNotNull() & rf.isNotNull() & (lf != rf))
+        null_conds.append(lf.isNull() | rf.isNull())
+    return (
+        F.when(lc.isNull() | rc.isNull(), _null_bool())
+        .when(_any_cond(false_conds), F.lit(False))
+        .when(_any_cond(null_conds), _null_bool())
+        .otherwise(F.lit(True))
+    )
+
+
 @dataclass
 class ExprCtx:
     """Compilation context: variable scope, parameters, lambda bindings."""
@@ -322,6 +435,8 @@ class ExprCompiler:
     def _index(self, e: ast.Index) -> TypedCol:
         base = self.compile(e.base)
         idx = self.compile(e.index)
+        if isinstance(base.dtype, T.NullType):
+            return TypedCol(F.lit(None), T.NullType())
         if _is_string(idx.dtype):
             dtype = None
             if isinstance(base.dtype, T.MapType):
@@ -334,19 +449,28 @@ class ExprCompiler:
 
     def _slice(self, e: ast.Slice) -> TypedCol:
         base = self.compile(e.base)
+        if isinstance(base.dtype, T.NullType):
+            return TypedCol(F.lit(None), T.NullType())
         size = F.size(base.col)
+        null_guards = []
         if e.start is None:
             start = F.lit(0)
         else:
             s = self.compile(e.start).col
+            null_guards.append(s.isNull())
             start = F.when(s < 0, F.greatest(size + s, F.lit(0))).otherwise(s)
         if e.end is None:
             end = size
         else:
             en = self.compile(e.end).col
+            null_guards.append(en.isNull())
             end = F.when(en < 0, size + en).otherwise(F.least(en, size))
         length = F.greatest(end - start, F.lit(0))
-        return TypedCol(F.slice(base.col, start + 1, length), base.dtype)
+        out = F.slice(base.col, start + 1, length)
+        if null_guards:
+            # a null slice bound nulls the whole slice (openCypher)
+            out = F.when(_any_cond(null_guards), F.lit(None)).otherwise(out)
+        return TypedCol(out, base.dtype)
 
     def _unary(self, e: ast.Unary) -> TypedCol:
         operand = self.compile(e.operand)
@@ -401,9 +525,46 @@ class ExprCompiler:
             return TypedCol(F.regexp_like(left.col, pattern), T.BooleanType())
         left, right = self.compile(e.left), self.compile(e.right)
         if op in ("=", "<>"):
-            eq = left.col == right.col
+            lcat, rcat = _order_category(left.dtype), _order_category(right.dtype)
+            if (
+                lcat == "list"
+                and rcat == "list"
+                and isinstance(left.dtype, T.ArrayType)
+                and isinstance(right.dtype, T.ArrayType)
+            ):
+                eq = _deep_list_eq(left, right)
+            elif (
+                lcat == "map"
+                and rcat == "map"
+                and isinstance(left.dtype, T.StructType)
+                and isinstance(right.dtype, T.StructType)
+            ):
+                eq = _deep_map_eq(left, right)
+            elif (
+                lcat is not None
+                and rcat is not None
+                and "null" not in (lcat, rcat)
+                and lcat != rcat
+            ):
+                # cross-category equality is FALSE, not a type error
+                # (reference deepCypherEquals primitive branch)
+                eq = F.when(
+                    left.col.isNull() | right.col.isNull(), _null_bool()
+                ).otherwise(F.lit(False))
+            else:
+                eq = left.col == right.col
             return TypedCol(eq if op == "=" else ~eq, T.BooleanType())
         if op in ("<", "<=", ">", ">="):
+            lcat, rcat = _order_category(left.dtype), _order_category(right.dtype)
+            if (
+                lcat is not None
+                and rcat is not None
+                and "null" not in (lcat, rcat)
+                and (lcat != rcat or lcat in ("list", "map"))
+            ):
+                # cross-category (or non-orderable) comparison is NULL
+                # (reference cypher_lt/gt, src/db.ts:404-464)
+                return TypedCol(_null_bool(), T.BooleanType())
             ops = {
                 "<": left.col < right.col,
                 "<=": left.col <= right.col,
@@ -848,6 +1009,28 @@ def _fn_properties(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 
 def _fn_keys(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    # keys(map-expression): sorted key names of a literal/struct map
+    is_entity_var = (
+        args
+        and isinstance(args[0], ast.Var)
+        and (info_ := comp.ctx.scope.get(args[0].name)) is not None
+        and info_.kind in ("node", "edge")
+    )
+    if not is_entity_var and args:
+        tc = comp.compile(args[0])
+        if isinstance(tc.dtype, T.NullType):
+            return TypedCol(F.lit(None), T.NullType())
+        if isinstance(tc.dtype, T.StructType):
+            items = [
+                F.when(tc.col.getField(f.name).isNotNull(), F.lit(f.name))
+                for f in sorted(tc.dtype.fields, key=lambda f: f.name)
+            ]
+            arr = F.array(*items) if items else F.array().cast("array<string>")
+            return TypedCol(F.array_compact(arr), T.ArrayType(T.StringType()))
+        if isinstance(tc.dtype, T.MapType):
+            return TypedCol(
+                F.sort_array(F.map_keys(tc.col)), T.ArrayType(T.StringType())
+            )
     info = _entity_info(comp, args, "keys")
     items = [
         F.when(F.col(pcol(info.name, k)).isNotNull(), F.lit(k))

@@ -373,19 +373,31 @@ class ExprCompiler:
         if isinstance(
             base.dtype, (T.DayTimeIntervalType, T.YearMonthIntervalType)
         ):
-            unit = {
-                "years": "YEAR",
-                "months": "MONTH",
-                "days": "DAY",
-                "hours": "HOUR",
-                "minutes": "MINUTE",
-                "seconds": "SECOND",
-            }.get(e.key.lower())
-            if unit is None:
+            # Neo4j duration accessors are TOTALS within their component
+            # group: PT2H30M → .hours = 2 but .minutes = 150 (the whole
+            # seconds-group in minutes); .minutesOfHour = 30.
+            def part(u: str) -> Column:
+                return F.date_part(F.lit(u), base.col).cast("long")
+
+            key = e.key.lower()
+            col = {
+                "years": lambda: part("YEAR"),
+                "months": lambda: part("YEAR") * 12 + part("MONTH"),
+                "monthsofyear": lambda: part("MONTH"),
+                "days": lambda: part("DAY"),
+                "hours": lambda: part("HOUR"),
+                "minutes": lambda: part("HOUR") * 60 + part("MINUTE"),
+                "minutesofhour": lambda: part("MINUTE"),
+                "seconds": lambda: part("HOUR") * 3600
+                + part("MINUTE") * 60
+                + F.floor(F.date_part(F.lit("SECOND"), base.col)).cast("long"),
+                "secondsofminute": lambda: F.floor(
+                    F.date_part(F.lit("SECOND"), base.col)
+                ).cast("long"),
+            }.get(key)
+            if col is None:
                 raise CypherCompileError(f"unknown duration accessor .{e.key}")
-            return TypedCol(
-                F.date_part(F.lit(unit), base.col).cast("long"), T.LongType()
-            )
+            return TypedCol(col(), T.LongType())
         # temporal accessors: d.year, d.month, ... on date/timestamp values
         if _is_temporal(base.dtype):
             key = e.key.lower()
@@ -927,6 +939,11 @@ class ExprCompiler:
             # date-date / timestamp-timestamp subtraction is an ANSI
             # day-time interval; typing it lets .days/.hours/... dispatch
             return TypedCol(b.col - a.col, T.DayTimeIntervalType())
+        if name.startswith("."):
+            # method call on an arbitrary base expression (parser encodes
+            # f(...).method(args) with the base as first argument)
+            base = self.compile(e.args[0])
+            return self._method_call(base, name[1:], e.args[1:])
         if "." in name:
             # method-call syntax: x.truncate(unit) — the receiver is the
             # dotted prefix (reference translateTemporalTruncate,
@@ -936,16 +953,20 @@ class ExprCompiler:
             for key in base_parts[1:]:
                 base_expr = ast.Prop(base=base_expr, key=key)
             base = self.compile(base_expr)
-            if method == "truncate":
-                if not e.args or not isinstance(e.args[0], ast.Literal):
-                    raise CypherCompileError("truncate(unit) requires a literal unit")
-                unit = str(e.args[0].value)
-                if isinstance(base.dtype, T.DateType):
-                    return TypedCol(
-                        F.trunc(base.col, unit), T.DateType()
-                    )
-                return TypedCol(F.date_trunc(unit, base.col), T.TimestampType())
+            return self._method_call(base, method, e.args)
         raise CypherCompileError(f"unknown function {name}()")
+
+    def _method_call(
+        self, base: TypedCol, method: str, args: list[ast.Expr]
+    ) -> TypedCol:
+        if method == "truncate":
+            if not args or not isinstance(args[0], ast.Literal):
+                raise CypherCompileError("truncate(unit) requires a literal unit")
+            unit = str(args[0].value)
+            if isinstance(base.dtype, T.DateType):
+                return TypedCol(F.trunc(base.col, unit), T.DateType())
+            return TypedCol(F.date_trunc(unit, base.col), T.TimestampType())
+        raise CypherCompileError(f"unknown method .{method}()")
 
 
 # --------------------------------------------------------------------------
@@ -1005,7 +1026,10 @@ def _fn_type(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 def _fn_properties(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     info = _entity_info(comp, args, "properties")
     fields = [F.col(pcol(info.name, k)).alias(k) for k in sorted(info.props)]
-    return TypedCol(F.struct(*fields), None)
+    dtype = T.StructType(
+        [T.StructField(k, info.props[k]) for k in sorted(info.props)]
+    )
+    return TypedCol(F.struct(*fields), dtype)
 
 
 def _fn_keys(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:

@@ -735,27 +735,39 @@ class Parser:
         return left
 
     def parse_multiplicative(self) -> ast.Expr:
-        left = self.parse_power()
+        left = self.parse_unary()
         while self.at_op("*", "/", "%"):
             op = self.advance().value
-            left = ast.Binary(op, left, self.parse_power())
-        return left
-
-    def parse_power(self) -> ast.Expr:
-        # Cypher ^ is left-associative: 2^3^2 = (2^3)^2 = 64
-        left = self.parse_unary()
-        while self.at_op("^"):
-            self.advance()
-            left = ast.Binary("^", left, self.parse_unary())
+            left = ast.Binary(op, left, self.parse_unary())
         return left
 
     def parse_unary(self) -> ast.Expr:
+        # unary minus binds LOOSER than ^: -2^2 = -(2^2) = -4 (Neo4j)
         if self.at_op("-"):
             self.advance()
             return ast.Unary("-", self.parse_unary())
         if self.at_op("+"):
             self.advance()
             return ast.Unary("+", self.parse_unary())
+        return self.parse_power()
+
+    def parse_power(self) -> ast.Expr:
+        # Cypher ^ is left-associative: 2^3^2 = (2^3)^2 = 64
+        left = self.parse_postfix()
+        while self.at_op("^"):
+            self.advance()
+            left = ast.Binary("^", left, self._parse_power_operand())
+        return left
+
+    def _parse_power_operand(self) -> ast.Expr:
+        # allow a signed operand (2 ^ -1) without re-entering the power
+        # loop, which would break left-associativity
+        if self.at_op("-"):
+            self.advance()
+            return ast.Unary("-", self._parse_power_operand())
+        if self.at_op("+"):
+            self.advance()
+            return ast.Unary("+", self._parse_power_operand())
         return self.parse_postfix()
 
     def parse_postfix(self) -> ast.Expr:
@@ -766,7 +778,19 @@ class Parser:
                 t = self.peek()
                 if t.type != "ident":
                     raise CypherSyntaxError("expected property name", t.line, t.col)
-                expr = ast.Prop(base=expr, key=self.advance().value)
+                name = self.advance().value
+                if self.at_op("("):
+                    # method call on an arbitrary base expression, e.g.
+                    # localdatetime(...).truncate('day') — encoded as a
+                    # FuncCall with a leading-dot name and the base as the
+                    # first argument (var bases take the dotted-name path
+                    # in parse_atom)
+                    call = self.parse_func_call(name)
+                    expr = ast.FuncCall(
+                        name="." + call.name, args=[expr, *call.args]
+                    )
+                else:
+                    expr = ast.Prop(base=expr, key=name)
             elif self.at_op("["):
                 self.advance()
                 start = None

@@ -608,9 +608,11 @@ def _p_embed_neardup(spark, sf_dir):
     from nicefox_graphdb_spark.operators import dedup as dd
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    subset = emb.where(F.col("vec_id") % 5 == 0)
+    # full corpus through the exact tier — its max_rows contract (raises
+    # on unbounded input) is what makes this safe to gate; the corpus-scale
+    # path is q_ann_neardup
     return dd.embedding_neardup_pairs(
-        subset, "vec_id", "embedding", threshold=0.2
+        emb, "vec_id", "embedding", threshold=0.2
     ).orderBy("id_a", "id_b")
 
 
@@ -1014,7 +1016,7 @@ _ORACLE.update(
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                                CAST(embedding AS DOUBLE[]))) AS nrm
-                FROM embeddings WHERE vec_id % 5 = 0),
+                FROM embeddings),
             pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                        round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)

@@ -384,12 +384,33 @@ def simhash_pairs(
 
 # -- embedding near-dup ----------------------------------------------------
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Exact pairwise cosine near-dups (for bounded candidate sets; use
-    similarity.ann_* for corpus-scale)."""
+    """Exact pairwise cosine near-dups — the bounded-set tier.
+
+    The plan is an O(N²) self-join; that is the correct tool for candidate
+    sets (an LSH bucket, a cluster, a dedup shard) and the WRONG tool for a
+    corpus. ``max_rows`` enforces that contract: inputs above it raise and
+    point at the linear-candidate tiers (`similarity.ann_neardup_pairs`,
+    `minhash_lsh_pairs`) instead of silently scheduling an N² shuffle that
+    would never finish at 100 TB. Pass ``max_rows=None`` only when the
+    caller has already bounded the input.
+    """
     from nicefox_graphdb_spark.operators.similarity import dot, norm
 
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs is the exact O(N^2) tier for "
+                f"bounded candidate sets; got {n} rows > max_rows="
+                f"{max_rows}. Use similarity.ann_neardup_pairs or "
+                f"minhash_lsh_pairs for corpus-scale near-dup."
+            )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -207,3 +207,23 @@ def test_ivf_topk_recall(spark, tables):
         ).collect()
     ]
     assert approx == approx2
+
+
+def test_embedding_neardup_max_rows_guard(spark):
+    """The exact O(N^2) tier refuses unbounded input (100 TB contract):
+    callers must pre-bound candidates or use the ANN tier."""
+    import pytest as _pytest
+
+    from nicefox_graphdb_spark.operators import dedup as dd
+
+    df = spark.range(50).selectExpr(
+        "id", "array(cast(id as double), 1.0d) AS v"
+    )
+    with _pytest.raises(ValueError, match="max_rows"):
+        dd.embedding_neardup_pairs(df, "id", "v", threshold=0.9, max_rows=10)
+    # under the bound it runs
+    assert (
+        dd.embedding_neardup_pairs(df, "id", "v", threshold=2.0, max_rows=100)
+        .count()
+        == 0
+    )

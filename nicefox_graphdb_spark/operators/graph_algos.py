@@ -269,21 +269,57 @@ def label_propagation(
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count on the undirected simple graph.
 
-    Canonical-ordering join (a<b<c) — each triangle counted once; the
-    standard two-join formulation whose cost is sum of deg² (cap hot
-    vertices upstream if the degree distribution is heavy-tailed)."""
+    Degree-ordered orientation (each triangle counted from its lowest-
+    degree vertex): every undirected edge is directed from its lower
+    (degree, id) endpoint to the higher, wedges are enumerated only at
+    the LOW end, and the closing edge is looked up in the same oriented
+    set. Per-vertex wedge cost is out-degree² where max out-degree is
+    O(√m) — a hot vertex of degree d no longer contributes d² candidate
+    pairs, which is what kills the naive sum-deg² plan on skewed graphs
+    at 100 TB."""
     und = (
         edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .where(F.col("src") < F.col("dst"))
         .distinct()
     )
-    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    deg = (
+        und.select(F.col("src").alias("id"))
+        .unionByName(und.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")), "dst")
+    )
+    src_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(src_first, F.col("dd")).otherwise(F.col("ds")).alias("hi_d"),
+    )
+    o1 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("hi_d").alias("vd")
+    )
+    o2 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("hi_d").alias("wd")
+    )
+    # each unordered out-pair once, ordered by the same (degree, id) rank
+    wedges = o1.join(o2, "u").where(
+        (F.col("vd") < F.col("wd"))
+        | ((F.col("vd") == F.col("wd")) & (F.col("v") < F.col("w")))
+    )
+    # rank(v) < rank(w) ⇒ a v–w edge is oriented v→w in `oriented`
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
     return (
-        e1.join(e2, on="b")
-        .join(e3, on=["a", "c"])
+        wedges.select("v", "w")
+        .join(closing, on=["v", "w"])
         .agg(F.count("*").cast("long").alias("triangles"))
     )
 

@@ -101,3 +101,47 @@ def test_shortest_paths_prefers_min(spark):
         for r in ga.shortest_path_lengths(edges, srcs).collect()
     }
     assert dists["D"] == 1
+
+
+def test_triangle_count_k4_and_hub(spark):
+    """K4 has 4 triangles; adding a hub connected to every vertex (skewed
+    star) turns each K4 edge into one more triangle (6) → 10 total. The
+    degree-ordered orientation must count each exactly once."""
+    from nicefox_graphdb_spark.operators import graph_algos as ga
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    hub = [("z", v) for v in "abcd"]
+    edges = spark.createDataFrame(k4 + hub, ["src", "dst"])
+    assert ga.triangle_count(edges).collect()[0]["triangles"] == 10
+
+
+def test_triangle_count_random_vs_bruteforce(spark):
+    """Seeded random graph: orientation count equals the brute-force
+    canonical a<b<c join."""
+    import random
+
+    from nicefox_graphdb_spark.operators import graph_algos as ga
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = {
+        tuple(sorted(rng.sample(nodes, 2)))
+        for _ in range(120)
+    }
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    got = ga.triangle_count(df).collect()[0]["triangles"]
+    und = df.selectExpr("src AS a", "dst AS b")
+    e2 = df.selectExpr("src AS b", "dst AS c")
+    e3 = df.selectExpr("src AS a", "dst AS c")
+    brute = und.join(e2, "b").join(e3, ["a", "c"]).count()
+    assert got == brute and got > 0
+
+
+def test_triangle_count_ignores_self_loops_and_duplicates(spark):
+    from nicefox_graphdb_spark.operators import graph_algos as ga
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("a", "a")],
+        ["src", "dst"],
+    )
+    assert ga.triangle_count(edges).collect()[0]["triangles"] == 1

@@ -1491,8 +1491,23 @@ class CypherToSpark:
             return self._compile_aggregate(state, call)
 
         replacements: dict[int, str] = {}
+        # percentileDisc is computed EXACTLY via a rank/window two-pass over
+        # the pre-aggregation rows (sort-based, spills — never buffers a
+        # group in memory) and joined back onto the aggregate result. The
+        # former percentile_approx sketch was only exact for groups under
+        # its accuracy (reference is exact: src/translator.ts:5288-5409).
+        window_percentiles: list[tuple[str, F.Column, F.Column, T.DataType | None]] = []
 
         def extract(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.FuncCall) and e.name == "percentiledisc":
+                tmp = f"__agg{next(agg_counter)}"
+                tc = self._compile_expr(state, e.args[0])
+                p = self._compile_expr(state, e.args[1]).col
+                window_percentiles.append((tmp, tc.col, p, tc.dtype))
+                out_scope_tmp.bind(
+                    VarInfo(name=tmp, kind="value", dtype=tc.dtype)
+                )
+                return ast.Var(tmp)
             if isinstance(e, ast.FuncCall) and e.name in AGGREGATE_FUNCTIONS:
                 tmp = f"__agg{next(agg_counter)}"
                 col, dtype = compile_agg_call(e)
@@ -1541,6 +1556,32 @@ class CypherToSpark:
         if not agg_cols:
             agg_cols.append(F.count(F.lit(1)).alias("__dummy_count"))
         agg_df = grouped.agg(*agg_cols)
+
+        for tmp, vcol_expr, p, _dtype in window_percentiles:
+            from pyspark.sql import Window
+
+            valname = f"__wp_{tmp}"
+            src = df.withColumn(valname, vcol_expr).where(
+                F.col(valname).isNotNull()
+            )
+            if group_cols:
+                w_rank = Window.partitionBy(*group_cols).orderBy(F.col(valname))
+                w_cnt = Window.partitionBy(*group_cols)
+            else:
+                w_rank = Window.partitionBy().orderBy(F.col(valname))
+                w_cnt = Window.partitionBy()
+            ranked = src.withColumn(
+                "__rn", F.row_number().over(w_rank)
+            ).withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
+            # smallest element with rank >= ceil(p*N); p=0 → rank 1 (min)
+            k = F.greatest(F.ceil(p * F.col("__cnt")), F.lit(1))
+            picked = ranked.where(F.col("__rn") == k).select(
+                *group_cols, F.col(valname).alias(vcol(tmp, "val"))
+            )
+            if group_cols:
+                agg_df = agg_df.join(picked, on=group_cols, how="left")
+            else:
+                agg_df = agg_df.join(picked, F.lit(True), "left")
 
         # post-aggregation expression evaluation
         post_scope = Scope()

@@ -211,3 +211,28 @@ def test_approx_aggregates(engine):
     r = rows[0]
     assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05
     assert abs(r["p50a"] - r["p50e"]) / r["p50e"] < 0.05
+
+
+def test_percentile_disc_exact_on_large_group(engine):
+    """percentileDisc is exact regardless of group size (rank/window
+    two-pass; reference is exact, src/translator.ts:5288-5409). 1.1M rows
+    exceeds the old sketch's 1e6 accuracy, where rank error was possible."""
+    rows = engine.query(
+        "UNWIND range(1, 1100000) AS x RETURN percentileDisc(x, 0.37) AS p"
+    )
+    assert rows == [{"p": 407000}]
+
+
+def test_percentile_disc_bounds_and_groups(engine):
+    rows = engine.query(
+        "UNWIND [1, 2, 3, 4] AS x "
+        "RETURN percentileDisc(x, 0.0) AS lo, percentileDisc(x, 1.0) AS hi, "
+        "percentileDisc(x, 0.5) AS med"
+    )
+    assert rows == [{"lo": 1, "hi": 4, "med": 2}]
+    rows = engine.query(
+        "UNWIND [{g: 'a', v: 1}, {g: 'a', v: 2}, {g: 'a', v: 3},"
+        " {g: 'b', v: 10}] AS r "
+        "RETURN r.g AS g, percentileDisc(r.v, 0.5) AS med ORDER BY g"
+    )
+    assert rows == [{"g": "a", "med": 2}, {"g": "b", "med": 10}]

@@ -87,9 +87,11 @@ def test_percentile_disc_no_group_materialization(engine):
         "MATCH (o:Order) RETURN o.orderstatus AS st, "
         "percentileDisc(o.totalprice, 0.9) AS p90 ORDER BY st",
     )
-    # bounded-memory sketch aggregate, not a whole-group collect_list
+    # exact rank/window two-pass: sort-based (spills), never a whole-group
+    # collect_list or an in-memory percentile buffer
     assert "collect_list" not in plan
-    assert "percentile_approx" in plan
+    assert "row_number" in plan
+    assert "Window" in plan
 
 
 def _scan_order(plan: str) -> list[str]:

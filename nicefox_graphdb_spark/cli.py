@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--json", action="store_true", help="print a QueryResponse JSON envelope"
     )
+    q.add_argument(
+        "--url", help="query a remote server instead of an in-process engine"
+    )
+    q.add_argument("--project", default="default", help="remote project name")
+    q.add_argument("--api-key", help="remote Bearer API key")
 
     s = sub.add_parser("serve", help="start the HTTP server")
     s.add_argument("--port", type=int, default=3000)
@@ -76,7 +81,16 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "query":
-        eng = _get_engine(args.sf_dir)
+        if args.url:
+            # remote transport (reference src/remote.ts; no SparkSession
+            # in the client process)
+            from nicefox_graphdb_spark.remote import RemoteEngine
+
+            eng = RemoteEngine(
+                args.url, project=args.project, api_key=args.api_key
+            )
+        else:
+            eng = _get_engine(args.sf_dir)
         params = json.loads(args.params) if args.params else None
         if args.json:
             print(json.dumps(eng.query_response(args.cypher, params), default=str))

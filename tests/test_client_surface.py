@@ -32,3 +32,104 @@ def test_rand_banned_inside_aggregates(engine):
     # outside aggregates rand() is fine
     rows = engine.query("RETURN rand() >= 0 AS ok")
     assert rows == [{"ok": True}]
+
+
+# -- remote transport: the same client surface over HTTP (reference
+# TEST_MODE=remote re-runs its e2e suite through src/remote.ts;
+# test/utils.ts:7-49) ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def remote(spark):
+    import threading
+
+    from nicefox_graphdb_spark.remote import RemoteEngine
+    from nicefox_graphdb_spark.server import create_server
+
+    httpd, _ = create_server(
+        spark, host="127.0.0.1", port=0, api_keys={"sekret"}
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield RemoteEngine(url, project="remote_suite", api_key="sekret")
+    httpd.shutdown()
+
+
+def test_remote_health_and_roundtrip(remote):
+    assert remote.health()["status"] == "ok"
+    remote.query("CREATE (:P {name: 'a', v: 1})")
+    remote.query("CREATE (:P {name: 'b', v: 2})")
+    rows = remote.query(
+        "MATCH (p:P) WHERE p.v >= $min RETURN p.name AS name ORDER BY name",
+        {"min": 1},
+    )
+    assert rows == [{"name": "a"}, {"name": "b"}]
+
+
+def test_remote_query_response_envelope(remote):
+    resp = remote.query_response("MATCH (p:P) RETURN count(*) AS c")
+    assert resp["success"] is True
+    assert resp["meta"]["count"] == 1
+    assert resp["meta"]["time_ms"] >= 0
+    assert resp["data"] == [{"c": 2}]
+
+
+def test_remote_syntax_error_envelope(remote):
+    from nicefox_graphdb_spark.remote import RemoteQueryError
+
+    resp = remote.query_response("MATCH (p:P\nRETURN p")
+    assert resp["success"] is False
+    assert resp["error"]["line"] >= 1
+    with pytest.raises(RemoteQueryError) as ei:
+        remote.query("MATCH (p:P\nRETURN p")
+    assert ei.value.line >= 1
+
+
+def test_remote_execute_alias_and_projects(remote):
+    assert remote.execute("RETURN 1 + 1 AS two") == [{"two": 2}]
+    assert "remote_suite" in remote.list_projects()
+
+
+def test_remote_auth_rejected(remote):
+    from nicefox_graphdb_spark.remote import (
+        RemoteEngine,
+        RemoteTransportError,
+    )
+
+    bad = RemoteEngine(remote.base, project="x", api_key="wrong")
+    with pytest.raises(RemoteTransportError):
+        bad.query("RETURN 1 AS x")
+
+
+def test_remote_projects_isolated(remote):
+    from nicefox_graphdb_spark.remote import RemoteEngine
+
+    other = RemoteEngine(
+        remote.base, project="other_project", api_key="sekret"
+    )
+    assert other.query("MATCH (p:P) RETURN count(*) AS c") == [{"c": 0}]
+
+
+def test_remote_cli_query_url(remote, capsys):
+    from nicefox_graphdb_spark.cli import main
+
+    rc = main(
+        [
+            "query",
+            "RETURN 40 + 2 AS answer",
+            "--url",
+            remote.base,
+            "--project",
+            "remote_suite",
+            "--api-key",
+            "sekret",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    import json as _json
+
+    envelope = _json.loads(out)
+    assert envelope["success"] is True and envelope["data"] == [{"answer": 42}]

@@ -1,4 +1,5 @@
 from nicefox_graphdb_spark.sources.snapshot import (
+    SnapshotScheduler,
     clean_old_snapshots,
     list_snapshots,
     load_snapshot,
@@ -11,6 +12,7 @@ __all__ = [
     "load_tpch_graph",
     "read_tables",
     "snapshot_graph",
+    "SnapshotScheduler",
     "load_snapshot",
     "list_snapshots",
     "clean_old_snapshots",

@@ -25,6 +25,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -179,3 +180,65 @@ def load_snapshot(
         )
     cat.multi_label_dirty = bool(manifest.get("multi_label_dirty", False))
     return cat
+
+
+class SnapshotScheduler:
+    """Interval-driven snapshots with retention.
+
+    The Spark answer to running the reference's BackupManager on a timer
+    (reference src/backup.ts + `cli.ts backup` invoked periodically): each
+    tick writes one versioned snapshot of every registered catalog and
+    prunes to ``keep``. ``tick()`` is callable directly so tests (and cron
+    environments that bring their own scheduler) stay deterministic;
+    ``start()`` runs the same tick on a daemon-thread interval loop.
+    """
+
+    def __init__(
+        self,
+        backup_dir: str,
+        keep: int | None = None,
+        interval_s: float = 3600.0,
+    ):
+        self.backup_dir = backup_dir
+        self.keep = keep
+        self.interval_s = interval_s
+        self._catalogs: dict[str, GraphCatalog] = {}
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.ticks = 0
+        self.last_results: list[SnapshotResult] = []
+
+    def register(self, name: str, catalog: GraphCatalog) -> None:
+        self._catalogs[name] = catalog
+
+    def tick(self) -> list[SnapshotResult]:
+        """Snapshot every registered catalog once, then prune retention."""
+        results = []
+        for name, cat in sorted(self._catalogs.items()):
+            results.append(
+                snapshot_graph(
+                    cat, os.path.join(self.backup_dir, name), keep=self.keep
+                )
+            )
+        self.ticks += 1
+        self.last_results = results
+        return results
+
+    # -- interval loop -----------------------------------------------------
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+
+        def loop() -> None:
+            while not self._stop.wait(self.interval_s):
+                self.tick()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

@@ -56,3 +56,42 @@ def test_snapshot_versions_and_retention(spark, small_graph, tmp_path):
 def test_load_snapshot_missing(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         load_snapshot(spark, str(tmp_path / "nothing"))
+
+
+def test_scheduler_tick_snapshots_and_prunes(spark, small_graph, tmp_path):
+    """Scheduled-tick parity with running the reference BackupManager on a
+    timer: every tick snapshots each registered catalog and prunes to
+    `keep` (reference cleanOldBackups, src/backup.ts:147-167)."""
+    from nicefox_graphdb_spark.sources import (
+        SnapshotScheduler,
+        snapshot_status,
+    )
+
+    sched = SnapshotScheduler(str(tmp_path / "sched"), keep=2)
+    sched.register("projA", small_graph.catalog)
+    for _ in range(4):
+        results = sched.tick()
+        assert all(r.success for r in results)
+    assert sched.ticks == 4
+    # retention pruned to the 2 newest versions
+    st = snapshot_status(str(tmp_path / "sched" / "projA"))
+    assert st.total_snapshots == 2 and st.versions == [4, 3]
+
+
+def test_scheduler_interval_loop_fires(spark, small_graph, tmp_path):
+    import time as _time
+
+    from nicefox_graphdb_spark.sources import SnapshotScheduler, list_snapshots
+
+    sched = SnapshotScheduler(str(tmp_path / "loop"), keep=3, interval_s=0.3)
+    sched.register("p", small_graph.catalog)
+    sched.start()
+    try:
+        deadline = _time.time() + 30
+        while sched.ticks == 0 and _time.time() < deadline:
+            _time.sleep(0.1)
+    finally:
+        sched.stop()
+    assert sched.ticks >= 1
+    assert len(list_snapshots(str(tmp_path / "loop" / "p"))) >= 1
+    assert all(r.success for r in sched.last_results)

@@ -96,6 +96,68 @@ def _null_bool() -> Column:
     return F.lit(None).cast("boolean")
 
 
+# Tagged-variant cell for heterogeneous literal lists (reference keeps
+# dynamically-typed JSON cells, src/db.ts deepCypherEquals): one Catalyst
+# struct type representing any Cypher value — kind tag, a numeric slot
+# (ints and floats unify so [1] cells equal [1.0] cells), and a canonical
+# text slot for everything else (strings, bools, serialized lists/maps).
+_TAGGED_T = T.StructType(
+    [
+        T.StructField("__ck", T.StringType()),
+        T.StructField("__cn", T.DoubleType()),
+        T.StructField("__ct", T.StringType()),
+    ]
+)
+
+
+def _is_tagged(dtype: Optional[T.DataType]) -> bool:
+    return (
+        isinstance(dtype, T.StructType)
+        and [f.name for f in dtype.fields] == ["__ck", "__cn", "__ct"]
+    )
+
+
+def _tag_value(tc: "TypedCol") -> Column:
+    """Encode a typed value as a tagged-variant struct (see _TAGGED_T)."""
+    cat = _order_category(tc.dtype)
+    null_struct = F.lit(None).cast(_TAGGED_T)
+    if cat in (None, "null"):
+        return null_struct
+    if cat == "number":
+        tagged = F.struct(
+            F.lit("n").alias("__ck"),
+            tc.col.cast("double").alias("__cn"),
+            F.lit(None).cast("string").alias("__ct"),
+        )
+    elif cat == "map" and isinstance(tc.dtype, T.StructType):
+        # canonical text: JSON with key-sorted field order
+        ordered = F.struct(
+            *[
+                tc.col.getField(f.name).alias(f.name)
+                for f in sorted(tc.dtype.fields, key=lambda f: f.name)
+            ]
+        )
+        tagged = F.struct(
+            F.lit("m").alias("__ck"),
+            F.lit(None).cast("double").alias("__cn"),
+            F.to_json(ordered).alias("__ct"),
+        )
+    elif cat == "list":
+        tagged = F.struct(
+            F.lit("l").alias("__ck"),
+            F.lit(None).cast("double").alias("__cn"),
+            F.to_json(F.struct(tc.col.alias("v"))).alias("__ct"),
+        )
+    else:
+        # string / boolean / temporal / duration → canonical text
+        tagged = F.struct(
+            F.lit(cat[0]).alias("__ck"),
+            F.lit(None).cast("double").alias("__cn"),
+            tc.col.cast("string").alias("__ct"),
+        )
+    return F.when(tc.col.isNull(), null_struct).otherwise(tagged)
+
+
 def _any_cond(conds: list[Column]) -> Column:
     out = None
     for c in conds:
@@ -109,6 +171,17 @@ def _deep_list_eq(left: "TypedCol", right: "TypedCol") -> Column:
     false; else any null-involved pair → null; else true."""
     lt, rt = left.dtype, right.dtype
     lc, rc = left.col, right.col
+    let = lt.elementType if isinstance(lt, T.ArrayType) else None
+    ret = rt.elementType if isinstance(rt, T.ArrayType) else None
+    if _is_tagged(let) != _is_tagged(ret):
+        # one side heterogeneous (tagged cells), the other plain: lift the
+        # plain side into the same variant encoding element-wise
+        if _is_tagged(let) and ret is not None and not isinstance(ret, T.NullType):
+            rc = F.transform(rc, lambda x: _tag_value(TypedCol(x, ret)))
+            rt = T.ArrayType(_TAGGED_T)
+        elif _is_tagged(ret) and let is not None and not isinstance(let, T.NullType):
+            lc = F.transform(lc, lambda x: _tag_value(TypedCol(x, let)))
+            lt = T.ArrayType(_TAGGED_T)
     lec = _order_category(lt.elementType if isinstance(lt, T.ArrayType) else None)
     rec = _order_category(rt.elementType if isinstance(rt, T.ArrayType) else None)
     if lec == "null" and rec != "null" and rec is not None:
@@ -247,6 +320,21 @@ class ExprCompiler:
                 # overload (and gets cast to the other side's element type)
                 return TypedCol(F.array(), T.ArrayType(T.NullType()))
             items = [self.compile(e) for e in expr.items]
+            cats = {
+                _order_category(tc.dtype)
+                for tc in items
+                if tc.dtype is not None
+            } - {"null", None}
+            if len(cats) > 1:
+                # heterogeneous literal list ([1, [2]], [1, 'a']): Catalyst
+                # arrays are homogeneous, so encode each cell as a tagged
+                # variant struct (kind + numeric slot + canonical text) —
+                # value-based equality incl. int/float unification and 3VL
+                # null holes then rides on ordinary struct equality
+                return TypedCol(
+                    F.array(*[_tag_value(tc) for tc in items]),
+                    T.ArrayType(_TAGGED_T),
+                )
             elem = next((tc.dtype for tc in items if tc.dtype is not None), None)
             return TypedCol(
                 F.array(*[tc.col for tc in items]),
@@ -508,6 +596,12 @@ class ExprCompiler:
             # array_contains; give them concrete types — the 3VL result is
             # unaffected (null compares as null against anything)
             elem_t = right.dtype.elementType if _is_array(right.dtype) else None
+            if _is_tagged(elem_t) and not _is_tagged(left.dtype):
+                # scalar IN heterogeneous list: lift the scalar into the
+                # same tagged-variant encoding, then array_contains keeps
+                # its 3VL semantics over the variant structs
+                lcol = _tag_value(left)
+                left = TypedCol(lcol, _TAGGED_T)
             if isinstance(elem_t, T.NullType):
                 elem_t = left.dtype if left.dtype and not isinstance(
                     left.dtype, T.NullType

@@ -325,7 +325,29 @@ class ExprCompiler:
                 for tc in items
                 if tc.dtype is not None
             } - {"null", None}
-            if len(cats) > 1:
+            need_tag = len(cats) > 1
+            if not need_tag and cats and next(iter(cats)) in ("list", "map"):
+                # same category but incompatible Spark types (e.g. a tagged
+                # inner list next to array<int>, or maps with different key
+                # sets): F.array can't unify them — tag the outer list too.
+                concrete = {
+                    tc.dtype.simpleString()
+                    for tc in items
+                    if tc.dtype is not None
+                    and not isinstance(tc.dtype, T.NullType)
+                }
+                if len(concrete) > 1:
+                    cat = next(iter(cats))
+                    numeric_arrays = cat == "list" and all(
+                        isinstance(tc.dtype, T.ArrayType)
+                        and _order_category(tc.dtype.elementType)
+                        in ("number", "null", None)
+                        for tc in items
+                        if tc.dtype is not None
+                        and not isinstance(tc.dtype, T.NullType)
+                    )
+                    need_tag = not numeric_arrays
+            if need_tag:
                 # heterogeneous literal list ([1, [2]], [1, 'a']): Catalyst
                 # arrays are homogeneous, so encode each cell as a tagged
                 # variant struct (kind + numeric slot + canonical text) —
@@ -533,6 +555,27 @@ class ExprCompiler:
         return TypedCol(base.col.getItem(e.key), dtype)
 
     def _index(self, e: ast.Index) -> TypedCol:
+        idx_lit = e.index
+        if (
+            isinstance(idx_lit, ast.Unary)
+            and idx_lit.op == "-"
+            and isinstance(idx_lit.operand, ast.Literal)
+            and idx_lit.operand.kind == "int"
+        ):
+            idx_lit = ast.Literal(-int(idx_lit.operand.value), "int")  # type: ignore[arg-type]
+        if (
+            isinstance(e.base, ast.ListLit)
+            and isinstance(idx_lit, ast.Literal)
+            and idx_lit.kind == "int"
+        ):
+            # constant-fold literal-list indexing — in particular this lets
+            # a heterogeneous list cell come back as its plain value
+            # instead of a tagged-variant struct
+            i = int(idx_lit.value)  # type: ignore[arg-type]
+            n = len(e.base.items)
+            if -n <= i < n:
+                return self.compile(e.base.items[i])
+            return TypedCol(F.lit(None), T.NullType())
         base = self.compile(e.base)
         idx = self.compile(e.index)
         if isinstance(base.dtype, T.NullType):

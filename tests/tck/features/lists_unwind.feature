@@ -221,3 +221,25 @@ Feature: Lists, UNWIND, comprehensions (TCK expressions/list corners)
     Then the result should be, in any order:
       | n |
       | 2 |
+
+  Scenario: Heterogeneous literal list indexing decodes the plain value
+    Given an empty graph
+    When executing query:
+      """
+      RETURN [1, 'a'][0] AS i, [1, 'a'][1] AS s, [1, 'a'][-1] AS neg,
+             [1, 'a'][9] AS oob
+      """
+    Then the result should be, in any order:
+      | i | s   | neg | oob  |
+      | 1 | 'a' | 'a' | null |
+
+  Scenario: Heterogeneous list inequality and size
+    Given an empty graph
+    When executing query:
+      """
+      RETURN [1, 'a'] <> [1, 'b'] AS ne, size([1, [2], 'x']) AS sz,
+             [1, [2]] IN [[1, [2]], [3]] AS haystack
+      """
+    Then the result should be, in any order:
+      | ne   | sz | haystack |
+      | true | 3  | true     |

@@ -1560,24 +1560,72 @@ class CypherToSpark:
         for tmp, vcol_expr, p, _dtype in window_percentiles:
             from pyspark.sql import Window
 
+            # Exact discrete percentile at scale, in three cheap passes:
+            #   1. per-group sketch → a value bracket [lo, hi] whose rank
+            #      guarantee (±N/A) provably contains the exact k-th value
+            #      (all partial-aggregate, map-side combinable);
+            #   2. exact count of rows strictly below lo (partial agg);
+            #   3. rank-order ONLY the ~4N/A rows inside the bracket with a
+            #      window and pick global rank k.
+            # No task ever sees a whole group — the former whole-group
+            # window concentrated each group on one task, the same scale
+            # smell as an unbounded crossJoin.
+            acc = 10_000
+            eps = 2.0 / acc
             valname = f"__wp_{tmp}"
             src = df.withColumn(valname, vcol_expr).where(
                 F.col(valname).isNotNull()
             )
-            if group_cols:
-                w_rank = Window.partitionBy(*group_cols).orderBy(F.col(valname))
-                w_cnt = Window.partitionBy(*group_cols)
-            else:
-                w_rank = Window.partitionBy().orderBy(F.col(valname))
-                w_cnt = Window.partitionBy()
-            ranked = src.withColumn(
-                "__rn", F.row_number().over(w_rank)
-            ).withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
-            # smallest element with rank >= ceil(p*N); p=0 → rank 1 (min)
-            k = F.greatest(F.ceil(p * F.col("__cnt")), F.lit(1))
-            picked = ranked.where(F.col("__rn") == k).select(
-                *group_cols, F.col(valname).alias(vcol(tmp, "val"))
+            p_lo = F.greatest(p - F.lit(eps), F.lit(0.0))
+            p_hi = F.least(p + F.lit(eps), F.lit(1.0))
+            gb = src.groupBy(*group_cols) if group_cols else src.groupBy()
+            stats = gb.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.percentile_approx(F.col(valname), p_lo, acc).alias("__lo"),
+                F.percentile_approx(F.col(valname), p_hi, acc).alias("__hi"),
+            ).withColumn(
+                "__k", F.greatest(F.ceil(p * F.col("__n")), F.lit(1))
             )
+            # degenerate bracket (heavy duplicates / tiny group): lo == hi
+            # IS the answer — no sort at all
+            done = stats.where(F.col("__lo") == F.col("__hi")).select(
+                *group_cols, F.col("__lo").alias(vcol(tmp, "val"))
+            )
+            open_ = stats.where(F.col("__lo") != F.col("__hi"))
+            if group_cols:
+                joined = src.join(F.broadcast(open_), on=group_cols)
+            else:
+                joined = src.crossJoin(F.broadcast(open_))
+            below = (
+                (
+                    joined.where(F.col(valname) < F.col("__lo"))
+                    .groupBy(*group_cols)
+                    .agg(F.count(F.lit(1)).alias("__base"))
+                )
+                if group_cols
+                else joined.where(F.col(valname) < F.col("__lo")).agg(
+                    F.count(F.lit(1)).alias("__base")
+                )
+            )
+            bracket = joined.where(
+                (F.col(valname) >= F.col("__lo"))
+                & (F.col(valname) <= F.col("__hi"))
+            )
+            if group_cols:
+                bracket = bracket.join(below, on=group_cols, how="left")
+                w_rank = Window.partitionBy(*group_cols).orderBy(F.col(valname))
+            else:
+                bracket = bracket.crossJoin(below)
+                w_rank = Window.partitionBy().orderBy(F.col(valname))
+            picked = (
+                bracket.withColumn(
+                    "__base", F.coalesce(F.col("__base"), F.lit(0))
+                )
+                .withColumn("__rn", F.row_number().over(w_rank))
+                .where(F.col("__base") + F.col("__rn") == F.col("__k"))
+                .select(*group_cols, F.col(valname).alias(vcol(tmp, "val")))
+            )
+            picked = picked.unionByName(done)
             if group_cols:
                 agg_df = agg_df.join(picked, on=group_cols, how="left")
             else:

@@ -281,6 +281,21 @@ class CypherToSpark:
             )
         # untyped scan over all labels
         udf_ = self.catalog.union_nodes()
+        if self.catalog.multi_label_dirty:
+            # a node living in several label tables is ONE node: merge its
+            # per-table rows (first non-null per property, lowest label as
+            # the display label). Only paid once writes introduce
+            # multi-label membership — the bulk-loaded graph keeps the
+            # plain union (disjoint id spaces, no shuffle).
+            mcols = [
+                F.min("_label").alias("_label"),
+                *[
+                    F.first(f_.name, ignorenulls=True).alias(f_.name)
+                    for f_ in udf_.schema.fields
+                    if f_.name not in ("_id", "_label")
+                ],
+            ]
+            udf_ = udf_.groupBy("_id").agg(*mcols)
         props = {
             f_.name: f_.dataType
             for f_ in udf_.schema.fields
@@ -2181,13 +2196,14 @@ class CypherToSpark:
             return state
         info = state.scope.get(var)
         assert info is not None
+        idc = info.id_col()  # nodes bind __v_x__id, edges __v_x__eid
         df = state.require_df()
         flag = f"__merge_flag_{var}"
         marked = df.join(
-            ids.select(F.col("_id").alias(vcol(var, "id"))).withColumn(
+            ids.select(F.col("_id").alias(idc)).withColumn(
                 flag, F.lit(True)
             ),
-            on=vcol(var, "id"),
+            on=idc,
             how="left",
         )
         sub = CompileState(df=marked.where(F.col(flag)).drop(flag), scope=state.scope)
@@ -2203,14 +2219,14 @@ class CypherToSpark:
             if colname not in full.columns:
                 full = full.withColumn(colname, F.lit(None))
         sub_sel = sub.df.select(
-            F.col(vcol(var, "id")).alias("__mid"),
+            F.col(idc).alias("__mid"),
             *[
                 F.col(pcol(var, k)).alias(f"__mu_{k}")
                 for k in updated_info.props
             ],
         ).dropDuplicates(["__mid"])
         joined = full.join(
-            sub_sel, full[vcol(var, "id")] == sub_sel["__mid"], "left"
+            sub_sel, full[idc] == sub_sel["__mid"], "left"
         )
         for k in updated_info.props:
             joined = joined.withColumn(
@@ -2280,6 +2296,11 @@ class CypherToSpark:
         df = state.require_df()
         # existing edges between the bound endpoint pairs
         edf, rinfo, _ = self._edge_scan(rel_var, [type_], "out", None, None)
+        if edf is not None and rel.props:
+            # MERGE matches the FULL pattern incl. relationship properties
+            # (reference merge variants, src/executor.ts:6835-7610): an
+            # existing edge with different props does NOT match
+            edf = self._inline_prop_filter(edf, state, rinfo, rel.props)
         pairs = df.select(
             F.col(vcol(src_var, "id")).alias("__ms"),
             F.col(vcol(dst_var, "id")).alias("__md"),
@@ -2307,9 +2328,12 @@ class CypherToSpark:
         self.store.append_edges(
             type_, src_info.labels[0], dst_info.labels[0], created
         )
-        # bind the rel var by re-scanning (now complete) edges
+        # bind the rel var by re-scanning (now complete) edges — restricted
+        # to the pattern's props so r binds only full-pattern matches
         edf2, rinfo2, _ = self._edge_scan(rel_var, [type_], "out", None, None)
         assert edf2 is not None
+        if rel.props:
+            edf2 = self._inline_prop_filter(edf2, state, rinfo2, rel.props)
         joined = df.join(
             edf2,
             (df[vcol(src_var, "id")] == edf2["__from"])

@@ -412,7 +412,12 @@ class ExprCompiler:
             "float": T.DoubleType(),
             "string": T.StringType(),
         }
-        return TypedCol(F.lit(e.value), dtypes[e.kind])
+        col = F.lit(e.value)
+        if e.kind == "int":
+            # Cypher integers are 64-bit; a bare F.lit(5) is INT32 and
+            # arithmetic on it overflows at 2^31
+            col = col.cast("long")
+        return TypedCol(col, dtypes[e.kind])
 
     def _var(self, name: str) -> TypedCol:
         if name in self.ctx.lambdas:
@@ -587,7 +592,10 @@ class ExprCompiler:
             return TypedCol(base.col.getItem(idx.col), dtype)
         elem = base.dtype.elementType if _is_array(base.dtype) else None
         # Cypher lists are 0-based; element_at is 1-based with negative wrap
-        shifted = F.when(idx.col >= 0, idx.col + 1).otherwise(idx.col)
+        # (and requires an INT index — Cypher integers are 64-bit)
+        shifted = (
+            F.when(idx.col >= 0, idx.col + 1).otherwise(idx.col).cast("int")
+        )
         return TypedCol(F.element_at(base.col, shifted), elem)
 
     def _slice(self, e: ast.Slice) -> TypedCol:

@@ -586,6 +586,20 @@ class ExprCompiler:
         if isinstance(base.dtype, T.NullType):
             return TypedCol(F.lit(None), T.NullType())
         if _is_string(idx.dtype):
+            if isinstance(base.dtype, T.StructType) and not isinstance(
+                e.index, ast.Literal
+            ):
+                # computed key on a struct-backed map: struct extraction
+                # needs a literal name, so dispatch over the known fields
+                out = None
+                for f_ in base.dtype.fields:
+                    cond = idx.col == F.lit(f_.name)
+                    val = base.col.getField(f_.name)
+                    out = F.when(cond, val) if out is None else out.when(cond, val)
+                if out is None:
+                    return TypedCol(F.lit(None), T.NullType())
+                dts = {f_.dataType for f_ in base.dtype.fields}
+                return TypedCol(out, dts.pop() if len(dts) == 1 else None)
             dtype = None
             if isinstance(base.dtype, T.MapType):
                 dtype = base.dtype.valueType

@@ -338,15 +338,26 @@ class ExprCompiler:
                 }
                 if len(concrete) > 1:
                     cat = next(iter(cats))
-                    numeric_arrays = cat == "list" and all(
-                        isinstance(tc.dtype, T.ArrayType)
-                        and _order_category(tc.dtype.elementType)
-                        in ("number", "null", None)
-                        for tc in items
-                        if tc.dtype is not None
-                        and not isinstance(tc.dtype, T.NullType)
-                    )
-                    need_tag = not numeric_arrays
+                    if cat == "map":
+                        # null-holed / partially-overlapping struct maps
+                        # ([{k:'a',v:1},{k:null,v:2}]): unify field schemas
+                        # so the list stays a typed array instead of
+                        # degrading to tagged cells
+                        unified = self._try_unify_structs(items)
+                        if unified is not None:
+                            items = unified
+                        else:
+                            need_tag = True
+                    else:
+                        numeric_arrays = all(
+                            isinstance(tc.dtype, T.ArrayType)
+                            and _order_category(tc.dtype.elementType)
+                            in ("number", "null", None)
+                            for tc in items
+                            if tc.dtype is not None
+                            and not isinstance(tc.dtype, T.NullType)
+                        )
+                        need_tag = not numeric_arrays
             if need_tag:
                 # heterogeneous literal list ([1, [2]], [1, 'a']): Catalyst
                 # arrays are homogeneous, so encode each cell as a tagged
@@ -586,6 +597,21 @@ class ExprCompiler:
         if isinstance(base.dtype, T.NullType):
             return TypedCol(F.lit(None), T.NullType())
         if _is_string(idx.dtype):
+            if isinstance(base.dtype, T.StructType) and isinstance(
+                e.index, ast.Literal
+            ):
+                # literal key on a struct-backed map: missing key is NULL
+                # (getItem would fail analysis with FIELD_NOT_FOUND)
+                match = [
+                    f_
+                    for f_ in base.dtype.fields
+                    if f_.name == e.index.value
+                ]
+                if not match:
+                    return TypedCol(F.lit(None), T.NullType())
+                return TypedCol(
+                    base.col.getField(match[0].name), match[0].dataType
+                )
             if isinstance(base.dtype, T.StructType) and not isinstance(
                 e.index, ast.Literal
             ):
@@ -941,6 +967,70 @@ class ExprCompiler:
             **{f.name: walk(getattr(expr, f.name)) for f in dc_fields(expr)},
         )
 
+    def _try_unify_structs(
+        self, items: list[TypedCol]
+    ) -> Optional[list[TypedCol]]:
+        """Unify struct-map items onto one schema (union of keys; NullType
+        holes adopt the concrete field type; ints widen to double next to
+        floats). Returns None when two maps genuinely disagree on a field's
+        category — that is the tagged-variant case."""
+        structs = [
+            tc for tc in items if not isinstance(tc.dtype, T.NullType)
+        ]
+        if not structs or not all(
+            isinstance(tc.dtype, T.StructType) for tc in structs
+        ):
+            return None
+        keys: list[str] = []
+        for tc in structs:
+            for f_ in tc.dtype.fields:
+                if f_.name not in keys:
+                    keys.append(f_.name)
+        unified: dict[str, T.DataType] = {}
+        for k in keys:
+            concrete = []
+            for tc in structs:
+                ft = {f_.name: f_.dataType for f_ in tc.dtype.fields}.get(k)
+                if ft is not None and not isinstance(ft, T.NullType):
+                    concrete.append(ft)
+            if not concrete:
+                unified[k] = T.StringType()
+                continue
+            t0 = concrete[0]
+            for t1 in concrete[1:]:
+                if t1 == t0:
+                    continue
+                if {_order_category(t0), _order_category(t1)} == {"number"}:
+                    t0 = T.DoubleType()
+                else:
+                    return None
+            unified[k] = t0
+        dtype = T.StructType([T.StructField(k, unified[k]) for k in keys])
+        out: list[TypedCol] = []
+        for tc in items:
+            if isinstance(tc.dtype, T.NullType):
+                out.append(TypedCol(F.lit(None).cast(dtype), dtype))
+                continue
+            fmap = {f_.name: f_.dataType for f_ in tc.dtype.fields}
+            cols = []
+            for k in keys:
+                if k in fmap and not isinstance(fmap[k], T.NullType):
+                    c = tc.col.getField(k)
+                    if fmap[k] != unified[k]:
+                        c = c.cast(unified[k])
+                else:
+                    c = F.lit(None).cast(unified[k])
+                cols.append(c.alias(k))
+            out.append(
+                TypedCol(
+                    F.when(tc.col.isNull(), F.lit(None).cast(dtype)).otherwise(
+                        F.struct(*cols)
+                    ),
+                    dtype,
+                )
+            )
+        return out
+
     def _unified_array(self, tcs: list[TypedCol]) -> TypedCol:
         """array(...) with all elements cast to a promoted common type."""
         dtype = None
@@ -1003,6 +1093,9 @@ class ExprCompiler:
         ):
             return self._static_elem_comp(e, elem_vars)
         source = self.compile(e.source)
+        if isinstance(source.dtype, T.NullType):
+            # comprehension over null is null (transform on VOID won't resolve)
+            return TypedCol(F.lit(None), T.NullType())
         elem = source.dtype.elementType if _is_array(source.dtype) else None
         col = source.col
         if e.where is not None:
@@ -1050,6 +1143,8 @@ class ExprCompiler:
                 F.size(F.filter(source.col, ident)) == 1, T.BooleanType()
             )
         source = self.compile(e.source)
+        if isinstance(source.dtype, T.NullType):
+            return TypedCol(_null_bool(), T.BooleanType())
         elem = source.dtype.elementType if _is_array(source.dtype) else None
         pred = self._lambda1(e.var, e.where or ast.Literal(True, "bool"), elem)
         if e.kind == "all":
@@ -1064,6 +1159,8 @@ class ExprCompiler:
 
     def _reduce(self, e: ast.Reduce) -> TypedCol:
         source = self.compile(e.source)
+        if isinstance(source.dtype, T.NullType):
+            return TypedCol(F.lit(None), T.NullType())
         elem = source.dtype.elementType if _is_array(source.dtype) else None
         init = self.compile(e.init)
         # Spark's aggregate() requires zero-type == merge-result type; an
@@ -1204,10 +1301,24 @@ def _fn_keys(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
         if isinstance(tc.dtype, T.NullType):
             return TypedCol(F.lit(None), T.NullType())
         if isinstance(tc.dtype, T.StructType):
-            items = [
-                F.when(tc.col.getField(f.name).isNotNull(), F.lit(f.name))
-                for f in sorted(tc.dtype.fields, key=lambda f: f.name)
-            ]
+            # entity property bags (properties(n)) drop null-valued keys —
+            # a null property is an absent property. Query-time map values
+            # keep them: {a: null} has key 'a' (reference stores the map as
+            # a JSON object, which keeps null entries).
+            from_props = (
+                isinstance(args[0], ast.FuncCall)
+                and args[0].name == "properties"
+            )
+            names = sorted(tc.dtype.fields, key=lambda f: f.name)
+            if from_props:
+                items = [
+                    F.when(
+                        tc.col.getField(f.name).isNotNull(), F.lit(f.name)
+                    )
+                    for f in names
+                ]
+            else:
+                items = [F.lit(f.name) for f in names]
             arr = F.array(*items) if items else F.array().cast("array<string>")
             return TypedCol(F.array_compact(arr), T.ArrayType(T.StringType()))
         if isinstance(tc.dtype, T.MapType):

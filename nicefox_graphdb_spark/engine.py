@@ -15,6 +15,37 @@ from nicefox_graphdb_spark.catalog import GraphCatalog
 from nicefox_graphdb_spark.cypher.compiler import CypherToSpark
 from nicefox_graphdb_spark.cypher.parser import parse
 
+_TAG_KEYS = {"__ck", "__cn", "__ct"}
+
+
+def _decode_cell(v):
+    """Decode tagged-variant cells (heterogeneous-list encoding, see
+    cypher/expressions.py _TAGGED_T) back to plain Python values. Numbers
+    ride in one double slot so int-valued cells decode to int — the same
+    collapse the reference's JS number type performs."""
+    if isinstance(v, dict):
+        if set(v.keys()) == _TAG_KEYS:
+            kind = v["__ck"]
+            if kind is None:
+                return None
+        if set(v.keys()) == _TAG_KEYS and kind in ("n", "s", "b", "m", "l", "t", "d", "o"):
+            import json
+
+            if kind == "n":
+                n = v["__cn"]
+                return int(n) if n is not None and n == int(n) else n
+            if kind == "b":
+                return v["__ct"] == "true"
+            if kind == "m":
+                return _decode_cell(json.loads(v["__ct"]))
+            if kind == "l":
+                return _decode_cell(json.loads(v["__ct"])["v"])
+            return v["__ct"]
+        return {k: _decode_cell(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_decode_cell(x) for x in v]
+    return v
+
 
 class CypherEngine:
     def __init__(
@@ -56,7 +87,10 @@ class CypherEngine:
     # reference-parity convenience API
     def query(self, cypher: str, params: dict | None = None) -> list[dict]:
         """Execute and return rows as dicts (reference result format)."""
-        return [r.asDict(recursive=True) for r in self.dataframe(cypher, params).collect()]
+        return [
+            {k: _decode_cell(v) for k, v in r.asDict(recursive=True).items()}
+            for r in self.dataframe(cypher, params).collect()
+        ]
 
     execute = query  # reference client API alias (src/types.ts:92-167)
 

@@ -921,7 +921,7 @@ class CypherToSpark:
             # match still yields one all-null row (Cypher left-join from a
             # conceptual unit row)
             inner = self.compile_match(state, replace(m, optional=False))
-            unit = self.spark.range(1).select(F.lit(1).alias("__unit"))
+            unit = self.spark.range(0, 1, 1, 1).select(F.lit(1).alias("__unit"))
             out = unit.join(inner.require_df(), F.lit(True), "left").drop("__unit")
             return CompileState(df=out, scope=inner.scope)
         # variables shared with the outer scope = correlation keys
@@ -1254,7 +1254,7 @@ class CypherToSpark:
     def compile_unwind(self, state: CompileState, u: ast.Unwind) -> CompileState:
         if state.df is None:
             state = CompileState(
-                df=self.spark.range(1).select(), scope=state.scope
+                df=self.spark.range(0, 1, 1, 1).select(), scope=state.scope
             )
         state, src_ast = self._rewrite_pattern_predicates(state, u.source)
         tc = self._compile_expr(state, src_ast)
@@ -1276,11 +1276,11 @@ class CypherToSpark:
         if proc == "db.labels":
             name = c.yield_items[0] if c.yield_items else "label"
             rows = [(lbl,) for lbl in self.catalog.labels]
-            df = self.spark.createDataFrame(rows, f"`{vcol(name, 'val')}` string")
+            df = self.spark.createDataFrame(rows, f"`{vcol(name, 'val')}` string").coalesce(1)
         elif proc == "db.relationshiptypes":
             name = c.yield_items[0] if c.yield_items else "relationshipType"
             rows = [(t_,) for t_ in self.catalog.edge_types]
-            df = self.spark.createDataFrame(rows, f"`{vcol(name, 'val')}` string")
+            df = self.spark.createDataFrame(rows, f"`{vcol(name, 'val')}` string").coalesce(1)
         elif proc == "db.propertykeys":
             name = c.yield_items[0] if c.yield_items else "propertyKey"
             # node AND relationship property keys (reference returns both)
@@ -1294,7 +1294,7 @@ class CypherToSpark:
             keys = sorted(keys)
             df = self.spark.createDataFrame(
                 [(k,) for k in keys], f"`{vcol(name, 'val')}` string"
-            )
+            ).coalesce(1)
         else:
             raise CypherCompileError(f"unknown procedure {c.proc}")
         scope = state.scope.copy() if state.df is not None else Scope()
@@ -1371,7 +1371,7 @@ class CypherToSpark:
         if not items:
             raise CypherCompileError("empty projection")
         if state.df is None:
-            state = CompileState(df=self.spark.range(1).select(), scope=state.scope)
+            state = CompileState(df=self.spark.range(0, 1, 1, 1).select(), scope=state.scope)
         # rewrite pattern predicates / comprehensions inside items
         new_items: list[ast.ReturnItem] = []
         for item in items:
@@ -1424,16 +1424,15 @@ class CypherToSpark:
             output_cols.append(colname)
         for name, col in new_cols.items():
             df = df.withColumn(name, col)
-        # RETURN's ORDER BY sees both old scope and new aliases; a WITH
-        # restricts ORDER BY to the projected scope — referencing a variable
-        # the WITH dropped is an error (reference validateOrderByVariables,
-        # src/executor.ts:862-956)
-        if isinstance(proj, ast.Return):
-            order_scope = state.scope.copy()
-            for n, i_ in out_scope.vars.items():
-                order_scope.bind(i_)
-        else:
-            order_scope = out_scope
+        # ORDER BY in both RETURN and (non-DISTINCT) WITH sees the incoming
+        # variables as well as the new aliases (reference
+        # validateOrderByVariables: "ORDER BY in WITH may reference both
+        # incoming variables and projected aliases", src/executor.ts:914-935);
+        # the pre-projection columns are still on the frame at sort time.
+        # DISTINCT re-restricts below — after dedup the old columns are gone.
+        order_scope = state.scope.copy()
+        for n, i_ in out_scope.vars.items():
+            order_scope.bind(i_)
         if proj.distinct:
             df = df.select(*dict.fromkeys(output_cols)).dropDuplicates()
             order_scope = out_scope
@@ -1813,7 +1812,7 @@ class CypherToSpark:
     # ----------------------------------------------------------------------
     def _ensure_df(self, state: CompileState) -> CompileState:
         if state.df is None:
-            return CompileState(df=self.spark.range(1).select(), scope=state.scope)
+            return CompileState(df=self.spark.range(0, 1, 1, 1).select(), scope=state.scope)
         return state
 
     def _single_label(self, np_: ast.NodePattern, var: str) -> str:

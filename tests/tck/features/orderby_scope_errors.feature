@@ -1,17 +1,19 @@
 Feature: ORDER BY and WITH scoping errors (reference src/executor.ts:862-956
   validateOrderByVariables — out-of-scope references are compile errors)
 
-  Scenario: ORDER BY a variable dropped by WITH is an error
+  Scenario: ORDER BY in WITH may reference an incoming variable the projection drops
     Given an empty graph
     And having executed:
       """
-      CREATE (:A {v: 1}), (:B {v: 2})
+      CREATE (:A {v: 1}), (:A {v: 2})
       """
     When executing query:
       """
-      MATCH (a:A), (b:B) WITH a ORDER BY b.v RETURN a.v AS v
+      MATCH (a:A) WITH a.v AS v ORDER BY a.v DESC RETURN collect(v) AS l
       """
-    Then a SyntaxError should be raised
+    Then the result should be, in any order:
+      | l      |
+      | [2, 1] |
 
   Scenario: ORDER BY an undefined variable is an error
     Given an empty graph

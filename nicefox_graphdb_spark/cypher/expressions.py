@@ -682,11 +682,32 @@ class ExprCompiler:
             return TypedCol(left != right, T.BooleanType())  # 3VL XOR
         if op == "IN":
             left, right = self.compile(e.left), self.compile(e.right)
+            if isinstance(right.dtype, T.NullType):
+                # x IN null is null
+                return TypedCol(_null_bool(), T.BooleanType())
             lcol, rcol = left.col, right.col
             # VOID literals (null subject, empty/all-null list) can't feed
             # array_contains; give them concrete types — the 3VL result is
             # unaffected (null compares as null against anything)
             elem_t = right.dtype.elementType if _is_array(right.dtype) else None
+            lcat, ecat = _order_category(left.dtype), _order_category(elem_t)
+            if (
+                lcat not in (None, "null")
+                and ecat not in (None, "null")
+                and lcat != ecat
+                and not _is_tagged(elem_t)
+            ):
+                # cross-category membership: every element comparison is
+                # decided-false (reference cypher_equals), so the result is
+                # false — unless a null element leaves it unknown
+                return TypedCol(
+                    F.when(F.size(rcol) == 0, F.lit(False))
+                    .when(
+                        F.exists(rcol, lambda x: x.isNull()), _null_bool()
+                    )
+                    .otherwise(F.lit(False)),
+                    T.BooleanType(),
+                )
             if _is_tagged(elem_t) and not _is_tagged(left.dtype):
                 # scalar IN heterogeneous list: lift the scalar into the
                 # same tagged-variant encoding, then array_contains keeps
@@ -1241,8 +1262,12 @@ def _c(comp: ExprCompiler, args: list[ast.Expr], i: int) -> TypedCol:
 
 def _simple(fn: Callable[..., Column], dtype: Optional[T.DataType] = None, nargs=1):
     def build(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
-        cols = [_c(comp, args, i).col for i in range(min(nargs, len(args)))]
-        return TypedCol(fn(*cols), dtype)
+        tcs = [_c(comp, args, i) for i in range(min(nargs, len(args)))]
+        if tcs and isinstance(tcs[0].dtype, T.NullType):
+            # f(null) is null, and stays NullType so e.g. coalesce doesn't
+            # widen its result type to this function's
+            return TypedCol(F.lit(None), T.NullType())
+        return TypedCol(fn(*[tc.col for tc in tcs]), dtype)
 
     return build
 
@@ -1359,6 +1384,8 @@ def _fn_size(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
                 T.LongType(),
             )
     tc = _c(comp, args, 0)
+    if isinstance(tc.dtype, T.NullType):
+        return TypedCol(F.lit(None), T.NullType())
     if _is_string(tc.dtype):
         return TypedCol(F.length(tc.col).cast("long"), T.LongType())
     return TypedCol(F.size(tc.col).cast("long"), T.LongType())
@@ -1375,6 +1402,8 @@ def _fn_length(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
         if info is not None and info.kind == "edge" and info.var_length:
             return TypedCol(F.col(vcol(info.name, "len")).cast("long"), T.LongType())
     tc = _c(comp, args, 0)
+    if isinstance(tc.dtype, T.NullType):
+        return TypedCol(F.lit(None), T.NullType())
     if _is_string(tc.dtype):
         return TypedCol(F.length(tc.col).cast("long"), T.LongType())
     return TypedCol(F.size(tc.col).cast("long"), T.LongType())
@@ -1431,6 +1460,8 @@ def _fn_split(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 def _fn_tail(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     tc = _c(comp, args, 0)
+    if isinstance(tc.dtype, T.NullType):
+        return TypedCol(F.lit(None), T.NullType())
     col = F.slice(tc.col, 2, F.greatest(F.size(tc.col) - 1, F.lit(0)))
     return TypedCol(col, tc.dtype)
 
@@ -1485,6 +1516,8 @@ def _fn_join(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 def _fn_head(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     tc = _c(comp, args, 0)
+    if isinstance(tc.dtype, T.NullType):
+        return TypedCol(F.lit(None), T.NullType())
     elem = tc.dtype.elementType if _is_array(tc.dtype) else None
     return TypedCol(
         F.when(F.size(tc.col) > 0, F.element_at(tc.col, 1)), elem
@@ -1493,6 +1526,8 @@ def _fn_head(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 def _fn_last(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     tc = _c(comp, args, 0)
+    if isinstance(tc.dtype, T.NullType):
+        return TypedCol(F.lit(None), T.NullType())
     elem = tc.dtype.elementType if _is_array(tc.dtype) else None
     return TypedCol(
         F.when(F.size(tc.col) > 0, F.element_at(tc.col, -1)), elem

@@ -1216,6 +1216,37 @@ class ExprCompiler:
             # date-date / timestamp-timestamp subtraction is an ANSI
             # day-time interval; typing it lets .days/.hours/... dispatch
             return TypedCol(b.col - a.col, T.DayTimeIntervalType())
+        if name in ("duration.inmonths", "duration.indays", "duration.inseconds"):
+            # single-component durations (reference translator.ts:8737-8809:
+            # inMonths = calendar year/month diff, inDays/inSeconds =
+            # truncated whole days/seconds)
+            a = self.compile(e.args[0])
+            b = self.compile(e.args[1])
+            if name == "duration.inmonths":
+                months = (
+                    (F.year(b.col) - F.year(a.col)) * 12
+                    + (F.month(b.col) - F.month(a.col))
+                ).cast("int")
+                return TypedCol(
+                    F.make_ym_interval(F.lit(0), months),
+                    T.YearMonthIntervalType(),
+                )
+            at = a.col.cast("timestamp")
+            bt = b.col.cast("timestamp")
+            micros = F.unix_micros(bt) - F.unix_micros(at)
+            if name == "duration.indays":
+                days = (micros / F.lit(86_400_000_000)).cast("long")
+                return TypedCol(
+                    F.make_dt_interval(days.cast("int")),
+                    T.DayTimeIntervalType(),
+                )
+            secs = (micros / F.lit(1_000_000)).cast("long")
+            return TypedCol(
+                F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0), secs.cast("decimal(18,6)")
+                ),
+                T.DayTimeIntervalType(),
+            )
         if name.startswith("."):
             # method call on an arbitrary base expression (parser encodes
             # f(...).method(args) with the base as first argument)

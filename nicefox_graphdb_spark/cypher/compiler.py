@@ -1063,6 +1063,32 @@ class CypherToSpark:
                 return self._exists_marker(st, path, where)
             if isinstance(e, ast.PatternComp):
                 return self._pattern_comp_column(st, e)
+            if isinstance(e, ast.ListComp):
+                r = self._entity_comp_rewrite(st, e)
+                if r is not None:
+                    return r
+                st, ns = walk(st, e.source)
+                nw = e.where
+                if nw is not None:
+                    st, nw = walk(st, nw)
+                np_ = e.projection
+                if np_ is not None:
+                    st, np_ = walk(st, np_)
+                return st, ast.ListComp(e.var, ns, nw, np_)
+            if isinstance(e, ast.Quantifier):
+                r = self._entity_quant_rewrite(st, e)
+                if r is not None:
+                    return r
+                st, ns = walk(st, e.source)
+                nw = e.where
+                if nw is not None:
+                    st, nw = walk(st, nw)
+                return st, ast.Quantifier(e.kind, e.var, ns, nw)
+            if isinstance(e, ast.Reduce):
+                st, ni = walk(st, e.init)
+                st, ns = walk(st, e.source)
+                st, nb = walk(st, e.body)
+                return st, ast.Reduce(e.acc, ni, e.var, ns, nb)
             if isinstance(e, ast.Unary):
                 st, inner = walk(st, e.operand)
                 return st, ast.Unary(e.op, inner)
@@ -1245,6 +1271,195 @@ class CypherToSpark:
         )
         return CompileState(df=out, scope=scope), ast.Var(out_var)
 
+    _ENTITY_FNS = {
+        "labels",
+        "type",
+        "properties",
+        "keys",
+        "id",
+        "startnode",
+        "endnode",
+    }
+
+    def _expr_touches_entity(self, expr, var: str) -> bool:
+        """Does `expr` use `var` as an ENTITY (property access / graph
+        function), not merely as an opaque value?"""
+        from dataclasses import fields as dc_fields, is_dataclass
+
+        def walk(x) -> bool:
+            if isinstance(x, ast.Prop) and isinstance(x.base, ast.Var):
+                if x.base.name == var:
+                    return True
+            if isinstance(x, ast.FuncCall) and x.name in self._ENTITY_FNS:
+                if any(
+                    isinstance(a, ast.Var) and a.name == var for a in x.args
+                ):
+                    return True
+            if is_dataclass(x):
+                return any(walk(getattr(x, f_.name)) for f_ in dc_fields(x))
+            if isinstance(x, (list, tuple)):
+                return any(walk(i) for i in x)
+            return False
+
+        return walk(expr)
+
+    def _entity_array_source(
+        self, state: CompileState, src: ast.Expr
+    ) -> tuple[str, list[str], str | None] | None:
+        """If `src` evaluates to an ARRAY OF ENTITY IDS — nodes(p) /
+        relationships(p) over a var-length path, or a var-length rel list
+        variable — return (kind, types, id_array_column_or_None)."""
+        if (
+            isinstance(src, ast.FuncCall)
+            and src.name in ("nodes", "relationships")
+            and len(src.args) == 1
+            and isinstance(src.args[0], ast.Var)
+        ):
+            pinfo = state.scope.get(src.args[0].name)
+            if pinfo is not None and pinfo.kind == "path":
+                static = (
+                    pinfo.path_node_vars
+                    if src.name == "nodes"
+                    else pinfo.path_rel_vars
+                )
+                if static is not None:
+                    # fixed-length path: the per-element static compilation
+                    # in ExprCompiler is typed and join-free — leave it
+                    return None
+                return ("node" if src.name == "nodes" else "edge", [], None)
+        if isinstance(src, ast.Var):
+            sinfo = state.scope.get(src.name)
+            if sinfo is not None and sinfo.kind == "edge" and sinfo.var_length:
+                # a var-length rel variable IS a list of relationships; its
+                # id array is the accumulated path column
+                return ("edge", sinfo.types, vcol(src.name, "path"))
+        return None
+
+    def _entity_comp_rewrite(
+        self, state: CompileState, e: ast.ListComp
+    ) -> tuple[CompileState, ast.Expr] | None:
+        """[x IN nodes(p) | x.prop] over a var-length path: the array holds
+        entity IDS (the BFS accumulates ids only — carrying property structs
+        through every frontier join would widen the 100 TB shuffle for
+        everyone). Rehydrate on demand: posexplode → join the entity table →
+        ordered re-collect, the same shape as pattern comprehensions
+        (reference rehydrates path elements at format time,
+        src/executor.ts:10434-10488)."""
+        meta = self._entity_array_source(state, e.source)
+        if meta is None:
+            return None
+        kind, types, ids_col = meta
+        needs = any(
+            x is not None and self._expr_touches_entity(x, e.var)
+            for x in (e.where, e.projection)
+        )
+        if not needs:
+            return None
+        out_var = self.gensym("ec")
+        key = vcol(out_var, "key")
+        iv = self.gensym("ei")
+        df0 = (
+            state.require_df()
+            .withColumn(key, F.monotonically_increasing_id())
+            .localCheckpoint()
+        )
+        src_col = (
+            F.col(ids_col)
+            if ids_col is not None
+            else self._compile_expr(
+                CompileState(df=df0, scope=state.scope), e.source
+            ).col
+        )
+        ex = df0.select(
+            "*", F.posexplode(src_col).alias("__ec_pos", "__ec_id")
+        )
+        if kind == "node":
+            lookup, einfo = self._node_scan(iv, [])
+        else:
+            lookup, einfo, _ = self._edge_scan(iv, types, "out", None, None)
+            if lookup is not None:
+                lookup = lookup.drop("__from", "__to")
+        if lookup is None:
+            lookup = self.spark.createDataFrame(
+                [], T.StructType([T.StructField(einfo.id_col(), T.StringType())])
+            )
+        joined = ex.join(
+            lookup, ex["__ec_id"] == lookup[einfo.id_col()], "left"
+        )
+        sub_scope = state.scope.copy()
+        sub_scope.bind(einfo)
+        sub = CompileState(df=joined, scope=sub_scope)
+        subst = ExprCompiler._subst_var
+        if e.where is not None:
+            w_tc = self._compile_expr(sub, subst(e.where, e.var, iv))
+            sub = CompileState(df=sub.require_df().where(w_tc.col), scope=sub_scope)
+        proj_ast = (
+            subst(e.projection, e.var, iv)
+            if e.projection is not None
+            else ast.Var(iv)
+        )
+        val_tc = self._compile_expr(sub, proj_ast)
+        grouped = (
+            sub.require_df()
+            .groupBy(key)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__ec_pos").alias("p"), val_tc.col.alias("v")
+                        )
+                    )
+                ).alias("__ec_coll")
+            )
+        )
+        coll_type = grouped.schema["__ec_coll"].dataType
+        out = df0.join(grouped, on=key, how="left")
+        arr = F.transform(
+            F.coalesce(F.col("__ec_coll"), F.array().cast(coll_type)),
+            lambda s: s["v"],
+        )
+        src_on_out = (
+            F.col(ids_col)
+            if ids_col is not None
+            else self._compile_expr(
+                CompileState(df=out, scope=state.scope), e.source
+            ).col
+        )
+        out = out.withColumn(
+            vcol(out_var, "val"),
+            F.when(src_on_out.isNull(), F.lit(None)).otherwise(arr),
+        ).drop("__ec_coll", key)
+        scope = state.scope.copy()
+        scope.bind(
+            VarInfo(
+                name=out_var,
+                kind="value",
+                dtype=T.ArrayType(val_tc.dtype) if val_tc.dtype else None,
+            )
+        )
+        return CompileState(df=out, scope=scope), ast.Var(out_var)
+
+    def _entity_quant_rewrite(
+        self, state: CompileState, e: ast.Quantifier
+    ) -> tuple[CompileState, ast.Expr] | None:
+        """all/any/none/single over an entity-id array with a property
+        predicate: collect the predicate values via the entity-comp rewrite,
+        then quantify over the boolean list (3VL preserved)."""
+        if self._entity_array_source(state, e.source) is None:
+            return None
+        if e.where is None or not self._expr_touches_entity(e.where, e.var):
+            return None
+        st2, marker = self._entity_comp_rewrite(
+            state,
+            ast.ListComp(
+                var=e.var, source=e.source, where=None, projection=e.where
+            ),
+        )
+        fresh = self.gensym("qv")
+        return st2, ast.Quantifier(
+            kind=e.kind, var=fresh, source=marker, where=ast.Var(fresh)
+        )
+
     def _apply_where(self, state: CompileState, where: ast.Expr) -> CompileState:
         state, rewritten = self._rewrite_pattern_predicates(state, where)
         tc = self._compile_expr(state, rewritten)
@@ -1263,6 +1478,13 @@ class CypherToSpark:
         if isinstance(tc.dtype, T.NullType):
             # UNWIND null → no rows; give explode a typed (null) array
             src_col = src_col.cast("array<string>")
+        elif tc.dtype is not None and not isinstance(tc.dtype, T.ArrayType):
+            # UNWIND of a non-list scalar yields that single value as one
+            # row (reference json_each over a scalar JSON value)
+            scope = state.scope.copy()
+            scope.bind(VarInfo(name=u.alias, kind="value", dtype=tc.dtype))
+            out = df.withColumn(vcol(u.alias, "val"), src_col)
+            return CompileState(df=out, scope=scope)
         exploded = F.explode(src_col).alias(vcol(u.alias, "val"))
         out = df.select(*df.columns, exploded) if df.columns else df.select(exploded)
         elem = tc.dtype.elementType if isinstance(tc.dtype, T.ArrayType) else None
@@ -1341,18 +1563,29 @@ class CypherToSpark:
                 nice = f"{nice}_{len(seen)}"
             seen.add(nice)
             info = out_scope.get(target)
-            if info is not None and info.kind == "node":
+            if info is not None and info.kind in ("node", "edge"):
                 # whole-entity return → struct of properties (Neo4j 3.5 row
-                # format returns the property map, reference src/types.ts:78-82)
+                # format returns the property map, reference src/types.ts:78-82);
+                # an unmatched OPTIONAL MATCH entity is null, not a struct of
+                # null properties
                 fields = [
                     F.col(pcol(info.name, k)).alias(k) for k in sorted(info.props)
                 ]
-                renames.append(F.struct(*fields).alias(nice))
-            elif info is not None and info.kind == "edge":
-                fields = [
-                    F.col(pcol(info.name, k)).alias(k) for k in sorted(info.props)
-                ]
-                renames.append(F.struct(*fields).alias(nice))
+                struct_col = (
+                    F.struct(*fields)
+                    if fields
+                    # Catalyst has no empty struct; a prop-less entity
+                    # renders as {} via an empty map
+                    else F.map_from_arrays(
+                        F.array().cast("array<string>"),
+                        F.array().cast("array<string>"),
+                    )
+                )
+                renames.append(
+                    F.when(F.col(info.id_col()).isNull(), F.lit(None))
+                    .otherwise(struct_col)
+                    .alias(nice)
+                )
             elif info is not None and info.kind == "path":
                 renames.append(
                     F.struct(

@@ -1336,6 +1336,20 @@ def _fn_type(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 
 def _fn_properties(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    # properties(map-value) is the identity (reference passes the JSON bag
+    # through); properties(entity) projects the prop columns into a struct
+    is_entity_var = (
+        args
+        and isinstance(args[0], ast.Var)
+        and (info_ := comp.ctx.scope.get(args[0].name)) is not None
+        and info_.kind in ("node", "edge")
+    )
+    if not is_entity_var and args:
+        tc = comp.compile(args[0])
+        if isinstance(tc.dtype, T.NullType):
+            return TypedCol(F.lit(None), T.NullType())
+        if isinstance(tc.dtype, (T.StructType, T.MapType)):
+            return tc
     info = _entity_info(comp, args, "properties")
     fields = [F.col(pcol(info.name, k)).alias(k) for k in sorted(info.props)]
     dtype = T.StructType(
@@ -1565,8 +1579,56 @@ def _fn_last(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     )
 
 
+def _fn_localdatetime(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    # same instant math as datetime(), but tagged zoneless (tz="") so
+    # toString() omits the zone suffix (reference keeps localdatetime as a
+    # zone-free ISO string, src/db.ts:164-169)
+    tc = _fn_datetime(comp, args)
+    if isinstance(tc.dtype, (T.TimestampType, T.TimestampNTZType)) and not tc.tz:
+        return TypedCol(tc.col, tc.dtype, tz="")
+    return tc
+
+
 def _fn_to_string(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
-    return TypedCol(_c(comp, args, 0).col.cast("string"), T.StringType())
+    tc = _c(comp, args, 0)
+    if isinstance(tc.dtype, T.NullType):
+        return TypedCol(F.lit(None), T.NullType())
+    if isinstance(tc.dtype, (T.TimestampType, T.TimestampNTZType)):
+        # ISO-8601 text, as the reference stores and returns temporals
+        # (src/db.ts:164-169): 'T' separator, fractional seconds only when
+        # present, zone suffix for zoned datetimes
+        col = tc.col
+        if isinstance(tc.dtype, T.TimestampType) and tc.tz:
+            col = F.from_utc_timestamp(col, tc.tz)
+        base = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
+        ms = (F.unix_micros(col.cast("timestamp")) % 1_000_000) / 1000
+        frac = F.when(
+            ms != 0,
+            F.concat(
+                F.lit("."), F.lpad(ms.cast("long").cast("string"), 3, "0")
+            ),
+        ).otherwise(F.lit(""))
+        if isinstance(tc.dtype, T.TimestampNTZType) or tc.tz == "":
+            suffix = F.lit("")
+        elif tc.tz in (None, "UTC", "Z"):
+            suffix = F.lit("Z")
+        else:
+            secs = F.unix_timestamp(
+                F.from_utc_timestamp(tc.col, tc.tz)
+            ) - F.unix_timestamp(tc.col)
+            sign = F.when(secs < 0, F.lit("-")).otherwise(F.lit("+"))
+            mag = F.abs(secs)
+            suffix = F.concat(
+                sign,
+                F.lpad(F.floor(mag / 3600).cast("string"), 2, "0"),
+                F.lit(":"),
+                F.lpad(F.floor((mag % 3600) / 60).cast("string"), 2, "0"),
+                F.lit("["),
+                F.lit(tc.tz),
+                F.lit("]"),
+            )
+        return TypedCol(F.concat(base, frac, suffix), T.StringType())
+    return TypedCol(tc.col.cast("string"), T.StringType())
 
 
 def _map_args(comp: ExprCompiler, m: ast.MapLit) -> dict[str, Column]:
@@ -1780,7 +1842,7 @@ SCALAR_FUNCTIONS: dict[str, Callable] = {
     ),
     "date": _fn_date,
     "datetime": _fn_datetime,
-    "localdatetime": _fn_datetime,
+    "localdatetime": _fn_localdatetime,
     "duration": _fn_duration,
     # time-of-day values anchored on the epoch date (no TimeType in Spark;
     # the reference stores ISO strings — same accessor surface either way)

@@ -1254,11 +1254,13 @@ class CypherToSpark:
         )
         out = df.join(grouped, on=keys, how="left")
         elem = proj.dtype
+        # type the no-match empty list from the collected column's actual
+        # schema (proj.dtype can be unknown, e.g. a projected path struct)
+        coll_type = grouped.schema[vcol(out_var, "val")].dataType
         out = out.withColumn(
             vcol(out_var, "val"),
             F.coalesce(
-                F.col(vcol(out_var, "val")),
-                F.array().cast(T.ArrayType(elem) if elem else "array<string>"),
+                F.col(vcol(out_var, "val")), F.array().cast(coll_type)
             ),
         )
         scope = state.scope.copy()

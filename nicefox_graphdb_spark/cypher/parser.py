@@ -972,11 +972,24 @@ class Parser:
 
     def parse_list_or_comprehension(self) -> ast.Expr:
         self.expect_op("[")
-        # pattern comprehension: [ (a)-[]->(b) WHERE ... | expr ]
-        if self.at_op("("):
+        # pattern comprehension: [ (a)-[]->(b) WHERE ... | expr ], optionally
+        # with a bound path variable [ p = (a)-->(b) | p ] (reference
+        # parsePatternComprehension pathVariable, src/parser.ts:3255-3282)
+        has_path_var = (
+            self.peek().type == "ident"
+            and self.at_op("=", offset=1)
+            and self.at_op("(", offset=2)
+        )
+        if self.at_op("(") or has_path_var:
             start = self.save()
             try:
+                path_name = None
+                if has_path_var:
+                    path_name = self.expect_ident()
+                    self.advance()  # '='
                 path = self.parse_pattern_path()
+                if path_name is not None:
+                    path.name = path_name
                 if len(path.elements) > 1 and (self.at_kw("WHERE") or self.at_op("|")):
                     where = None
                     if self.at_kw("WHERE"):

@@ -215,3 +215,31 @@ Feature: Path expression corners (named paths, length/nodes/relationships,
     Then the result should be, in any order:
       | c |
       | 0 |
+
+  Scenario: Pattern comprehension binds a path variable
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:H {n: 'h'})-[:R {w: 1}]->(:L {v: 1}), (a)-[:R {w: 2}]->(:L {v: 2})
+      """
+    When executing query:
+      """
+      MATCH (h:H) RETURN [p = (h)-[:R]->(l) | length(p)] AS ls
+      """
+    Then the result should be, in any order:
+      | ls     |
+      | [1, 1] |
+
+  Scenario: Path-bound pattern comprehension with WHERE counts paths
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:H {n: 'h'})-[:R {w: 1}]->(:L {v: 1}), (a)-[:R {w: 2}]->(:L {v: 2})
+      """
+    When executing query:
+      """
+      MATCH (h:H) RETURN size([p = (h)-[:R]->(l) WHERE l.v > 1 | p]) AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | 1 |

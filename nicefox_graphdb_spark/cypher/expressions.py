@@ -876,8 +876,8 @@ class ExprCompiler:
         return TypedCol(F.lit(ok), T.BooleanType())
 
     def _case(self, e: ast.CaseExpr) -> TypedCol:
-        out = None
-        dtype = None
+        conds: list[Column] = []
+        thens: list[TypedCol] = []
         for cond_expr, then_expr in e.whens:
             if e.test is not None:
                 cond = self.compile(
@@ -890,15 +890,34 @@ class ExprCompiler:
                     # WHEN null THEN — a VOID literal needs a boolean type
                     # for Spark's CASE (null condition = not taken)
                     cond = cond.cast("boolean")
-            then = self.compile(then_expr)
-            dtype = dtype or then.dtype
-            out = F.when(cond, then.col) if out is None else out.when(cond, then.col)
-        if out is None:
+            conds.append(cond)
+            thens.append(self.compile(then_expr))
+        if not conds:
             raise CypherCompileError("CASE requires at least one WHEN")
-        if e.default is not None:
-            default = self.compile(e.default)
-            dtype = dtype or default.dtype
-            out = out.otherwise(default.col)
+        default = self.compile(e.default) if e.default is not None else None
+        branches = thens + ([default] if default is not None else [])
+        cats = {
+            _order_category(b.dtype)
+            for b in branches
+            if b.dtype is not None
+        } - {"null", None}
+        if len(cats) > 1:
+            # mixed-category result (CASE ... THEN 1 ELSE 'x'): Catalyst
+            # needs one column type, so encode each branch as a
+            # tagged-variant cell — decoded back to the plain value at the
+            # client boundary (dynamic result values, like the reference)
+            branch_cols = [_tag_value(b) for b in branches]
+            dtype: Optional[T.DataType] = _TAGGED_T
+        else:
+            branch_cols = [b.col for b in branches]
+            dtype = next(
+                (b.dtype for b in branches if b.dtype is not None), None
+            )
+        out = None
+        for cond, col in zip(conds, branch_cols):
+            out = F.when(cond, col) if out is None else out.when(cond, col)
+        if default is not None:
+            out = out.otherwise(branch_cols[-1])
         return TypedCol(out, dtype)
 
     # -- higher-order -----------------------------------------------------

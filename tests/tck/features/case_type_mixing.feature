@@ -108,3 +108,26 @@ Feature: Simple CASE type-tagged equality (reference cypher_case_eq)
     Then the result should be, in any order:
       | v      |
       | 'four' |
+
+  Scenario: Mixed-type branch results keep their own types
+    Given an empty graph
+    When executing query:
+      """
+      UNWIND [1, 2, 3] AS x
+      RETURN x, CASE WHEN x % 2 = 0 THEN x ELSE 'odd' END AS v ORDER BY x
+      """
+    Then the result should be, in order:
+      | x | v     |
+      | 1 | 'odd' |
+      | 2 | 2     |
+      | 3 | 'odd' |
+
+  Scenario: Mixed-type CASE taking the numeric branch returns a number
+    Given an empty graph
+    When executing query:
+      """
+      RETURN CASE WHEN true THEN 1 ELSE 'x' END AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | 1 |

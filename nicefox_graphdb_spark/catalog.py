@@ -168,7 +168,16 @@ class GraphCatalog:
             [self.node(lbl) for lbl in labels] if labels else list(self._nodes.values())
         )
         if not tables:
-            raise ValueError("no node tables registered")
+            # empty catalog: MATCH (n) over no data is no rows, not an error
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(ID_COL, T.StringType()),
+                        T.StructField("_label", T.StringType()),
+                    ]
+                ),
+            )
         schema = self.node_prop_schema([t.label for t in tables])
         parts = []
         for t in tables:

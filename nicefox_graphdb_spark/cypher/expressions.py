@@ -1683,12 +1683,41 @@ def _date_from_parts(m: dict[str, Column]) -> Column:
     )
 
 
+_WEEK_DATE_RE = re.compile(r"^(\d{4})-W(\d{1,2})(?:-(\d))?$")
+_ORDINAL_DATE_RE = re.compile(r"^(\d{4})-(\d{3})$")
+_QUARTER_DATE_RE = re.compile(r"^(\d{4})-Q([1-4])(?:-(\d{1,2}))?$")
+
+
 def _fn_date(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     if not args:
         return TypedCol(F.current_date(), T.DateType())
     if isinstance(args[0], ast.MapLit):
         m = _map_args(comp, args[0])
         return TypedCol(_date_from_parts(m), T.DateType())
+    if isinstance(args[0], ast.Literal) and isinstance(args[0].value, str):
+        # ISO week / ordinal / quarter date string forms parse through the
+        # same component math as the map constructors
+        s = args[0].value
+        if wm := _WEEK_DATE_RE.match(s):
+            parts = {
+                "year": F.lit(int(wm.group(1))),
+                "week": F.lit(int(wm.group(2))),
+                "dayofweek": F.lit(int(wm.group(3) or 1)),
+            }
+            return TypedCol(_date_from_parts(parts), T.DateType())
+        if om := _ORDINAL_DATE_RE.match(s):
+            parts = {
+                "year": F.lit(int(om.group(1))),
+                "ordinalday": F.lit(int(om.group(2))),
+            }
+            return TypedCol(_date_from_parts(parts), T.DateType())
+        if qm := _QUARTER_DATE_RE.match(s):
+            parts = {
+                "year": F.lit(int(qm.group(1))),
+                "quarter": F.lit(int(qm.group(2))),
+                "dayofquarter": F.lit(int(qm.group(3) or 1)),
+            }
+            return TypedCol(_date_from_parts(parts), T.DateType())
     return TypedCol(F.to_date(_c(comp, args, 0).col), T.DateType())
 
 
@@ -1713,6 +1742,16 @@ def _fn_datetime(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
             if k.lower() == "timezone":
                 tz = _literal_tz(v)
         m = _map_args(comp, args[0])
+        if "epochseconds" in m or "epochmillis" in m:
+            # epoch constructors define the absolute instant directly
+            # (reference epoch seconds/millis constructors,
+            # src/translator.ts:7892-8503); timezone only affects display
+            inst = (
+                F.timestamp_seconds(m["epochseconds"].cast("double"))
+                if "epochseconds" in m
+                else F.timestamp_millis(m["epochmillis"].cast("long"))
+            )
+            return TypedCol(inst, T.TimestampType(), tz=tz)
         date_col = _date_from_parts(m)
         sec = (
             m.get("second", F.lit(0)).cast("double")

@@ -225,3 +225,46 @@ Feature: Temporal accessors, constructors, truncation, and duration arithmetic
     Then the result should be, in any order:
       | within_day |
       | true       |
+
+  Scenario: Week-date ordinal-date and quarter-date string constructors
+    Given an empty graph
+    When executing query:
+      """
+      RETURN toString(date('2015-W30-2')) AS wd,
+             toString(date('2015-202')) AS od,
+             toString(date('2015-Q2-60')) AS qd
+      """
+    Then the result should be, in any order:
+      | wd           | od           | qd           |
+      | '2015-07-21' | '2015-07-21' | '2015-05-30' |
+
+  Scenario: Epoch seconds constructor defines the instant
+    Given an empty graph
+    When executing query:
+      """
+      WITH datetime({epochSeconds: 1588291200}) AS dt
+      RETURN dt.year AS y, dt.month AS m, dt.day AS d, dt.hour AS h
+      """
+    Then the result should be, in any order:
+      | y    | m | d | h |
+      | 2020 | 5 | 1 | 0 |
+
+  Scenario: Epoch millis constructor keeps sub-second precision
+    Given an empty graph
+    When executing query:
+      """
+      RETURN datetime({epochMillis: 1588291200500}).millisecond AS ms
+      """
+    Then the result should be, in any order:
+      | ms  |
+      | 500 |
+
+  Scenario: Epoch constructor with a display timezone shifts accessors
+    Given an empty graph
+    When executing query:
+      """
+      RETURN datetime({epochSeconds: 1588291200, timezone: 'Europe/Paris'}).hour AS h
+      """
+    Then the result should be, in any order:
+      | h |
+      | 2 |

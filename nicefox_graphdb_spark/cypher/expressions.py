@@ -85,6 +85,8 @@ def _order_category(dtype: Optional[T.DataType]) -> Optional[str]:
         return "temporal"
     if isinstance(dtype, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
         return "duration"
+    if _is_duration(dtype):
+        return "duration"
     if isinstance(dtype, T.ArrayType):
         return "list"
     if isinstance(dtype, (T.StructType, T.MapType)):
@@ -115,6 +117,113 @@ def _is_tagged(dtype: Optional[T.DataType]) -> bool:
         isinstance(dtype, T.StructType)
         and [f.name for f in dtype.fields] == ["__ck", "__cn", "__ct"]
     )
+
+
+# Composite duration value: months / days / microseconds — the three
+# independent component groups of a Cypher duration (reference keeps ISO
+# strings, src/translator.ts:13290-13324). A struct (not a Catalyst
+# CalendarInterval) so accessors, collection, and negation all work;
+# converted to native intervals only at temporal-arithmetic sites.
+_DUR_T = T.StructType(
+    [
+        T.StructField("__dmo", T.LongType()),
+        T.StructField("__dd", T.LongType()),
+        T.StructField("__dus", T.LongType()),
+    ]
+)
+
+
+def _is_duration(dtype: Optional[T.DataType]) -> bool:
+    return (
+        isinstance(dtype, T.StructType)
+        and [f.name for f in dtype.fields] == ["__dmo", "__dd", "__dus"]
+    )
+
+
+def _dur_struct(months: Column, days: Column, us: Column) -> Column:
+    return F.struct(
+        months.cast("long").alias("__dmo"),
+        days.cast("long").alias("__dd"),
+        us.cast("long").alias("__dus"),
+    )
+
+
+def _dur_iso_string(dc: Column) -> Column:
+    """ISO-8601 rendering of a duration struct (P[nY][nM][nD][T…]; PT0S
+    when empty) — the textual form the reference stores durations in."""
+    mo = dc.getField("__dmo")
+    dd = dc.getField("__dd")
+    us = dc.getField("__dus")
+    years = (mo / F.lit(12)).cast("long")
+    mrem = mo - years * 12
+    hours = (us / F.lit(3_600_000_000)).cast("long")
+    mins = ((us - hours * 3_600_000_000) / F.lit(60_000_000)).cast("long")
+    sec_us = us - hours * 3_600_000_000 - mins * 60_000_000
+    sec_whole = (sec_us / F.lit(1_000_000)).cast("long")
+    frac = sec_us - sec_whole * 1_000_000
+
+    def seg(col: Column, suffix: str) -> Column:
+        return F.when(
+            col != 0, F.concat(col.cast("string"), F.lit(suffix))
+        ).otherwise(F.lit(""))
+
+    sec_txt = F.when(
+        frac != 0,
+        F.concat(
+            F.regexp_replace(
+                F.regexp_replace(
+                    (sec_us.cast("decimal(20,6)") / F.lit(1_000_000)).cast(
+                        "decimal(20,6)"
+                    ).cast("string"),
+                    r"0+$",
+                    "",
+                ),
+                r"\.$",
+                "",
+            ),
+            F.lit("S"),
+        ),
+    ).otherwise(seg(sec_whole, "S"))
+    date_part = F.concat(seg(years, "Y"), seg(mrem, "M"), seg(dd, "D"))
+    time_part = F.concat(seg(hours, "H"), seg(mins, "M"), sec_txt)
+    out = F.concat(
+        F.lit("P"),
+        date_part,
+        F.when(time_part != "", F.concat(F.lit("T"), time_part)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(dc.isNull(), F.lit(None)).otherwise(
+        F.when(out == "P", F.lit("PT0S")).otherwise(out)
+    )
+
+
+_DUR_KEYS = {
+    "years",
+    "months",
+    "monthsofyear",
+    "days",
+    "hours",
+    "minutes",
+    "minutesofhour",
+    "seconds",
+    "secondsofminute",
+    "milliseconds",
+    "microseconds",
+    "nanoseconds",
+}
+
+
+def _dur_intervals(dc: Column) -> tuple[Column, Column]:
+    """(year-month interval, day-time interval) halves of a duration struct."""
+    ym = F.make_ym_interval(F.lit(0), dc.getField("__dmo").cast("int"))
+    dt = F.make_dt_interval(
+        dc.getField("__dd").cast("int"),
+        F.lit(0),
+        F.lit(0),
+        (dc.getField("__dus") / F.lit(1_000_000)).cast("decimal(18,6)"),
+    )
+    return ym, dt
 
 
 def _tag_value(tc: "TypedCol") -> Column:
@@ -495,32 +604,73 @@ class ExprCompiler:
         if isinstance(base.dtype, T.NullType):
             # .key on a null value is null (getItem on VOID would not resolve)
             return TypedCol(F.lit(None), T.NullType())
-        # duration accessors: duration.between(..).days etc. on intervals
-        if isinstance(
-            base.dtype, (T.DayTimeIntervalType, T.YearMonthIntervalType)
-        ):
-            # Neo4j duration accessors are TOTALS within their component
-            # group: PT2H30M → .hours = 2 but .minutes = 150 (the whole
-            # seconds-group in minutes); .minutesOfHour = 30.
-            def part(u: str) -> Column:
-                return F.date_part(F.lit(u), base.col).cast("long")
+        # duration accessors on composite duration structs: TOTALS within
+        # their component group (Neo4j): PT2H30M → .hours = 2 but
+        # .minutes = 150; .minutesOfHour = 30.
+        if _is_duration(base.dtype):
+            mo = base.col.getField("__dmo")
+            dd = base.col.getField("__dd")
+            us = base.col.getField("__dus")
+
+            def tdiv(col: Column, d: int) -> Column:
+                # truncate toward zero (Cypher components follow the sign)
+                return (col / F.lit(d)).cast("long")
 
             key = e.key.lower()
             col = {
-                "years": lambda: part("YEAR"),
-                "months": lambda: part("YEAR") * 12 + part("MONTH"),
-                "monthsofyear": lambda: part("MONTH"),
-                "days": lambda: part("DAY"),
-                "hours": lambda: part("HOUR"),
-                "minutes": lambda: part("HOUR") * 60 + part("MINUTE"),
-                "minutesofhour": lambda: part("MINUTE"),
-                "seconds": lambda: part("HOUR") * 3600
-                + part("MINUTE") * 60
-                + F.floor(F.date_part(F.lit("SECOND"), base.col)).cast("long"),
-                "secondsofminute": lambda: F.floor(
-                    F.date_part(F.lit("SECOND"), base.col)
-                ).cast("long"),
+                "years": lambda: tdiv(mo, 12),
+                "months": lambda: mo,
+                "monthsofyear": lambda: mo % 12,
+                "days": lambda: dd,
+                "hours": lambda: tdiv(us, 3_600_000_000),
+                "minutes": lambda: tdiv(us, 60_000_000),
+                "minutesofhour": lambda: tdiv(us, 60_000_000)
+                - tdiv(us, 3_600_000_000) * 60,
+                "seconds": lambda: tdiv(us, 1_000_000),
+                "secondsofminute": lambda: tdiv(us, 1_000_000)
+                - tdiv(us, 60_000_000) * 60,
+                "milliseconds": lambda: tdiv(us, 1000),
+                "microseconds": lambda: us,
+                "nanoseconds": lambda: us * 1000,
             }.get(key)
+            if col is None:
+                raise CypherCompileError(f"unknown duration accessor .{e.key}")
+            return TypedCol(col(), T.LongType())
+        # duration accessors on native intervals (duration.between /
+        # duration.in* results). A day-time interval has no calendar-month
+        # components and a year-month interval no day/time ones — those
+        # accessors are 0 (the reference's between durations are likewise
+        # single-group, 'PT…S' strings, src/translator.ts:8711-8730)
+        if isinstance(
+            base.dtype, (T.DayTimeIntervalType, T.YearMonthIntervalType)
+        ):
+            def part(u: str) -> Column:
+                return F.date_part(F.lit(u), base.col).cast("long")
+
+            is_ym = isinstance(base.dtype, T.YearMonthIntervalType)
+            zero = lambda: F.lit(0).cast("long")  # noqa: E731
+            key = e.key.lower()
+            if is_ym:
+                col = {
+                    "years": lambda: part("YEAR"),
+                    "months": lambda: part("YEAR") * 12 + part("MONTH"),
+                    "monthsofyear": lambda: part("MONTH"),
+                }.get(key, zero if key in _DUR_KEYS else None)
+            else:
+                col = {
+                    "days": lambda: part("DAY"),
+                    "hours": lambda: part("HOUR"),
+                    "minutes": lambda: part("HOUR") * 60 + part("MINUTE"),
+                    "minutesofhour": lambda: part("MINUTE"),
+                    "seconds": lambda: part("HOUR") * 3600
+                    + part("MINUTE") * 60
+                    + F.floor(
+                        F.date_part(F.lit("SECOND"), base.col)
+                    ).cast("long"),
+                    "secondsofminute": lambda: F.floor(
+                        F.date_part(F.lit("SECOND"), base.col)
+                    ).cast("long"),
+                }.get(key, zero if key in _DUR_KEYS else None)
             if col is None:
                 raise CypherCompileError(f"unknown duration accessor .{e.key}")
             return TypedCol(col(), T.LongType())
@@ -668,8 +818,38 @@ class ExprCompiler:
         if e.op == "NOT":
             return TypedCol(~operand.col, T.BooleanType())
         if e.op == "-":
+            if _is_duration(operand.dtype):
+                return TypedCol(
+                    _dur_struct(
+                        -operand.col.getField("__dmo"),
+                        -operand.col.getField("__dd"),
+                        -operand.col.getField("__dus"),
+                    ),
+                    _DUR_T,
+                )
             return TypedCol(-operand.col, operand.dtype)
         return operand
+
+    def _temporal_plus_dur(
+        self, temporal: TypedCol, dur: TypedCol, sign: int
+    ) -> TypedCol:
+        """temporal ± composite duration: apply the calendar (month) half
+        and the day/time half as native intervals; dates stay dates."""
+        ym, dt = _dur_intervals(
+            dur.col
+            if sign > 0
+            else _dur_struct(
+                -dur.col.getField("__dmo"),
+                -dur.col.getField("__dd"),
+                -dur.col.getField("__dus"),
+            )
+        )
+        is_date = isinstance(temporal.dtype, T.DateType)
+        base = temporal.col.cast("timestamp") if is_date else temporal.col
+        out = base + ym + dt
+        if is_date:
+            return TypedCol(out.cast("date"), T.DateType(), tz=temporal.tz)
+        return TypedCol(out, temporal.dtype, tz=temporal.tz)
 
     def _binary(self, e: ast.Binary) -> TypedCol:  # noqa: PLR0911, PLR0912
         op = e.op
@@ -821,6 +1001,19 @@ class ExprCompiler:
                 ):
                     rc, rdt = rc.cast(ldt), ldt
                 return TypedCol(F.concat(lc, rc), ldt or rdt)
+            if _is_temporal(left.dtype) and _is_duration(right.dtype):
+                return self._temporal_plus_dur(left, right, 1)
+            if _is_duration(left.dtype) and _is_temporal(right.dtype):
+                return self._temporal_plus_dur(right, left, 1)
+            if _is_duration(left.dtype) and _is_duration(right.dtype):
+                return TypedCol(
+                    _dur_struct(
+                        left.col.getField("__dmo") + right.col.getField("__dmo"),
+                        left.col.getField("__dd") + right.col.getField("__dd"),
+                        left.col.getField("__dus") + right.col.getField("__dus"),
+                    ),
+                    _DUR_T,
+                )
             if _is_temporal(left.dtype):
                 # timestamp/date + duration stays temporal (keep the zone)
                 return TypedCol(left.col + right.col, left.dtype, tz=left.tz)
@@ -828,10 +1021,35 @@ class ExprCompiler:
                 return TypedCol(left.col + right.col, right.dtype, tz=right.tz)
             return TypedCol(left.col + right.col, self._promote(left, right))
         if op == "-":
+            if _is_temporal(left.dtype) and _is_duration(right.dtype):
+                return self._temporal_plus_dur(left, right, -1)
+            if _is_duration(left.dtype) and _is_duration(right.dtype):
+                return TypedCol(
+                    _dur_struct(
+                        left.col.getField("__dmo") - right.col.getField("__dmo"),
+                        left.col.getField("__dd") - right.col.getField("__dd"),
+                        left.col.getField("__dus") - right.col.getField("__dus"),
+                    ),
+                    _DUR_T,
+                )
             if _is_temporal(left.dtype) and not _is_temporal(right.dtype):
                 return TypedCol(left.col - right.col, left.dtype, tz=left.tz)
             return TypedCol(left.col - right.col, self._promote(left, right))
         if op == "*":
+            if _is_duration(left.dtype) or _is_duration(right.dtype):
+                dc, k = (
+                    (left.col, right.col)
+                    if _is_duration(left.dtype)
+                    else (right.col, left.col)
+                )
+                return TypedCol(
+                    _dur_struct(
+                        dc.getField("__dmo") * k,
+                        dc.getField("__dd") * k,
+                        dc.getField("__dus") * k,
+                    ),
+                    _DUR_T,
+                )
             return TypedCol(left.col * right.col, self._promote(left, right))
         if op == "%":
             return TypedCol(left.col % right.col, self._promote(left, right))
@@ -1612,6 +1830,8 @@ def _fn_to_string(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     tc = _c(comp, args, 0)
     if isinstance(tc.dtype, T.NullType):
         return TypedCol(F.lit(None), T.NullType())
+    if _is_duration(tc.dtype):
+        return TypedCol(_dur_iso_string(tc.col), T.StringType())
     if isinstance(tc.dtype, (T.TimestampType, T.TimestampNTZType)):
         # ISO-8601 text, as the reference stores and returns temporals
         # (src/db.ts:164-169): 'T' separator, fractional seconds only when
@@ -1801,34 +2021,41 @@ def _fn_duration(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     if isinstance(arg, ast.MapLit):
         m = _map_args(comp, arg)
         zero = F.lit(0)
-        return TypedCol(
-            F.make_interval(
-                m.get("years", zero).cast("int"),
-                m.get("months", zero).cast("int"),
-                m.get("weeks", zero).cast("int"),
-                m.get("days", zero).cast("int"),
-                m.get("hours", zero).cast("int"),
-                m.get("minutes", zero).cast("int"),
-                m.get("seconds", zero).cast("double"),
-            ),
-            None,
-        )
+        months = m.get("years", zero).cast("double") * 12 + m.get(
+            "months", zero
+        ).cast("double")
+        days_d = m.get("weeks", zero).cast("double") * 7 + m.get(
+            "days", zero
+        ).cast("double")
+        days = days_d.cast("long")
+        us = (
+            (days_d - days) * 86_400
+            + m.get("hours", zero).cast("double") * 3_600
+            + m.get("minutes", zero).cast("double") * 60
+            + m.get("seconds", zero).cast("double")
+        ) * 1_000_000 + m.get("milliseconds", zero).cast("double") * 1000 + m.get(
+            "microseconds", zero
+        ).cast("double")
+        return TypedCol(_dur_struct(months, days.cast("double"), us), _DUR_T)
     if isinstance(arg, ast.Literal) and isinstance(arg.value, str):
         match = _ISO_DURATION_RE.match(arg.value)
         if not match:
             raise CypherCompileError(f"invalid ISO-8601 duration {arg.value!r}")
         parts = {k: float(v) for k, v in match.groupdict().items() if v}
+        months = parts.get("years", 0) * 12 + parts.get("months", 0)
+        days_d = parts.get("weeks", 0) * 7 + parts.get("days", 0)
+        days = int(days_d)
+        us = (
+            (days_d - days) * 86_400
+            + parts.get("hours", 0) * 3_600
+            + parts.get("minutes", 0) * 60
+            + parts.get("seconds", 0)
+        ) * 1_000_000
         return TypedCol(
-            F.make_interval(
-                F.lit(int(parts.get("years", 0))),
-                F.lit(int(parts.get("months", 0))),
-                F.lit(int(parts.get("weeks", 0))),
-                F.lit(int(parts.get("days", 0))),
-                F.lit(int(parts.get("hours", 0))),
-                F.lit(int(parts.get("minutes", 0))),
-                F.lit(parts.get("seconds", 0.0)),
+            _dur_struct(
+                F.lit(int(months)), F.lit(days), F.lit(int(round(us)))
             ),
-            None,
+            _DUR_T,
         )
     raise CypherCompileError("duration() requires a map or ISO-8601 string literal")
 

@@ -16,6 +16,35 @@ from nicefox_graphdb_spark.cypher.compiler import CypherToSpark
 from nicefox_graphdb_spark.cypher.parser import parse
 
 _TAG_KEYS = {"__ck", "__cn", "__ct"}
+_DUR_KEYS = {"__dmo", "__dd", "__dus"}
+
+
+def _iso_duration(months: int, days: int, us: int) -> str:
+    """Render a duration struct as ISO-8601, the reference's wire format."""
+    years, mrem = int(months / 12) if months else 0, 0
+    years = int(months / 12) if months else 0
+    mrem = months - years * 12
+    hours = int(us / 3_600_000_000)
+    mins = int((us - hours * 3_600_000_000) / 60_000_000)
+    sec_us = us - hours * 3_600_000_000 - mins * 60_000_000
+    out = "P"
+    if years:
+        out += f"{years}Y"
+    if mrem:
+        out += f"{mrem}M"
+    if days:
+        out += f"{days}D"
+    t = ""
+    if hours:
+        t += f"{hours}H"
+    if mins:
+        t += f"{mins}M"
+    if sec_us:
+        s = sec_us / 1_000_000
+        t += f"{s:.6f}".rstrip("0").rstrip(".") + "S"
+    if t:
+        out += "T" + t
+    return out if out != "P" else "PT0S"
 
 
 def _decode_cell(v):
@@ -24,6 +53,10 @@ def _decode_cell(v):
     ride in one double slot so int-valued cells decode to int — the same
     collapse the reference's JS number type performs."""
     if isinstance(v, dict):
+        if set(v.keys()) == _DUR_KEYS:
+            if v["__dmo"] is None:
+                return None
+            return _iso_duration(v["__dmo"], v["__dd"], v["__dus"])
         if set(v.keys()) == _TAG_KEYS:
             kind = v["__ck"]
             if kind is None:

@@ -1962,6 +1962,29 @@ class CypherToSpark:
                     ),
                     T.LongType(),
                 )
+            from nicefox_graphdb_spark.cypher.expressions import (
+                _DUR_T,
+                _is_duration,
+            )
+
+            if _is_duration(tc.dtype):
+                # durations sum component-wise (months / days / micros)
+                return (
+                    F.struct(
+                        F.coalesce(
+                            F.sum(tc.col.getField("__dmo")), F.lit(0)
+                        )
+                        .cast("long")
+                        .alias("__dmo"),
+                        F.coalesce(F.sum(tc.col.getField("__dd")), F.lit(0))
+                        .cast("long")
+                        .alias("__dd"),
+                        F.coalesce(F.sum(tc.col.getField("__dus")), F.lit(0))
+                        .cast("long")
+                        .alias("__dus"),
+                    ),
+                    _DUR_T,
+                )
             zero = F.lit(0).cast(tc.dtype) if tc.dtype else F.lit(0)
             agg = F.sum_distinct(tc.col) if call.distinct else F.sum(tc.col)
             return F.coalesce(agg, zero), tc.dtype

@@ -26,12 +26,19 @@ from dataclasses import dataclass, field, replace
 from pyspark.sql import types as T
 
 
+def _safe(name: str) -> str:
+    # binding-table column names must not contain '.', or Spark resolves
+    # them as nested-field paths (unaliased `RETURN n.a` projections use
+    # the expression text as the variable name)
+    return name.replace(".", "·")
+
+
 def vcol(var: str, fld: str) -> str:
-    return f"__v_{var}__{fld}"
+    return f"__v_{_safe(var)}__{fld}"
 
 
 def pcol(var: str, key: str) -> str:
-    return f"__p_{var}__{key}"
+    return f"__p_{_safe(var)}__{_safe(key)}"
 
 
 @dataclass

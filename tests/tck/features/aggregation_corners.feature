@@ -287,3 +287,14 @@ Feature: Aggregation corners (TCK Aggregation; reference aggregate emission
     Then the result should be, in any order:
       | p50  |
       | 15.0 |
+
+  Scenario: sum of durations adds component groups
+    Given an empty graph
+    When executing query:
+      """
+      UNWIND [duration('P1D'), duration('P2DT3H')] AS d
+      RETURN toString(sum(d)) AS total
+      """
+    Then the result should be, in any order:
+      | total    |
+      | 'P3DT3H' |

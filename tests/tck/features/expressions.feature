@@ -285,3 +285,17 @@ Feature: Scalar expressions (TCK expressions/comparison, string, math corners)
       RETURN nosuchvar.prop AS x
       """
     Then a SyntaxError should be raised
+
+  Scenario: Unaliased property projection uses the expression text as its name
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Zed {a: 5})
+      """
+    When executing query:
+      """
+      MATCH (n:Zed) RETURN n.a, n.a + 1 AS b
+      """
+    Then the result should be, in any order:
+      | n.a | b |
+      | 5   | 6 |

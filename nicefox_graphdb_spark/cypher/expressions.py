@@ -1540,13 +1540,32 @@ def _simple(fn: Callable[..., Column], dtype: Optional[T.DataType] = None, nargs
     return build
 
 
+class _NullEntityArg(Exception):
+    """Control-flow: the entity-function argument is a null value."""
+
+
 def _entity_info(comp: ExprCompiler, args: list[ast.Expr], fn: str) -> VarInfo:
     if not args or not isinstance(args[0], ast.Var):
+        # entity function of a null VALUE is null, not a compile error
+        if args:
+            tc = comp.compile(args[0])
+            if isinstance(tc.dtype, T.NullType):
+                raise _NullEntityArg()
         raise CypherCompileError(f"{fn}() requires a variable argument")
     info = comp.ctx.scope.get(args[0].name)
     if info is None:
         raise CypherCompileError(f"variable `{args[0].name}` not defined")
     return info
+
+
+def _null_on_null_entity(fn):
+    def wrap(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+        try:
+            return fn(comp, args)
+        except _NullEntityArg:
+            return TypedCol(F.lit(None), T.NullType())
+
+    return wrap
 
 
 def _fn_id(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
@@ -2062,13 +2081,13 @@ def _fn_duration(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 SCALAR_FUNCTIONS: dict[str, Callable] = {
     # graph
-    "id": _fn_id,
-    "labels": _fn_labels,
-    "type": _fn_type,
+    "id": _null_on_null_entity(_fn_id),
+    "labels": _null_on_null_entity(_fn_labels),
+    "type": _null_on_null_entity(_fn_type),
     "properties": _fn_properties,
     "keys": _fn_keys,
-    "startnode": _fn_start_node,
-    "endnode": _fn_end_node,
+    "startnode": _null_on_null_entity(_fn_start_node),
+    "endnode": _null_on_null_entity(_fn_end_node),
     "size": _fn_size,
     "length": _fn_length,
     "nodes": _fn_nodes,

@@ -300,3 +300,13 @@ Feature: Graph function and error-surface corners (id/labels/type/properties,
     Then the result should be, in any order:
       | c |
       | 2 |
+
+  Scenario: Entity functions of null are null
+    Given an empty graph
+    When executing query:
+      """
+      RETURN id(null) AS i, labels(null) AS l, type(null) AS t
+      """
+    Then the result should be, in any order:
+      | i    | l    | t    |
+      | null | null | null |

@@ -131,3 +131,40 @@ def test_selective_second_path_compiled_first(engine):
     order = _scan_order(plan)
     assert order and order[0] == "region"
     assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_var_length_frontier_carries_ids_only(engine):
+    # the BFS accumulates entity IDS, not property structs: no Event
+    # property column may appear inside the traversal's join keys (wide
+    # frontier shuffles are the 100 TB killer). The final projection may
+    # read properties of the bound endpoints only.
+    df = engine.dataframe(
+        "MATCH (e:Event)-[:NEXT*1..2]->(f:Event) "
+        "WHERE e.event_id % 50 = 0 RETURN count(*) AS c"
+    )
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the hop joins are id-equality joins — no struct-typed frontier column
+    assert "__v_" in plan
+    assert "payload" not in plan.lower().replace("payload_size", "")
+
+
+def test_path_element_rehydration_single_join_per_comp(engine):
+    # [x IN nodes(p) | x.prop] must rehydrate with ONE posexplode + join +
+    # re-collect, not one join per hop
+    df = engine.dataframe(
+        "MATCH p = (e:Event)-[:NEXT*1..2]->(:Event) "
+        "WHERE e.event_id = 50 "
+        "RETURN [n IN nodes(p) | n.event_type] AS types"
+    )
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Arguments: posexplode(") == 1

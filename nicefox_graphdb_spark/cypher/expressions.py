@@ -1398,7 +1398,7 @@ class ExprCompiler:
             if e.kind == "none":
                 return TypedCol(~F.exists(source.col, ident), T.BooleanType())
             return TypedCol(
-                F.size(F.filter(source.col, ident)) == 1, T.BooleanType()
+                self._single_quant(source.col, ident), T.BooleanType()
             )
         source = self.compile(e.source)
         if isinstance(source.dtype, T.NullType):
@@ -1412,8 +1412,22 @@ class ExprCompiler:
         elif e.kind == "none":
             col = ~F.exists(source.col, pred)
         else:  # single
-            col = F.size(F.filter(source.col, pred)) == 1
+            col = self._single_quant(source.col, pred)
         return TypedCol(col, T.BooleanType())
+
+    @staticmethod
+    def _single_quant(src: Column, pred: Callable) -> Column:
+        """single(): false when more than one element matches, NULL when an
+        unknown predicate leaves the count undecidable, true on exactly one
+        match (reference translateListPredicate SINGLE case,
+        src/translator.ts:11625-11630)."""
+        matches = F.size(F.filter(src, pred))
+        unknowns = F.exists(src, lambda x: pred(x).isNull())
+        return (
+            F.when(matches > 1, F.lit(False))
+            .when(unknowns, _null_bool())
+            .otherwise(matches == 1)
+        )
 
     def _reduce(self, e: ast.Reduce) -> TypedCol:
         source = self.compile(e.source)

@@ -1589,11 +1589,19 @@ class CypherToSpark:
                     .alias(nice)
                 )
             elif info is not None and info.kind == "path":
+                # an unmatched OPTIONAL MATCH path is null, not a struct of
+                # null arrays
                 renames.append(
-                    F.struct(
-                        F.col(vcol(info.name, "nodes")).alias("nodes"),
-                        F.col(vcol(info.name, "rels")).alias("rels"),
-                    ).alias(nice)
+                    F.when(
+                        F.col(vcol(info.name, "nodes")).isNull(), F.lit(None)
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.col(vcol(info.name, "nodes")).alias("nodes"),
+                            F.col(vcol(info.name, "rels")).alias("rels"),
+                        )
+                    )
+                    .alias(nice)
                 )
             else:
                 renames.append(F.col(vcol(target, "val")).alias(nice))

@@ -814,6 +814,16 @@ class ExprCompiler:
         return TypedCol(out, base.dtype)
 
     def _unary(self, e: ast.Unary) -> TypedCol:
+        if (
+            e.op == "-"
+            and isinstance(e.operand, ast.Literal)
+            and e.operand.kind == "int"
+        ):
+            # fold the sign into the literal: -9223372036854775808 is a
+            # valid long but its unsigned half overflows F.lit
+            return TypedCol(
+                F.lit(-int(e.operand.value)).cast("long"), T.LongType()
+            )
         operand = self.compile(e.operand)
         if e.op == "NOT":
             return TypedCol(~operand.col, T.BooleanType())

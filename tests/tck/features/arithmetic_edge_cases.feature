@@ -144,3 +144,23 @@ Feature: Arithmetic edge cases (division by zero, modulo signs, overflow
     Then the result should be, in any order:
       | two |
       | 2.0 |
+
+  Scenario: Long range boundaries parse as 64-bit integers
+    Given an empty graph
+    When executing query:
+      """
+      RETURN 9223372036854775807 AS maxlong, -9223372036854775808 AS minlong
+      """
+    Then the result should be, in any order:
+      | maxlong             | minlong              |
+      | 9223372036854775807 | -9223372036854775808 |
+
+  Scenario: Hexadecimal integer literals
+    Given an empty graph
+    When executing query:
+      """
+      RETURN 0xFF AS h, -0x10 AS nh
+      """
+    Then the result should be, in any order:
+      | h   | nh  |
+      | 255 | -16 |

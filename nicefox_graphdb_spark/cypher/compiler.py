@@ -1360,10 +1360,12 @@ class CypherToSpark:
         out_var = self.gensym("ec")
         key = vcol(out_var, "key")
         iv = self.gensym("ei")
-        df0 = (
-            state.require_df()
-            .withColumn(key, F.monotonically_increasing_id())
-            .localCheckpoint()
+        orig_cols = list(state.require_df().columns)
+        # no checkpoint / self-join: explode, join the entity table, then
+        # re-group carrying the original row's columns through first() —
+        # one shuffle, fully lazy (compilation triggers no Spark job)
+        df0 = state.require_df().withColumn(
+            key, F.monotonically_increasing_id()
         )
         src_col = (
             F.col(ids_col)
@@ -1372,8 +1374,9 @@ class CypherToSpark:
                 CompileState(df=df0, scope=state.scope), e.source
             ).col
         )
+        # _outer keeps rows whose array is empty/null (pos comes out null)
         ex = df0.select(
-            "*", F.posexplode(src_col).alias("__ec_pos", "__ec_id")
+            "*", F.posexplode_outer(src_col).alias("__ec_pos", "__ec_id")
         )
         if kind == "node":
             lookup, einfo = self._node_scan(iv, [])
@@ -1392,30 +1395,34 @@ class CypherToSpark:
         sub_scope.bind(einfo)
         sub = CompileState(df=joined, scope=sub_scope)
         subst = ExprCompiler._subst_var
+        # element predicate folds into the collect condition (not a row
+        # filter — a row whose elements all fail must survive with [])
+        collect_cond = F.col("__ec_pos").isNotNull()
         if e.where is not None:
             w_tc = self._compile_expr(sub, subst(e.where, e.var, iv))
-            sub = CompileState(df=sub.require_df().where(w_tc.col), scope=sub_scope)
+            # 3VL: null predicate → element not collected (filter semantics)
+            collect_cond = collect_cond & w_tc.col
         proj_ast = (
             subst(e.projection, e.var, iv)
             if e.projection is not None
             else ast.Var(iv)
         )
         val_tc = self._compile_expr(sub, proj_ast)
-        grouped = (
-            sub.require_df()
-            .groupBy(key)
-            .agg(
-                F.array_sort(
-                    F.collect_list(
+        grouped = sub.require_df().groupBy(key).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        collect_cond,
                         F.struct(
                             F.col("__ec_pos").alias("p"), val_tc.col.alias("v")
-                        )
+                        ),
                     )
-                ).alias("__ec_coll")
-            )
+                )
+            ).alias("__ec_coll"),
+            *[F.first(F.col(c)).alias(c) for c in orig_cols],
         )
         coll_type = grouped.schema["__ec_coll"].dataType
-        out = df0.join(grouped, on=key, how="left")
+        out = grouped.select(*orig_cols, key, "__ec_coll")
         arr = F.transform(
             F.coalesce(F.col("__ec_coll"), F.array().cast(coll_type)),
             lambda s: s["v"],
@@ -1976,7 +1983,30 @@ class CypherToSpark:
             )
 
             if _is_duration(tc.dtype):
-                # durations sum component-wise (months / days / micros)
+                # durations sum component-wise (months / days / micros);
+                # DISTINCT dedups whole structs first (collect_set), then
+                # folds the unique values — sum_distinct can't see structs
+                if call.distinct:
+                    uniq = F.collect_set(tc.col)
+
+                    def _dsum(field: str) -> F.Column:
+                        return F.coalesce(
+                            F.aggregate(
+                                uniq,
+                                F.lit(0).cast("long"),
+                                lambda acc, x: acc + x.getField(field),
+                            ),
+                            F.lit(0).cast("long"),
+                        )
+
+                    return (
+                        F.struct(
+                            _dsum("__dmo").alias("__dmo"),
+                            _dsum("__dd").alias("__dd"),
+                            _dsum("__dus").alias("__dus"),
+                        ),
+                        _DUR_T,
+                    )
                 return (
                     F.struct(
                         F.coalesce(

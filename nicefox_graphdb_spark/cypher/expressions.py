@@ -258,11 +258,17 @@ def _tag_value(tc: "TypedCol") -> Column:
             F.to_json(F.struct(tc.col.alias("v"))).alias("__ct"),
         )
     else:
-        # string / boolean / temporal / duration → canonical text
+        # string / boolean / temporal / duration → canonical text; composite
+        # durations render as ISO-8601 (PT1H), not raw struct text
+        text = (
+            _dur_iso_string(tc.col)
+            if _is_duration(tc.dtype)
+            else tc.col.cast("string")
+        )
         tagged = F.struct(
             F.lit(cat[0]).alias("__ck"),
             F.lit(None).cast("double").alias("__cn"),
-            tc.col.cast("string").alias("__ct"),
+            text.alias("__ct"),
         )
     return F.when(tc.col.isNull(), null_struct).otherwise(tagged)
 
@@ -890,8 +896,11 @@ class ExprCompiler:
                 # cross-category membership: every element comparison is
                 # decided-false (reference cypher_equals), so the result is
                 # false — unless a null element leaves it unknown
+                # 3VL: a null subject or null list is unknown even though
+                # every decided comparison would be false
                 return TypedCol(
-                    F.when(F.size(rcol) == 0, F.lit(False))
+                    F.when(lcol.isNull() | rcol.isNull(), _null_bool())
+                    .when(F.size(rcol) == 0, F.lit(False))
                     .when(
                         F.exists(rcol, lambda x: x.isNull()), _null_bool()
                     )

@@ -21,7 +21,6 @@ _DUR_KEYS = {"__dmo", "__dd", "__dus"}
 
 def _iso_duration(months: int, days: int, us: int) -> str:
     """Render a duration struct as ISO-8601, the reference's wire format."""
-    years, mrem = int(months / 12) if months else 0, 0
     years = int(months / 12) if months else 0
     mrem = months - years * 12
     hours = int(us / 3_600_000_000)

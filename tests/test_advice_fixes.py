@@ -100,3 +100,55 @@ def test_undirected_self_loop_matches_once(g):
     g.query("CREATE (p:M {name: 'p'})-[:U]->(q:M {name: 'q'})")
     rows2 = g.query("MATCH (m:M)-[:U]-(x) RETURN count(*) AS c")
     assert rows2 == [{"c": 2}]
+
+
+# --- round-4 fixes (ADVICE.md r3) ---------------------------------------
+
+
+def test_in_cross_category_null_subject_is_null(g):
+    # null subject against a cross-category list must stay unknown
+    rows = g.query(
+        "UNWIND [null] AS x WITH toString(x) AS s RETURN s IN [1, 2] AS r"
+    )
+    assert rows == [{"r": None}]
+    # decided subject stays false
+    rows2 = g.query("RETURN 'a' IN [1, 2] AS r")
+    assert rows2 == [{"r": False}]
+
+
+def test_duration_in_mixed_case_renders_iso(g):
+    rows = g.query(
+        "RETURN CASE WHEN true THEN duration('PT1H') ELSE 'x' END AS r"
+    )
+    assert rows == [{"r": "PT1H"}]
+    rows2 = g.query("RETURN [duration('P1D'), 'x'][0] AS r")
+    assert rows2 == [{"r": "P1D"}]
+
+
+def test_sum_distinct_duration(g):
+    rows = g.query(
+        "UNWIND [duration('PT1H'), duration('PT1H'), duration('PT30M')] AS d "
+        "RETURN sum(DISTINCT d) AS s"
+    )
+    assert rows == [{"s": "PT1H30M"}]
+    # non-distinct still sums every row
+    rows2 = g.query(
+        "UNWIND [duration('PT1H'), duration('PT1H')] AS d RETURN sum(d) AS s"
+    )
+    assert rows2 == [{"s": "PT2H"}]
+
+
+def test_entity_comprehension_where_keeps_empty_rows(g):
+    # a row whose elements ALL fail the comprehension predicate must
+    # survive with [] (regression for the groupBy-carried rewrite)
+    g.query("CREATE (:S {name: 'a', v: 1})-[:T]->(:S {name: 'b', v: 1})")
+    rows = g.query(
+        "MATCH p = (x:S {name: 'a'})-[:T*1..2]->(y) "
+        "RETURN [n IN nodes(p) WHERE n.v > 99 | n.name] AS hits"
+    )
+    assert rows == [{"hits": []}]
+    rows2 = g.query(
+        "MATCH p = (x:S {name: 'a'})-[:T*1..2]->(y) "
+        "RETURN [n IN nodes(p) WHERE n.v = 1 | n.name] AS hits"
+    )
+    assert rows2 == [{"hits": ["a", "b"]}]

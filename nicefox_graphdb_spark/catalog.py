@@ -90,12 +90,20 @@ class GraphCatalog:
     # by construction (prefix scheme), so readers skip the membership join
     # entirely until this flips — incremental invalidation, not a scan.
     multi_label_dirty: bool = False
+    # monotonically increases on any table (re)registration or mutation —
+    # the engine's plan cache keys on it for invalidation (the analogue of
+    # the reference's prepared-statement cache, src/db.ts:580-625)
+    version: int = 0
+
+    def touch(self) -> None:
+        self.version += 1
 
     # -- registration -----------------------------------------------------
     def register_node(self, label: str, df: DataFrame) -> None:
         if ID_COL not in df.columns:
             raise ValueError(f"node table {label!r} missing {ID_COL}")
         self._nodes[label] = NodeTable(label, df)
+        self.touch()
 
     def register_edge(
         self, type_: str, src_label: str, dst_label: str, df: DataFrame
@@ -104,6 +112,7 @@ class GraphCatalog:
             if c not in df.columns:
                 raise ValueError(f"edge table {type_!r} missing {c}")
         self._edges.append(EdgeTable(type_, src_label, dst_label, df))
+        self.touch()
 
     # -- lookup -----------------------------------------------------------
     @property

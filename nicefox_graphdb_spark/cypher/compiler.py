@@ -2557,6 +2557,163 @@ class CypherToSpark:
             st = self.compile_set(st, ast.SetClause(items=m.on_match))
         return st
 
+    def _merge_rel_one_unbound(
+        self, state: CompileState, m: ast.Merge
+    ) -> CompileState:
+        """`MATCH (a) MERGE (a)-[:R]->(b:B {k: a.k})` — one endpoint bound,
+        the other created per-row when the FULL pattern has no match
+        (reference per-row merge interpreters, src/executor.ts:6835-7121).
+
+        Neo4j set semantics, vectorized: for every distinct (bound id,
+        computed key values) combination with no existing full-pattern
+        match, create ONE fresh node + relationship; rows that share the
+        combination bind the same created pair (sequential MERGE sees
+        earlier in-statement creations). An existing node with matching
+        props but no edge from the bound endpoint is NOT reused — the whole
+        pattern is created, Neo4j's documented behavior.
+        """
+        from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+        left_np, rel, right_np = m.path.elements
+        assert isinstance(rel, ast.RelPattern)
+        if rel.direction == "both" or len(rel.types) != 1:
+            raise CypherCompileError(
+                "MERGE relationship requires a single directed type"
+            )
+        type_ = rel.types[0]
+        left_bound = left_np.var is not None and left_np.var in state.scope
+        bound_np, unb_np = (
+            (left_np, right_np) if left_bound else (right_np, left_np)
+        )
+        if bound_np.labels or bound_np.props:
+            raise CypherCompileError(
+                "MERGE bound endpoint must be a bare variable"
+            )
+        bound_var = bound_np.var
+        bound_info = state.scope.get(bound_var)
+        if bound_info is None or bound_info.kind != "node":
+            raise CypherCompileError("MERGE endpoint must be a node variable")
+        if len(bound_info.labels or []) != 1:
+            raise CypherCompileError(
+                "MERGE with an unbound endpoint requires the bound endpoint "
+                "to have a single known label"
+            )
+        unb_var = unb_np.var or self.gensym("mn")
+        if unb_np.var is not None and unb_np.var in state.scope:
+            raise CypherCompileError(f"MERGE variable `{unb_var}` already bound")
+        label = self._single_label(unb_np, unb_var)
+        rel_var = rel.var or self.gensym("mr")
+        self.store.ensure_label(label)
+        bound_is_src = left_bound == (rel.direction == "out")
+
+        df = state.require_df()
+        # per-row key values (correlated: may reference any outer variable)
+        unb_props = self._compiled_props(state, unb_np.props)
+        rel_props = self._compiled_props(state, rel.props)
+        ukey: dict[str, str] = {}
+        for k, tc in unb_props.items():
+            tmp = f"__uk_{k}"
+            df = df.withColumn(tmp, tc.col)
+            ukey[k] = tmp
+        rkey: dict[str, str] = {}
+        for k, tc in rel_props.items():
+            tmp = f"__rk_{k}"
+            df = df.withColumn(tmp, tc.col)
+            rkey[k] = tmp
+        df = df.localCheckpoint(eager=True)
+        null_checks = [F.col(t).isNull() for t in (*ukey.values(), *rkey.values())]
+        if null_checks:
+            anynull = null_checks[0]
+            for c in null_checks[1:]:
+                anynull = anynull | c
+            if not df.where(anynull).isEmpty():
+                raise CypherRuntimeError(
+                    "Cannot merge using null property value"
+                )
+
+        bid = vcol(bound_var, "id")
+        # pre-mutation full-pattern match
+        edf, rinfo, _ = self._edge_scan(rel_var, [type_], "out", None, None)
+        nscan, ninfo = self._node_scan(unb_var, [label])
+        e_bound, e_far = (
+            (vcol(rel_var, "src"), vcol(rel_var, "dst"))
+            if bound_is_src
+            else (vcol(rel_var, "dst"), vcol(rel_var, "src"))
+        )
+
+        def _pattern_join(base, e, escope_info, ns, nsinfo):
+            cand = base.join(e, base[bid] == e[e_bound])
+            cand = cand.join(ns, F.col(e_far) == ns[vcol(unb_var, "id")])
+            for k, tmp in ukey.items():
+                if k in nsinfo.props:
+                    cand = cand.where(F.col(pcol(unb_var, k)) == F.col(tmp))
+                else:
+                    cand = cand.where(F.lit(False))
+            for k, tmp in rkey.items():
+                if k in escope_info.props:
+                    cand = cand.where(F.col(pcol(rel_var, k)) == F.col(tmp))
+                else:
+                    cand = cand.where(F.lit(False))
+            return cand
+
+        group_cols = [bid, *ukey.values(), *rkey.values()]
+        all_pairs = df.select(*group_cols).distinct()
+        if edf is not None:
+            matched = _pattern_join(df, edf, rinfo, nscan, ninfo)
+            have_pairs = matched.select(*group_cols).distinct()
+            missing = all_pairs.join(have_pairs, on=group_cols, how="left_anti")
+            matched_eids = matched.select(
+                F.col(vcol(rel_var, "eid")).alias("_id")
+            ).distinct()
+        else:
+            missing = all_pairs
+            matched_eids = None
+        created = (
+            missing.withColumn("__new_nid", F.expr("uuid()"))
+            .withColumn("__new_eid", F.expr("uuid()"))
+            .localCheckpoint(eager=True)  # freeze the generated uuids
+        )
+        node_rows = created.select(
+            F.col("__new_nid").alias("_id"),
+            *[F.col(tmp).alias(k) for k, tmp in ukey.items()],
+        )
+        self.store.append_nodes(label, node_rows)
+        src_col, dst_col = (
+            (bid, "__new_nid") if bound_is_src else ("__new_nid", bid)
+        )
+        edge_rows = created.select(
+            F.col("__new_eid").alias("_id"),
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            *[F.col(tmp).alias(k) for k, tmp in rkey.items()],
+        )
+        src_label = bound_info.labels[0] if bound_is_src else label
+        dst_label = label if bound_is_src else bound_info.labels[0]
+        self.store.append_edges(type_, src_label, dst_label, edge_rows)
+
+        # re-bind against the now-complete tables
+        edf2, rinfo2, _ = self._edge_scan(rel_var, [type_], "out", None, None)
+        assert edf2 is not None
+        nscan2, ninfo2 = self._node_scan(unb_var, [label])
+        joined = _pattern_join(df, edf2, rinfo2, nscan2, ninfo2).drop(
+            "__from", "__to", *ukey.values(), *rkey.values()
+        )
+        scope = state.scope.copy()
+        scope.bind(rinfo2)
+        scope.bind(ninfo2)
+        new_state = CompileState(df=joined, scope=scope)
+        if m.on_create:
+            new_state = self._apply_merge_sets(
+                new_state, rel_var, created.select(
+                    F.col("__new_eid").alias("_id")
+                ), m.on_create,
+            )
+        if m.on_match and matched_eids is not None:
+            new_state = self._apply_merge_sets(
+                new_state, rel_var, matched_eids, m.on_match
+            )
+        return new_state
+
     def _merge_relationship(self, state: CompileState, m: ast.Merge) -> CompileState:
         left_np, rel, right_np = m.path.elements
         assert isinstance(rel, ast.RelPattern)
@@ -2568,10 +2725,13 @@ class CypherToSpark:
         if unbound:
             # MERGE of a whole unbound path: match the FULL pattern; if
             # nothing matches, create the full pattern (openCypher MERGE
-            # atomicity — never a half-created path). Only the uncorrelated
-            # form is supported (no outer binding rows to correlate with).
+            # atomicity — never a half-created path).
             if len(unbound) == 2 and not state.scope.vars:
                 return self._merge_standalone_path(state, m)
+            if len(unbound) == 1:
+                # correlated per-row match-else-create (reference MERGE
+                # interpreters, src/executor.ts:6835-7121)
+                return self._merge_rel_one_unbound(state, m)
             raise CypherCompileError(
                 "MERGE relationship endpoints must be bound variables"
             )

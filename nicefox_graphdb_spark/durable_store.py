@@ -1,0 +1,542 @@
+"""DurableGraph — durable, partition-pruned write storage for Cypher writes.
+
+The reference persists every write inside a single SQLite file per project
+(reference src/db.ts:47-70, src/local.ts:22-45): writes survive a restart.
+`MutableGraph` (graph_store.py) keeps written tables as session-local
+copy-on-write DataFrames — correct interactively, but (a) a restart loses
+everything, and (b) every SET rewrites the whole label table.
+
+This module is the Spark-native durable equivalent, the same shape a
+Delta/Iceberg-backed store would take (neither library ships in this
+environment, so the transactional layer is implemented directly — it is
+small):
+
+- Every table's rows are hash-bucketed by ``_id`` (``pmod(xxhash64(_id),
+  n_buckets)``); each bucket owns its own parquet files.
+- A versioned JSON **manifest** maps table → schema + bucket → file list.
+  Commits write a new manifest version then atomically swing a ``CURRENT``
+  pointer (``os.replace``) — readers always see a consistent snapshot and a
+  crash mid-write leaves the previous version intact (Delta's _delta_log,
+  in miniature).
+- **Keyed MERGE prunes files**: ``SET n.p = v`` on k matched ids computes
+  the touched bucket set from the update keys (≤ n_buckets small ints, the
+  moral equivalent of Delta's file-skipping stats), reads and rewrites ONLY
+  those buckets' files, and commits a manifest where untouched buckets keep
+  their existing files byte-for-byte. At 100 TB with n_buckets=4096, a
+  10-row MERGE touches ~10 files, not the table.
+- **Appends add files** to their buckets without rewriting anything;
+  buckets that accumulate more than ``compact_threshold`` files are
+  compacted in the same commit (read the bucket once, rewrite one file).
+- Schema evolution: the manifest carries the table's logical schema
+  (first-seen type wins, as in MutableGraph); old files are read with the
+  current schema, so columns added later null-fill for free (parquet
+  missing-column semantics).
+
+``DurableGraph`` subclasses ``MutableGraph`` so the Cypher compiler's write
+paths (compiler.py compile_create/merge/set/delete) run unchanged — only
+the storage engine under them swaps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from urllib.parse import quote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nicefox_graphdb_spark.catalog import EdgeTable, GraphCatalog
+from nicefox_graphdb_spark.graph_store import MutableGraph
+
+
+def _q(s: str) -> str:
+    """Filesystem-safe table-key component."""
+    return quote(s, safe="")
+
+
+def node_key(label: str) -> str:
+    return f"nodes/{_q(label)}"
+
+
+def edge_key(type_: str, src_label: str, dst_label: str) -> str:
+    return f"edges/{_q(type_)}__{_q(src_label)}__{_q(dst_label)}"
+
+
+class DurableTableStore:
+    """Bucketed-parquet tables under one root, with atomic manifest commits.
+
+    Layout::
+
+        {root}/_manifest/v{n:012d}.json   # full manifest per version
+        {root}/_manifest/CURRENT          # name of the live manifest
+        {root}/data/{table_key}/b{bucket:05d}-{uuid}.parquet
+    """
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16,
+                 compact_threshold: int = 8):
+        self.spark = spark
+        self.root = root
+        self._mdir = os.path.join(root, "_manifest")
+        os.makedirs(self._mdir, exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self.compact_threshold = compact_threshold
+        self.manifest = self._load() or {
+            "version": 0,
+            "n_buckets": n_buckets,
+            "multi_label_dirty": False,
+            "tables": {},
+        }
+        # the persisted bucket count always wins — pruning depends on every
+        # write agreeing on the hash ring
+        self.n_buckets = self.manifest["n_buckets"]
+
+    # -- manifest ---------------------------------------------------------
+    def _load(self) -> dict | None:
+        cur = os.path.join(self._mdir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self._mdir, name)) as f:
+            return json.load(f)
+
+    def commit(self) -> None:
+        """Write the next manifest version, then atomically swing CURRENT."""
+        self.manifest["version"] += 1
+        name = f"v{self.manifest['version']:012d}.json"
+        path = os.path.join(self._mdir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        cur_tmp = os.path.join(self._mdir, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, os.path.join(self._mdir, "CURRENT"))
+
+    # -- schema / bucket helpers -----------------------------------------
+    def bucket_col(self, id_col: F.Column) -> F.Column:
+        return F.pmod(F.xxhash64(id_col), F.lit(self.n_buckets)).cast("int")
+
+    def touched_buckets(self, keys: DataFrame, id_col: str = "_id") -> list[int]:
+        """Distinct bucket ids of the given keys — driver-side pruning
+        metadata (≤ n_buckets ints), the file-skipping step of the MERGE."""
+        rows = (
+            keys.select(self.bucket_col(F.col(id_col)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r["b"] for r in rows)
+
+    def schema_of(self, key: str) -> T.StructType:
+        return T.StructType.fromJson(self.manifest["tables"][key]["schema"])
+
+    def set_schema(self, key: str, schema: dict[str, T.DataType]) -> None:
+        self.manifest["tables"][key]["schema"] = T.StructType(
+            [T.StructField(n, t) for n, t in schema.items()]
+        ).jsonValue()
+
+    def has_table(self, key: str) -> bool:
+        return key in self.manifest["tables"]
+
+    def create_table(self, key: str, meta: dict, schema: T.StructType) -> None:
+        self.manifest["tables"][key] = {
+            **meta,
+            "schema": schema.jsonValue(),
+            "buckets": {},
+        }
+
+    # -- reads ------------------------------------------------------------
+    def _paths(self, key: str, buckets: list[int] | None = None) -> list[str]:
+        t = self.manifest["tables"][key]
+        ddir = os.path.join(self.root, "data", key)
+        out = []
+        for b, files in t["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            out.extend(os.path.join(ddir, f) for f in files)
+        return out
+
+    def read_table(self, key: str, buckets: list[int] | None = None) -> DataFrame:
+        """Scan the table (or only the given buckets) at the current logical
+        schema; files written before a column existed null-fill it."""
+        schema = self.schema_of(key)
+        paths = self._paths(key, buckets)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # -- writes -----------------------------------------------------------
+    def _write_files(self, key: str, df: DataFrame) -> dict[int, list[str]]:
+        """Write rows bucketed by ``_id``; returns bucket → new file names.
+        Rows land in per-bucket parquet files via a partitionBy staging
+        write (one shuffle on the bucket key), then move into the table
+        directory; nothing is visible until the manifest commits."""
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        (
+            df.withColumn("__bucket", self.bucket_col(F.col("_id")))
+            .repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        ddir = os.path.join(self.root, "data", key)
+        os.makedirs(ddir, exist_ok=True)
+        out: dict[int, list[str]] = {}
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("__bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(staging, d))):
+                if not fn.endswith(".parquet"):
+                    continue
+                name = f"b{b:05d}-{uuid.uuid4().hex}.parquet"
+                os.replace(os.path.join(staging, d, fn), os.path.join(ddir, name))
+                out.setdefault(b, []).append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def append(self, key: str, df: DataFrame) -> None:
+        """Add files to their buckets; existing files untouched. Buckets
+        that exceed compact_threshold files are compacted in this commit."""
+        new = self._write_files(key, df)
+        buckets = self.manifest["tables"][key]["buckets"]
+        for b, files in new.items():
+            buckets.setdefault(str(b), []).extend(files)
+        over = [int(b) for b, fs in buckets.items()
+                if len(fs) > self.compact_threshold]
+        if over:
+            self.replace_buckets(key, over, self.read_table(key, over))
+
+    def replace_buckets(self, key: str, touched: list[int], df: DataFrame) -> None:
+        """Swap the given buckets' file lists for freshly-written ones
+        (the rewrite half of a pruned MERGE/DELETE). Untouched buckets keep
+        their files. Old files are left for vacuum (time-travel-ish)."""
+        new = self._write_files(key, df)
+        buckets = self.manifest["tables"][key]["buckets"]
+        for b in touched:
+            files = new.pop(b, [])
+            if files:
+                buckets[str(b)] = files
+            else:
+                buckets.pop(str(b), None)
+        if new:
+            # rows hashed outside the touched set would corrupt pruning —
+            # callers must only pass rows belonging to the touched buckets
+            raise ValueError(
+                f"replace_buckets: rows outside touched buckets {sorted(new)}"
+            )
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the current manifest."""
+        removed = 0
+        for key, t in self.manifest["tables"].items():
+            ddir = os.path.join(self.root, "data", key)
+            if not os.path.isdir(ddir):
+                continue
+            live = {f for fs in t["buckets"].values() for f in fs}
+            for fn in os.listdir(ddir):
+                if fn.endswith(".parquet") and fn not in live:
+                    os.remove(os.path.join(ddir, fn))
+                    removed += 1
+        return removed
+
+
+class DurableGraph(MutableGraph):
+    """MutableGraph with durable, pruned storage under every mutation.
+
+    Opening a path with existing data registers every stored table into the
+    catalog — a restart recovers all writes (reference restart semantics:
+    SQLite file reopen, src/local.ts:22-45). Tables bulk-registered in the
+    catalog (parquet loads) stay read-only views until first mutated, at
+    which point they are adopted into the store (one full write — Delta's
+    CONVERT TO DELTA) and from then on mutate via pruned commits.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        catalog: GraphCatalog | None = None,
+        n_buckets: int = 16,
+    ):
+        super().__init__(spark, catalog)
+        self.tables = DurableTableStore(spark, path, n_buckets=n_buckets)
+        m = self.tables.manifest
+        for key, t in m["tables"].items():
+            df = self.tables.read_table(key)
+            if t["kind"] == "node":
+                self.catalog.register_node(t["label"], df)
+            else:
+                self._put_edge(t["type"], t["src"], t["dst"], df)
+        if m.get("multi_label_dirty"):
+            self.catalog.multi_label_dirty = True
+
+    # -- plumbing ---------------------------------------------------------
+    def _bump(self) -> None:
+        # every mutation commits durably; nothing to checkpoint
+        self.catalog.touch()
+        self.tables.manifest["multi_label_dirty"] = bool(
+            self.catalog.multi_label_dirty
+        )
+        self.tables.commit()
+
+    def checkpoint(self) -> None:
+        """Durability is per-commit; checkpoint() is a no-op kept for API
+        parity with MutableGraph."""
+
+    def _put_edge(self, type_: str, src: str, dst: str, df: DataFrame) -> None:
+        for i, et in enumerate(self.catalog._edges):
+            if (et.type, et.src_label, et.dst_label) == (type_, src, dst):
+                self.catalog._edges[i] = EdgeTable(type_, src, dst, df)
+                return
+        self.catalog.register_edge(type_, src, dst, df)
+
+    def _refresh_node(self, label: str) -> None:
+        self.catalog.register_node(
+            label, self.tables.read_table(node_key(label))
+        )
+
+    def _refresh_edge(self, type_: str, src: str, dst: str) -> None:
+        self._put_edge(
+            type_, src, dst, self.tables.read_table(edge_key(type_, src, dst))
+        )
+
+    @staticmethod
+    def _no_void(cols: dict[str, T.DataType]) -> dict[str, T.DataType]:
+        """Parquet cannot store void columns; an all-null property (CREATE
+        {x: null}) persists as a nullable string column instead."""
+        return {
+            n: (T.StringType() if isinstance(t, T.NullType) else t)
+            for n, t in cols.items()
+        }
+
+    def _merged_cols(self, key: str, incoming: DataFrame) -> dict[str, T.DataType]:
+        """Stored logical schema ∪ incoming columns (stored type wins)."""
+        cols = {f.name: f.dataType for f in self.tables.schema_of(key).fields}
+        for f in incoming.schema.fields:
+            cols.setdefault(f.name, f.dataType)
+        return self._no_void(cols)
+
+    def _adopt_node(self, label: str) -> None:
+        """First mutation of a bulk-registered table: import it wholesale
+        (one-time, like Delta's CONVERT TO DELTA)."""
+        key = node_key(label)
+        if self.tables.has_table(key):
+            return
+        df = self.catalog.node(label).df
+        cols = self._no_void({f.name: f.dataType for f in df.schema.fields})
+        self.tables.create_table(
+            key,
+            {"kind": "node", "label": label},
+            T.StructType([T.StructField(n, t) for n, t in cols.items()]),
+        )
+        self.tables.append(key, self._align(df, cols))
+
+    def _adopt_edge(self, i: int) -> str:
+        et = self.catalog._edges[i]
+        key = edge_key(et.type, et.src_label, et.dst_label)
+        if not self.tables.has_table(key):
+            cols = self._no_void({f.name: f.dataType for f in et.df.schema.fields})
+            self.tables.create_table(
+                key,
+                {"kind": "edge", "type": et.type, "src": et.src_label,
+                 "dst": et.dst_label},
+                T.StructType([T.StructField(n, t) for n, t in cols.items()]),
+            )
+            self.tables.append(key, self._align(et.df, cols))
+        return key
+
+    # -- nodes ------------------------------------------------------------
+    def ensure_label(self, label: str) -> None:
+        if self.catalog.has_label(label):
+            self._adopt_node(label)
+            return
+        key = node_key(label)
+        if not self.tables.has_table(key):
+            self.tables.create_table(
+                key,
+                {"kind": "node", "label": label},
+                T.StructType([T.StructField("_id", T.StringType())]),
+            )
+        self._refresh_node(label)
+
+    def append_nodes(self, label: str, rows: DataFrame) -> None:
+        self.ensure_label(label)
+        key = node_key(label)
+        cols = self._merged_cols(key, rows)
+        self.tables.set_schema(key, cols)
+        self.tables.append(key, self._align(rows, cols))
+        self._refresh_node(label)
+        self._bump()
+
+    def update_node_props(
+        self, label: str, updates: DataFrame, replace_all: bool = False
+    ) -> None:
+        if not self.catalog.has_label(label):
+            return
+        touched = self.tables.touched_buckets(updates)
+        if touched:
+            self._adopt_node(label)
+            key = node_key(label)
+            cols = self._merged_cols(key, updates)
+            self.tables.set_schema(key, cols)
+            base_sub = self._align(self.tables.read_table(key, touched), cols)
+            merged = self._apply_node_updates(base_sub, updates, cols, replace_all)
+            self.tables.replace_buckets(key, touched, merged)
+            self._refresh_node(label)
+        self._bump()
+
+    def add_label_to_nodes(
+        self, from_label: str, ids: DataFrame, new_label: str
+    ) -> None:
+        super().add_label_to_nodes(from_label, ids, new_label)
+        self._bump()  # persist multi_label_dirty past the inner commit
+
+    def remove_label_from_nodes(self, label: str, ids: DataFrame) -> None:
+        if not self.catalog.has_label(label):
+            return
+        idcol = ids.select(F.col(ids.columns[0]).alias("_id"))
+        touched = self.tables.touched_buckets(idcol)
+        if touched:
+            self._adopt_node(label)
+            key = node_key(label)
+            keep = self.tables.read_table(key, touched).join(
+                idcol, on="_id", how="left_anti"
+            )
+            self.tables.replace_buckets(key, touched, keep)
+            self._refresh_node(label)
+        self._bump()
+
+    def delete_nodes(self, ids: DataFrame, detach: bool = False) -> None:
+        idcol = ids.select(F.col(ids.columns[0]).alias("_id"))
+        if not detach:
+            endpoint_parts = [
+                et.df.select(F.col(side).alias("_id"))
+                for et in self.catalog._edges
+                for side in ("_src", "_dst")
+            ]
+            if endpoint_parts:
+                endpoints = endpoint_parts[0]
+                for p in endpoint_parts[1:]:
+                    endpoints = endpoints.unionByName(p)
+                if not endpoints.join(idcol, on="_id", how="left_semi").isEmpty():
+                    from nicefox_graphdb_spark.graph_store import (
+                        CypherRuntimeError,
+                    )
+
+                    raise CypherRuntimeError(
+                        "Cannot delete node because it still has relationships"
+                        " (use DETACH DELETE)"
+                    )
+        touched = self.tables.touched_buckets(idcol)
+        # same hash ring for every table → the deleted ids' buckets are the
+        # only buckets that can contain them, in every label table
+        for label in list(self.catalog._nodes):
+            if not touched:
+                break
+            if (
+                self.catalog.node(label).df.select("_id")
+                .join(idcol, on="_id", how="left_semi")
+                .isEmpty()
+            ):
+                continue  # label holds none of the ids: no adopt, no rewrite
+            self._adopt_node(label)
+            key = node_key(label)
+            keep = self.tables.read_table(key, touched).join(
+                idcol, on="_id", how="left_anti"
+            )
+            self.tables.replace_buckets(key, touched, keep)
+            self._refresh_node(label)
+        if detach:
+            for i in range(len(self.catalog._edges)):
+                et = self.catalog._edges[i]
+                # edges bucket by edge _id, endpoints are the predicate:
+                # one scan finds which buckets hold incident edges
+                incident = et.df.join(
+                    idcol.withColumnRenamed("_id", "_src"),
+                    on="_src", how="left_semi",
+                ).unionByName(
+                    et.df.join(
+                        idcol.withColumnRenamed("_id", "_dst"),
+                        on="_dst", how="left_semi",
+                    )
+                )
+                e_touched = self.tables.touched_buckets(incident)
+                if not e_touched:
+                    continue
+                key = self._adopt_edge(i)
+                kept = (
+                    self.tables.read_table(key, e_touched)
+                    .join(
+                        idcol.withColumnRenamed("_id", "_src"),
+                        on="_src", how="left_anti",
+                    )
+                    .join(
+                        idcol.withColumnRenamed("_id", "_dst"),
+                        on="_dst", how="left_anti",
+                    )
+                )
+                self.tables.replace_buckets(key, e_touched, kept)
+                self._refresh_edge(et.type, et.src_label, et.dst_label)
+        self._bump()
+
+    # -- edges ------------------------------------------------------------
+    def append_edges(
+        self, type_: str, src_label: str, dst_label: str, rows: DataFrame
+    ) -> None:
+        slot = self._edge_slot(type_, src_label, dst_label)
+        key = self._adopt_edge(slot)
+        cols = self._merged_cols(key, rows)
+        self.tables.set_schema(key, cols)
+        self.tables.append(key, self._align(rows, cols))
+        self._refresh_edge(*(
+            (self.catalog._edges[slot].type,
+             self.catalog._edges[slot].src_label,
+             self.catalog._edges[slot].dst_label)
+        ))
+        self._bump()
+
+    def update_edge_props(self, eids: DataFrame, updates: DataFrame) -> None:
+        touched = self.tables.touched_buckets(updates)
+        if touched:
+            for i in range(len(self.catalog._edges)):
+                et = self.catalog._edges[i]
+                if et.df.select("_id").join(
+                    updates.select("_id"), on="_id", how="left_semi"
+                ).isEmpty():
+                    continue  # no matching edge here: no adopt, no rewrite
+                key = self._adopt_edge(i)
+                cols = self._merged_cols(key, updates)
+                self.tables.set_schema(key, cols)
+                base_sub = self._align(self.tables.read_table(key, touched), cols)
+                merged = self._apply_edge_updates(base_sub, updates, cols)
+                self.tables.replace_buckets(key, touched, merged)
+                self._refresh_edge(et.type, et.src_label, et.dst_label)
+        self._bump()
+
+    def delete_edges(self, eids: DataFrame) -> None:
+        idcol = eids.select(F.col(eids.columns[0]).alias("_id"))
+        touched = self.tables.touched_buckets(idcol)
+        if touched:
+            for i in range(len(self.catalog._edges)):
+                et = self.catalog._edges[i]
+                if et.df.select("_id").join(
+                    idcol, on="_id", how="left_semi"
+                ).isEmpty():
+                    continue
+                key = self._adopt_edge(i)
+                kept = self.tables.read_table(key, touched).join(
+                    idcol, on="_id", how="left_anti"
+                )
+                self.tables.replace_buckets(key, touched, kept)
+                self._refresh_edge(et.type, et.src_label, et.dst_label)
+        self._bump()

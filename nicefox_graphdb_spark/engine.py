@@ -9,14 +9,36 @@ row-of-dicts result format.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 
 from nicefox_graphdb_spark.catalog import GraphCatalog
+from nicefox_graphdb_spark.cypher import ast
 from nicefox_graphdb_spark.cypher.compiler import CypherToSpark
 from nicefox_graphdb_spark.cypher.parser import parse
 
 _TAG_KEYS = {"__ck", "__cn", "__ct"}
 _DUR_KEYS = {"__dmo", "__dd", "__dus"}
+
+_WRITE_CLAUSES = (ast.Create, ast.Merge, ast.SetClause, ast.Remove, ast.Delete)
+
+
+def _has_writes(q: "ast.Query") -> bool:
+    if any(isinstance(c, _WRITE_CLAUSES) for c in q.clauses):
+        return True
+    return any(_has_writes(u) for _, u in q.unions)
+
+
+def _freeze(v):
+    """Stable hashable encoding of a params payload (raises TypeError for
+    unhashable leaves — the caller then skips the cache)."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return ("__list__", *(_freeze(x) for x in v))
+    hash(v)
+    return v
 
 
 def _iso_duration(months: int, days: int, us: int) -> str:
@@ -86,15 +108,34 @@ class CypherEngine:
         catalog: GraphCatalog,
         max_hops: int = 12,
         mutable: bool = False,
+        data_path: str | None = None,
+        n_buckets: int = 16,
     ):
+        """data_path switches writes to the durable, partition-pruned store
+        (reference persists every write to {dataPath}/{project}.db,
+        src/local.ts:22-45): reopening the same path recovers all writes."""
         self.spark = spark
         self.max_hops = max_hops
         self.store = None
-        if mutable:
+        if data_path is not None:
+            from nicefox_graphdb_spark.durable_store import DurableGraph
+
+            self.store = DurableGraph(
+                spark, data_path, catalog, n_buckets=n_buckets
+            )
+        elif mutable:
             from nicefox_graphdb_spark.graph_store import MutableGraph
 
             self.store = MutableGraph(spark, catalog)
         self._catalog = catalog
+        # (cypher text, frozen params, catalog version) → compiled plan;
+        # LRU capacity matches the reference's prepared-statement cache
+        # (src/db.ts:580-625, LRU 100). Read-only queries only — writes
+        # execute during compilation. DataFrames are immutable plans, so
+        # returning the cached object is safe; nondeterministic expressions
+        # (rand/uuid/current_timestamp) re-evaluate per action regardless.
+        self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._plan_cache_cap = 100
 
     @property
     def catalog(self) -> GraphCatalog:
@@ -107,6 +148,20 @@ class CypherEngine:
         compilation (eager, like the reference's per-statement execution).
         """
         q = parse(cypher)
+        key = None
+        if not _has_writes(q):
+            try:
+                key = (
+                    cypher,
+                    _freeze(params) if params else None,
+                    self.catalog.version,
+                    self.max_hops,
+                )
+            except TypeError:
+                key = None  # unhashable param value: skip the cache
+            if key is not None and key in self._plan_cache:
+                self._plan_cache.move_to_end(key)
+                return self._plan_cache[key]
         compiler = CypherToSpark(
             self.spark,
             self.catalog,
@@ -114,7 +169,12 @@ class CypherEngine:
             max_hops=self.max_hops,
             store=self.store,
         )
-        return compiler.compile_query(q)
+        df = compiler.compile_query(q)
+        if key is not None:
+            self._plan_cache[key] = df
+            while len(self._plan_cache) > self._plan_cache_cap:
+                self._plan_cache.popitem(last=False)
+        return df
 
     # reference-parity convenience API
     def query(self, cypher: str, params: dict | None = None) -> list[dict]:

@@ -39,6 +39,8 @@ class MutableGraph:
     # -- plumbing ---------------------------------------------------------
     def _bump(self) -> None:
         self._mutations += 1
+        # direct _edges[i] swaps bypass register_edge — invalidate here too
+        self.catalog.touch()
         if self._mutations % _CHECKPOINT_EVERY == 0:
             self.checkpoint()
 
@@ -103,9 +105,24 @@ class MutableGraph:
         if not self.catalog.has_label(label):
             return
         base = self.catalog.node(label).df
-        upd_props = [c for c in updates.columns if c != "_id"]
         cols = self._merged_schema(base, updates)
-        basea = self._align(base, cols)
+        merged = self._apply_node_updates(
+            self._align(base, cols), updates, cols, replace_all
+        )
+        self.catalog.register_node(label, merged)
+        self._bump()
+
+    @staticmethod
+    def _apply_node_updates(
+        basea: DataFrame,
+        updates: DataFrame,
+        cols: dict[str, T.DataType],
+        replace_all: bool,
+    ) -> DataFrame:
+        """Keyed MERGE: overwrite matched rows' mentioned props (all props
+        null-filled when replace_all). basea must already carry the merged
+        column set."""
+        upd_props = [c for c in updates.columns if c != "_id"]
         upd = updates.select(
             F.col("_id").alias("__u_id"),
             F.lit(True).alias("__matched"),
@@ -125,8 +142,7 @@ class MutableGraph:
             else:
                 col = F.col(name)
             sel.append(col.cast(cols[name]).alias(name))
-        self.catalog.register_node(label, joined.select(*sel))
-        self._bump()
+        return joined.select(*sel)
 
     def add_label_to_nodes(self, from_label: str, ids: DataFrame, new_label: str) -> None:
         """SET n:NewLabel — copy the rows into the new label's table
@@ -219,29 +235,37 @@ class MutableGraph:
 
     def update_edge_props(self, eids: DataFrame, updates: DataFrame) -> None:
         """updates: `_id` + new-value columns, applied across all edge tables."""
-        upd_props = [c for c in updates.columns if c != "_id"]
         for i, et in enumerate(self.catalog._edges):
             cols = self._merged_schema(et.df, updates)
-            basea = self._align(et.df, cols)
-            upd = updates.select(
-                F.col("_id").alias("__u_id"),
-                F.lit(True).alias("__matched"),
-                *[F.col(c).alias(f"__u_{c}") for c in upd_props],
+            merged = self._apply_edge_updates(
+                self._align(et.df, cols), updates, cols
             )
-            joined = basea.join(upd, basea["_id"] == upd["__u_id"], "left")
-            sel = []
-            for name in cols:
-                if name in upd_props:
-                    col = F.when(
-                        F.col("__matched"), F.col(f"__u_{name}")
-                    ).otherwise(F.col(name))
-                    sel.append(col.cast(cols[name]).alias(name))
-                else:
-                    sel.append(F.col(name).alias(name))
             self.catalog._edges[i] = EdgeTable(
-                et.type, et.src_label, et.dst_label, joined.select(*sel)
+                et.type, et.src_label, et.dst_label, merged
             )
         self._bump()
+
+    @staticmethod
+    def _apply_edge_updates(
+        basea: DataFrame, updates: DataFrame, cols: dict[str, T.DataType]
+    ) -> DataFrame:
+        upd_props = [c for c in updates.columns if c != "_id"]
+        upd = updates.select(
+            F.col("_id").alias("__u_id"),
+            F.lit(True).alias("__matched"),
+            *[F.col(c).alias(f"__u_{c}") for c in upd_props],
+        )
+        joined = basea.join(upd, basea["_id"] == upd["__u_id"], "left")
+        sel = []
+        for name in cols:
+            if name in upd_props:
+                col = F.when(
+                    F.col("__matched"), F.col(f"__u_{name}")
+                ).otherwise(F.col(name))
+                sel.append(col.cast(cols[name]).alias(name))
+            else:
+                sel.append(F.col(name).alias(name))
+        return joined.select(*sel)
 
     def delete_edges(self, eids: DataFrame) -> None:
         idcol = eids.select(F.col(eids.columns[0]).alias("_id"))

@@ -1,0 +1,64 @@
+"""Plan cache — repeated read queries reuse the compiled DataFrame;
+writes and catalog changes invalidate (reference LRU statement cache,
+src/db.ts:580-625)."""
+
+import time
+
+from nicefox_graphdb_spark import CypherEngine
+from nicefox_graphdb_spark.catalog import GraphCatalog
+
+
+def test_repeat_query_hits_cache(engine):
+    d1 = engine.dataframe("MATCH (n:Customer) RETURN count(*) AS c")
+    d2 = engine.dataframe("MATCH (n:Customer) RETURN count(*) AS c")
+    assert d1 is d2
+
+
+def test_same_params_hit_different_params_miss(engine):
+    q = "MATCH (n:Customer) WHERE n.c_custkey = $k RETURN n.c_name AS name"
+    a = engine.dataframe(q, {"k": 1})
+    b = engine.dataframe(q, {"k": 1})
+    c = engine.dataframe(q, {"k": 2})
+    assert a is b
+    assert a is not c
+
+
+def test_write_invalidates_cache(spark):
+    eng = CypherEngine(spark, GraphCatalog(spark), mutable=True)
+    eng.query("CREATE (:X {v: 1})")
+    q = "MATCH (n:X) RETURN count(*) AS c"
+    d1 = eng.dataframe(q)
+    assert eng.query(q) == [{"c": 1}]
+    eng.query("CREATE (:X {v: 2})")
+    d2 = eng.dataframe(q)
+    assert d1 is not d2  # catalog version moved
+    assert eng.query(q) == [{"c": 2}]
+
+
+def test_write_queries_never_cached(spark):
+    eng = CypherEngine(spark, GraphCatalog(spark), mutable=True)
+    eng.query("CREATE (:Y {v: 1})")
+    eng.query("CREATE (:Y {v: 1})")  # must execute twice, not hit cache
+    assert eng.query("MATCH (n:Y) RETURN count(*) AS c") == [{"c": 2}]
+
+
+def test_compile_cost_amortized(engine):
+    q = ("MATCH (c:Customer)-[:PLACED]->(o:Order) "
+         "WHERE o.o_orderstatus = 'O' "
+         "RETURN c.c_mktsegment AS seg, count(*) AS n ORDER BY seg")
+    t0 = time.perf_counter()
+    engine.dataframe(q)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(20):
+        engine.dataframe(q)
+    warm_each = (time.perf_counter() - t0) / 20
+    assert warm_each < cold / 5  # cache hit ≫ cheaper than a compile
+
+
+def test_unhashable_params_skip_cache(engine):
+    # list params are hashable via freezing; ensure no crash + correct reuse
+    q = "RETURN size($xs) AS n"
+    a = engine.dataframe(q, {"xs": [1, 2, 3]})
+    b = engine.dataframe(q, {"xs": [1, 2, 3]})
+    assert a is b

@@ -7,9 +7,15 @@ from nicefox_graphdb_spark import CypherEngine
 from nicefox_graphdb_spark.catalog import GraphCatalog
 
 
-@pytest.fixture()
-def wengine(spark):
-    """Fresh empty mutable graph per test."""
+@pytest.fixture(params=["mem", "durable"])
+def wengine(spark, request, tmp_path):
+    """Fresh empty mutable graph per test — every write test runs twice:
+    against the in-memory copy-on-write store and against the durable
+    bucketed-parquet store (durable_store.py)."""
+    if request.param == "durable":
+        return CypherEngine(
+            spark, GraphCatalog(spark), data_path=str(tmp_path / "g")
+        )
     return CypherEngine(spark, GraphCatalog(spark), mutable=True)
 
 
@@ -182,3 +188,85 @@ def test_label_predicate_sees_set_label(wengine):
     assert wengine.query(
         "MATCH (a:Acct) WHERE a:Acct:Vip RETURN a.id AS id"
     ) == [{"id": 3}]
+
+
+# --- correlated MERGE with an unbound endpoint (round-4) -----------------
+# reference per-row merge interpreters, src/executor.ts:6835-7121
+
+
+def test_merge_rel_unbound_endpoint_creates_per_row(wengine):
+    wengine.query("CREATE (:A {name: 'a1', k: 1})")
+    wengine.query("CREATE (:A {name: 'a2', k: 1})")
+    wengine.query("MATCH (a:A) MERGE (a)-[:R]->(b:B {k: a.k})")
+    # full-pattern semantics: each a gets its own b even with equal keys
+    assert wengine.query("MATCH (b:B) RETURN count(*) AS c") == [{"c": 2}]
+    # idempotent on re-run
+    wengine.query("MATCH (a:A) MERGE (a)-[:R]->(b:B {k: a.k})")
+    assert wengine.query("MATCH (b:B) RETURN count(*) AS c") == [{"c": 2}]
+    assert wengine.query(
+        "MATCH (:A)-[r:R]->(:B) RETURN count(*) AS c"
+    ) == [{"c": 2}]
+
+
+def test_merge_rel_unbound_on_create_on_match(wengine):
+    wengine.query("CREATE (:U {name: 'u'})")
+    wengine.query(
+        "MATCH (u:U) MERGE (u)-[r:OWNS]->(t:T {k: 1}) "
+        "ON CREATE SET r.new = true, t.src = u.name"
+    )
+    assert wengine.query(
+        "MATCH (:U)-[r:OWNS]->(t:T) RETURN r.new AS n, t.src AS s"
+    ) == [{"n": True, "s": "u"}]
+    wengine.query(
+        "MATCH (u:U) MERGE (u)-[r:OWNS]->(t:T {k: 1}) "
+        "ON MATCH SET r.matched = true"
+    )
+    rows = wengine.query(
+        "MATCH (:U)-[r:OWNS]->(:T) RETURN r.new AS n, r.matched AS m"
+    )
+    assert rows == [{"n": True, "m": True}]
+
+
+def test_merge_rel_unbound_incoming_direction(wengine):
+    wengine.query("CREATE (:V {name: 'v'})")
+    wengine.query("MATCH (v:V) MERGE (v)<-[:IN]-(w:W {tag: v.name})")
+    assert wengine.query(
+        "MATCH (w:W)-[:IN]->(v:V) RETURN w.tag AS t, v.name AS n"
+    ) == [{"t": "v", "n": "v"}]
+    wengine.query("MATCH (v:V) MERGE (v)<-[:IN]-(w:W {tag: v.name})")
+    assert wengine.query("MATCH (w:W) RETURN count(*) AS c") == [{"c": 1}]
+
+
+def test_merge_rel_unbound_null_key_raises(wengine):
+    from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+    wengine.query("CREATE (:A2 {name: 'x'})")
+    with pytest.raises(CypherRuntimeError, match="null property"):
+        wengine.query("MATCH (a:A2) MERGE (a)-[:R]->(b:B2 {k: a.nope})")
+
+
+def test_merge_rel_unbound_existing_node_not_reused(wengine):
+    # Neo4j: MERGE matches the WHOLE pattern; a propertied node without the
+    # edge is not reused — a fresh node + edge is created
+    wengine.query("CREATE (:Tgt {k: 5})")
+    wengine.query("CREATE (:Src {name: 's'})")
+    wengine.query("MATCH (s:Src) MERGE (s)-[:E]->(t:Tgt {k: 5})")
+    assert wengine.query("MATCH (t:Tgt) RETURN count(*) AS c") == [{"c": 2}]
+    assert wengine.query(
+        "MATCH (:Src)-[:E]->(:Tgt) RETURN count(*) AS c"
+    ) == [{"c": 1}]
+
+
+def test_merge_rel_unbound_rel_props_in_key(wengine):
+    wengine.query("CREATE (:P4 {name: 'p'})")
+    wengine.query("MATCH (p:P4) MERGE (p)-[:L {w: 1}]->(q:Q4 {k: 1})")
+    # different rel props → different full pattern → new node+edge
+    wengine.query("MATCH (p:P4) MERGE (p)-[:L {w: 2}]->(q:Q4 {k: 1})")
+    assert wengine.query("MATCH (:P4)-[l:L]->(:Q4) RETURN count(*) AS c") == [
+        {"c": 2}
+    ]
+    # same rel props → match
+    wengine.query("MATCH (p:P4) MERGE (p)-[:L {w: 1}]->(q:Q4 {k: 1})")
+    assert wengine.query("MATCH (:P4)-[l:L]->(:Q4) RETURN count(*) AS c") == [
+        {"c": 2}
+    ]

@@ -862,10 +862,85 @@ def _p_write_delete(spark, sf_dir):
     )
 
 
+def _collected_copy(spark, df):
+    """Materialize a result bound to scratch storage so the scratch dir can
+    be removed before the driver collects."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def _p_write_durable(spark, sf_dir):
+    """Durable bucketed store (durable_store.py) + correlated MERGE with an
+    unbound endpoint (compiler._merge_rel_one_unbound): write under a fresh
+    path, REOPEN with a brand-new engine+catalog (restart recovery — the
+    reference reopens its SQLite file, src/local.ts:22-45), and aggregate
+    the recovered state."""
+    import shutil
+    import tempfile
+
+    from nicefox_graphdb_spark import CypherEngine
+    from nicefox_graphdb_spark.catalog import GraphCatalog
+
+    path = tempfile.mkdtemp(prefix="nicefox_durable_gate_")
+    try:
+        e1 = CypherEngine(spark, GraphCatalog(spark), data_path=path)
+        e1.query("UNWIND range(1, 20) AS i CREATE (:Acct {id: i, bal: i * 10})")
+        e1.query("MATCH (a:Acct) WHERE a.id <= 5 SET a.vip = true")
+        # correlated MERGE: per-row match-else-create of wallet + edge
+        e1.query("MATCH (a:Acct) MERGE (a)-[:HAS]->(w:Wallet {acct: a.id})")
+        # idempotent on re-run (full-pattern match)
+        e1.query("MATCH (a:Acct) MERGE (a)-[:HAS]->(w:Wallet {acct: a.id})")
+        e1.query("MATCH (a:Acct) WHERE a.id > 18 DETACH DELETE a")
+        # restart: a fresh catalog over the same path must see everything
+        e2 = CypherEngine(spark, GraphCatalog(spark), data_path=path)
+        out = e2.dataframe(
+            "MATCH (a:Acct)-[:HAS]->(w:Wallet) "
+            "RETURN count(*) AS n, sum(a.bal) AS total_bal, "
+            "sum(CASE WHEN a.vip THEN 1 ELSE 0 END) AS vips, "
+            "sum(w.acct) AS acct_sum"
+        )
+        return _collected_copy(spark, out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _p_write_bench(spark, sf_dir):
+    """Headline write workload (bench.py): 1k-row UNWIND-CREATE batch, a
+    1k-row MERGE upsert storm (50% match / 50% create), a bucket-pruned
+    keyed SET, and a pruned DELETE — all against the durable store."""
+    import shutil
+    import tempfile
+
+    from nicefox_graphdb_spark import CypherEngine
+    from nicefox_graphdb_spark.catalog import GraphCatalog
+
+    path = tempfile.mkdtemp(prefix="nicefox_write_bench_")
+    try:
+        eng = CypherEngine(
+            spark, GraphCatalog(spark), data_path=path, n_buckets=32
+        )
+        eng.query("UNWIND range(0, 999) AS i CREATE (:Doc {k: i, v: i % 10})")
+        eng.query(
+            "UNWIND range(500, 1499) AS i MERGE (d:Doc {k: i}) "
+            "ON MATCH SET d.m = 1 ON CREATE SET d.c = 1"
+        )
+        eng.query("MATCH (d:Doc) WHERE d.k < 100 SET d.v = d.v + 100")
+        eng.query("MATCH (d:Doc) WHERE d.k >= 1400 DELETE d")
+        out = eng.dataframe(
+            "MATCH (d:Doc) RETURN count(*) AS n_nodes, sum(d.v) AS sum_v, "
+            "sum(coalesce(d.m, 0)) AS n_matched, "
+            "sum(coalesce(d.c, 0)) AS n_created"
+        )
+        return _collected_copy(spark, out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_write_create": _p_write_create,
     "q_write_merge_set": _p_write_merge_set,
     "q_write_delete": _p_write_delete,
+    "q_write_durable": _p_write_durable,
+    "q_write_bench": _p_write_bench,
     "q_degrees": _p_degrees,
     "q_connected_components": _p_connected_components,
     "q_pagerank": _p_pagerank,  # rows-only (iterative float fixpoint)
@@ -945,6 +1020,26 @@ _ORACLE.update(
         "q_write_delete": """
             SELECT CAST(5 AS BIGINT) AS nodes, CAST(18 AS BIGINT) AS id_sum,
                    CAST(3 AS BIGINT) AS edges, '1>2|4>5|5>6' AS pairs""",
+        "q_write_durable": """
+            WITH ks AS (SELECT range AS id FROM range(1, 19))
+            SELECT count(*) AS n,
+                   CAST(sum(id * 10) AS BIGINT) AS total_bal,
+                   CAST(sum(CASE WHEN id <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS vips,
+                   CAST(sum(id) AS BIGINT) AS acct_sum
+            FROM ks""",
+        "q_write_bench": """
+            WITH ks AS (SELECT range AS k FROM range(0, 1400))
+            SELECT count(*) AS n_nodes,
+                   CAST(sum(CASE WHEN k < 1000
+                            THEN (k % 10)
+                                 + CASE WHEN k < 100 THEN 100 ELSE 0 END
+                            ELSE 0 END) AS BIGINT) AS sum_v,
+                   CAST(sum(CASE WHEN k BETWEEN 500 AND 999 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_matched,
+                   CAST(sum(CASE WHEN k >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_created
+            FROM ks""",
         "q_text_stats": f"""
             SELECT source, count(*) AS docs,
                    CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens,

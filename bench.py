@@ -49,7 +49,14 @@ HEADLINE = [
     # similarity self-join and iterative graph analytics
     "q_ngram_jaccard",
     "q_connected_components",
+    # write path: UNWIND-CREATE batch + MERGE upsert storm + pruned
+    # SET/DELETE against the durable bucketed store (round-4 new)
+    "q_write_bench",
 ]
+
+# Mutation workloads re-run the whole write script per iteration (there is
+# no warm cache to measure); fewer iterations keep bench wall-clock sane.
+ITER_OVERRIDE = {"q_write_bench": 3}
 
 
 def main():
@@ -65,7 +72,7 @@ def main():
         fn = qs[name]
         fn(spark, SF_DIR).collect()  # warmup (also builds/caches the catalog)
         samples = []
-        for _ in range(ITERS):
+        for _ in range(ITER_OVERRIDE.get(name, ITERS)):
             t0 = time.time()
             fn(spark, SF_DIR).collect()
             samples.append(time.time() - t0)

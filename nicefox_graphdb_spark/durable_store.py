@@ -182,8 +182,12 @@ class DurableTableStore:
         directory; nothing is visible until the manifest commits."""
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         (
+            # REBALANCE (AQE) sizes write tasks by data volume: a 10-row
+            # MERGE writes from one task, a bulk append fans out — and a
+            # skewed bucket may split into several files (all fine, the
+            # manifest maps bucket → file LIST)
             df.withColumn("__bucket", self.bucket_col(F.col("_id")))
-            .repartition("__bucket")
+            .hint("rebalance", "__bucket")
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(staging)

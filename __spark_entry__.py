@@ -935,7 +935,32 @@ def _p_write_bench(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _p_image_decode(spark, sf_dir):
+    """Real (pure-python) image decode: deterministic PPM gradients through
+    the Arrow-batched decode kernel (operators/multimodal.py:_decode_image);
+    pixel(r,c,ch) = i*20 + r*5 + c*3 + ch (< 256, no wrap), so the channel
+    means are closed-form for the oracle."""
+    import numpy as np
+
+    from nicefox_graphdb_spark.operators import multimodal as mm
+
+    rows = []
+    for i in range(1, 4):
+        h, w = 6 + i, 4 + i
+        arr = np.fromfunction(
+            lambda r, c, ch: i * 20 + r * 5 + c * 3 + ch, (h, w, 3)
+        ).astype(np.uint8)
+        rows.append((i, "image", bytearray(mm.encode_ppm(arr)), None))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    return (
+        mm.extract_image_features(media)
+        .select("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("media_id")
+    )
+
+
 _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_image_decode": _p_image_decode,
     "q_write_create": _p_write_create,
     "q_write_merge_set": _p_write_merge_set,
     "q_write_delete": _p_write_delete,
@@ -1028,6 +1053,18 @@ _ORACLE.update(
                        AS vips,
                    CAST(sum(id) AS BIGINT) AS acct_sum
             FROM ks""",
+        "q_image_decode": """
+            WITH p AS (SELECT i, 6 + i AS h, 4 + i AS w
+                       FROM (VALUES (1), (2), (3)) t(i))
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   round(i * 20 + 5 * (h - 1) / 2.0 + 3 * (w - 1) / 2.0, 6)
+                       AS mean_r,
+                   round(i * 20 + 5 * (h - 1) / 2.0 + 3 * (w - 1) / 2.0 + 1, 6)
+                       AS mean_g,
+                   round(i * 20 + 5 * (h - 1) / 2.0 + 3 * (w - 1) / 2.0 + 2, 6)
+                       AS mean_b
+            FROM p ORDER BY media_id""",
         "q_write_bench": """
             WITH ks AS (SELECT range AS k FROM range(0, 1400))
             SELECT count(*) AS n_nodes,

@@ -90,6 +90,9 @@ class CypherToSpark:
         # sorted WITH — consumed by ordered collect() (reference
         # collectOrderBy, src/translator.ts:2884-2916)
         self._last_order: list[tuple[str, bool]] | None = None
+        # node vars used purely structurally (computed per query in
+        # _compile_single): their node-table joins may be elided
+        self._structural_only: set[str] = set()
 
     def gensym(self, prefix: str) -> str:
         return f"_{prefix}{next(self._sym)}"
@@ -109,10 +112,61 @@ class CypherToSpark:
                 out = out.dropDuplicates()
         return out
 
+    @staticmethod
+    def _structural_only_vars(q: ast.Query) -> set[str]:
+        """Node variables that appear EXACTLY ONCE, as a bare pattern
+        endpoint, and in no expression anywhere in the query. Joining their
+        node table is provably redundant when the edge tables already imply
+        the label (see _add_hop elision): edges never dangle (plain DELETE
+        refuses, DETACH removes incident edges), so endpoint existence is a
+        catalog invariant. At 100 TB this removes a whole table scan + join
+        per mid-chain hop node."""
+        import dataclasses
+
+        occurrences: dict[str, int] = {}
+        expr_refs: set[str] = set()
+        star = False
+
+        def walk(obj):
+            if isinstance(obj, ast.Var):
+                expr_refs.add(obj.name)
+                return
+            if isinstance(obj, ast.NodePattern):
+                if obj.var:
+                    occurrences[obj.var] = occurrences.get(obj.var, 0) + 1
+                walk(obj.props)
+                return
+            if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+                for f_ in dataclasses.fields(obj):
+                    walk(getattr(obj, f_.name))
+            elif isinstance(obj, (list, tuple)):
+                for x in obj:
+                    walk(x)
+            elif isinstance(obj, dict):
+                for x in obj.values():
+                    walk(x)
+
+        def walk_query(qq: ast.Query) -> None:
+            nonlocal star
+            for cl in qq.clauses:
+                if isinstance(cl, ast.Projection):
+                    for item in cl.items:
+                        if isinstance(item.expr, ast.Star):
+                            star = True  # RETURN/WITH * references everything
+                walk(cl)
+            for _, uq in qq.unions:
+                walk_query(uq)
+
+        walk_query(q)
+        if star:
+            return set()
+        return {v for v, n in occurrences.items() if n == 1 and v not in expr_refs}
+
     def _compile_single(self, q: ast.Query) -> DataFrame:
         state = CompileState(df=None, scope=Scope())
         final: DataFrame | None = None
         self._vl_max_rows = self._limit_bound_for_traversal(q)
+        self._structural_only = self._structural_only_vars(q)
         for i, clause in enumerate(q.clauses):
             if not isinstance(clause, (ast.With, ast.Return)):
                 self._last_order = None  # joins/explodes invalidate row order
@@ -428,6 +482,7 @@ class CypherToSpark:
             kind="edge",
             types=sorted({et.type for et, _ in chosen}),
             props=prop_schema,
+            far_labels=sorted(far_labels),
         )
         return df, info, fused_info
 
@@ -690,7 +745,18 @@ class CypherToSpark:
             )
 
         rvar = right_np.var or self.gensym("n")
-        fuse_var = rvar if right_existing is None else None
+        # node-join elision: a structurally-used endpoint with no props
+        # needs no node-table join — the edge scan's endpoint-label
+        # constraint already guarantees label AND existence (no dangling
+        # edges). Read-only engines only: label REMOVE on a mutable graph
+        # could break the label guarantee without touching the edge table.
+        elide = (
+            self.store is None
+            and right_existing is None
+            and right_np.props is None
+            and (right_np.var is None or right_np.var in self._structural_only)
+        )
+        fuse_var = rvar if right_existing is None and not elide else None
         edf, rinfo, fused_info = self._edge_scan(
             rel_var, rel.types, rel.direction, left_labels, right_labels,
             fuse_var=fuse_var,
@@ -740,6 +806,20 @@ class CypherToSpark:
                     scope=state.scope,
                 )
             return state, var, rinfo
+        if elide:
+            # bind only the id (renamed from the edge's far endpoint);
+            # props stay empty — by construction nothing ever reads them
+            df2 = state.require_df().withColumnRenamed("__to", vcol(rvar, "id"))
+            scope2 = state.scope.copy()
+            scope2.bind(
+                VarInfo(
+                    name=rvar,
+                    kind="node",
+                    labels=right_np.labels or (rinfo.far_labels or []),
+                    props={},
+                )
+            )
+            return CompileState(df=df2, scope=scope2), rvar, rinfo
         if fused_info is not None:
             # covered-destination fusion: the edge scan already bound the
             # right node's id+props — no second scan, no second join
@@ -1965,6 +2045,11 @@ class CypherToSpark:
                 return F.countDistinct(tc.col), T.LongType()
             return F.count(tc.col), T.LongType()
         tc = self._compile_expr(state, call.args[0])
+        if name in ("sum", "avg", "min", "max", "stdev", "stdevp",
+                    "percentilecont", "percentiledisc"):
+            from nicefox_graphdb_spark.cypher.expressions import _untag_numeric
+
+            tc = _untag_numeric(tc)  # tagged cells aggregate their numeric slot
         if name == "sum":
             # sum of no values is 0, not null (openCypher; reference
             # aggregation parity) — min/max/avg stay null. A VOID input

@@ -273,6 +273,26 @@ def _tag_value(tc: "TypedCol") -> Column:
     return F.when(tc.col.isNull(), null_struct).otherwise(tagged)
 
 
+def _untag_numeric(tc: "TypedCol") -> "TypedCol":
+    """Numeric view of a tagged-variant cell: the __cn slot (null for
+    non-numeric kinds). Plain values pass through unchanged."""
+    if _is_tagged(tc.dtype):
+        return TypedCol(tc.col.getField("__cn"), T.DoubleType())
+    return tc
+
+
+def _tagged_to_string(col: Column) -> Column:
+    """Canonical text of a tagged cell: numbers collapse int-valued doubles
+    (the reference's JS number rendering); other kinds use the stored text."""
+    n = col.getField("__cn")
+    return F.when(
+        col.getField("__ck") == "n",
+        F.when(n == F.floor(n), n.cast("long").cast("string")).otherwise(
+            n.cast("string")
+        ),
+    ).otherwise(col.getField("__ct"))
+
+
 def _any_cond(conds: list[Column]) -> Column:
     out = None
     for c in conds:
@@ -441,6 +461,22 @@ class ExprCompiler:
                 if tc.dtype is not None
             } - {"null", None}
             need_tag = len(cats) > 1
+            if not need_tag and cats == {"number"}:
+                # mixed int/float literal list ([3, 1.5]): a plain array
+                # would coerce every element to double and lose the integer
+                # flavor (3 → 3.0); tagged cells keep it (__cn is double but
+                # the client decode collapses int-valued cells — the
+                # reference's JS number behavior). Homogeneous numeric lists
+                # stay plain arrays: no struct-ification of the common case.
+                flavors = {
+                    isinstance(
+                        tc.dtype, (T.FloatType, T.DoubleType, T.DecimalType)
+                    )
+                    for tc in items
+                    if tc.dtype is not None
+                    and not isinstance(tc.dtype, T.NullType)
+                }
+                need_tag = len(flavors) > 1
             if not need_tag and cats and next(iter(cats)) in ("list", "map"):
                 # same category but incompatible Spark types (e.g. a tagged
                 # inner list next to array<int>, or maps with different key
@@ -849,9 +885,14 @@ class ExprCompiler:
     def _temporal_plus_dur(
         self, temporal: TypedCol, dur: TypedCol, sign: int
     ) -> TypedCol:
-        """temporal ± composite duration: apply the calendar (month) half
-        and the day/time half as native intervals; dates stay dates."""
-        ym, dt = _dur_intervals(
+        """temporal ± composite duration. openCypher: the month and day
+        components are CALENDAR arithmetic (wall-clock time preserved, so
+        +P1D across a DST gap keeps the local clock reading), while the
+        sub-day component is EXACT elapsed time (+PT24H across spring-
+        forward lands one local hour later). For zoned datetimes this means
+        months+days apply in local wall-clock time, then the exact micros
+        apply on the instant."""
+        dc = (
             dur.col
             if sign > 0
             else _dur_struct(
@@ -860,9 +901,24 @@ class ExprCompiler:
                 -dur.col.getField("__dus"),
             )
         )
+        ym = F.make_ym_interval(F.lit(0), dc.getField("__dmo").cast("int"))
+        days = F.make_dt_interval(dc.getField("__dd").cast("int"))
+        time = F.make_dt_interval(
+            F.lit(0),
+            F.lit(0),
+            F.lit(0),
+            (dc.getField("__dus") / F.lit(1_000_000)).cast("decimal(18,6)"),
+        )
         is_date = isinstance(temporal.dtype, T.DateType)
         base = temporal.col.cast("timestamp") if is_date else temporal.col
-        out = base + ym + dt
+        tz = temporal.tz
+        if tz and not is_date and isinstance(temporal.dtype, T.TimestampType):
+            # calendar half in local wall-clock (naive) time, exact half on
+            # the UTC instant — the DST-correct composition
+            local = F.from_utc_timestamp(base, tz) + ym + days
+            out = F.to_utc_timestamp(local, tz) + time
+        else:
+            out = base + ym + days + time
         if is_date:
             return TypedCol(out.cast("date"), T.DateType(), tz=temporal.tz)
         return TypedCol(out, temporal.dtype, tz=temporal.tz)
@@ -941,6 +997,20 @@ class ExprCompiler:
             pattern = F.concat(F.lit("^(?:"), right.col, F.lit(")$"))
             return TypedCol(F.regexp_like(left.col, pattern), T.BooleanType())
         left, right = self.compile(e.left), self.compile(e.right)
+        # tagged-variant operands (elements of heterogeneous / mixed-numeric
+        # lists): equality lifts the plain side into the variant encoding
+        # (struct value-equality then carries int/float unification); every
+        # other scalar operator consumes the numeric slot (__cn) — null for
+        # non-numeric kinds, which matches Cypher's cross-type null
+        if _is_tagged(left.dtype) or _is_tagged(right.dtype):
+            if op in ("=", "<>"):
+                if not _is_tagged(left.dtype):
+                    left = TypedCol(_tag_value(left), _TAGGED_T)
+                if not _is_tagged(right.dtype):
+                    right = TypedCol(_tag_value(right), _TAGGED_T)
+                eq = left.col == right.col
+                return TypedCol(eq if op == "=" else ~eq, T.BooleanType())
+            left, right = _untag_numeric(left), _untag_numeric(right)
         if op in ("=", "<>"):
             lcat, rcat = _order_category(left.dtype), _order_category(right.dtype)
             if (
@@ -1785,11 +1855,18 @@ def _fn_substring(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 def _fn_split(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     s = _c(comp, args, 0)
-    if isinstance(args[1], ast.Literal):
+    if isinstance(args[1], ast.Literal) and args[1].value is not None:
         pattern = F.lit(re.escape(str(args[1].value)))
+        out = F.split(s.col, pattern)
     else:
-        pattern = F.concat(F.lit("\\Q"), _c(comp, args, 1).col, F.lit("\\E"))
-    return TypedCol(F.split(s.col, pattern), T.ArrayType(T.StringType()))
+        sep = _c(comp, args, 1).col
+        pattern = F.concat(F.lit("\\Q"), sep, F.lit("\\E"))
+        # a null separator nulls the result (concat already yields null,
+        # but F.split treats a null pattern as no-split — guard explicitly)
+        out = F.when(sep.isNull(), F.lit(None)).otherwise(
+            F.split(s.col, pattern)
+        )
+    return TypedCol(out, T.ArrayType(T.StringType()))
 
 
 def _fn_tail(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
@@ -1882,6 +1959,8 @@ def _fn_to_string(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     tc = _c(comp, args, 0)
     if isinstance(tc.dtype, T.NullType):
         return TypedCol(F.lit(None), T.NullType())
+    if _is_tagged(tc.dtype):
+        return TypedCol(_tagged_to_string(tc.col), T.StringType())
     if _is_duration(tc.dtype):
         return TypedCol(_dur_iso_string(tc.col), T.StringType())
     if isinstance(tc.dtype, (T.TimestampType, T.TimestampNTZType)):

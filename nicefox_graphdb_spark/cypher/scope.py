@@ -57,6 +57,10 @@ class VarInfo:
     # elements only exist as ids inside the hop's accumulated arrays)
     path_node_vars: list[str] | None = None
     path_rel_vars: list[str] | None = None
+    # edge vars: the far-endpoint labels guaranteed by the chosen edge
+    # tables (catalog src/dst label metadata) — lets the compiler elide a
+    # label-implied node-table join for structurally-used endpoints
+    far_labels: list[str] | None = None
 
     def id_col(self) -> str:
         return vcol(self.name, "id" if self.kind == "node" else "eid")

@@ -6,11 +6,14 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so the Python boundary is paid per-batch, not
 per-row, and each partition streams through a bounded memory window.
 
-The image/audio codecs are NOT in this container, so the decode kernels are
-STUBBED (clearly marked below): `decode_media` raises NotImplementedError
-unless `fake=True`, which substitutes a deterministic byte-level feature
-extractor. The Spark-side plumbing — schema, batching, partitioning, UDF
-signatures — is real and tested.
+No external image/audio codec libraries ship in this container, so the
+decode kernel is a PURE-PYTHON implementation of two uncompressed formats
+(PPM P6/P3 and 24/32-bit BMP, `_decode_image` below) — an honest, tested
+end-to-end path for `fake=False`. Compressed formats (JPEG/PNG/audio/video)
+still raise a clear error; at deploy time those kernels become
+`PIL.Image.open` / ffmpeg calls inside the SAME mapInPandas batch loop —
+the Spark-side plumbing (schema, batching, partitioning, UDF signatures)
+does not change.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,28 +59,143 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
-def _decode_image(content: bytes) -> object:
-    """STUB: real image decode (PIL/opencv) is unavailable in this container.
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6) — fixture helper."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
-    At deploy time this becomes `PIL.Image.open(io.BytesIO(content))` inside
-    the same mapInPandas batch loop; everything around it is unchanged.
-    """
-    raise NotImplementedError("image codecs not available in this environment")
+
+def _ppm_header_tokens(content: bytes, n: int) -> tuple[list[int], int]:
+    """First n whitespace-separated integer tokens after the magic,
+    skipping `#` comments; returns (tokens, offset past last token)."""
+    toks: list[int] = []
+    i = 2  # past magic
+    while len(toks) < n:
+        c = content[i : i + 1]
+        if c == b"#":
+            i = content.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while not content[j : j + 1].isspace():
+                j += 1
+            toks.append(int(content[i:j]))
+            i = j
+    return toks, i + 1  # single whitespace after maxval
+
+
+def _decode_ppm(content: bytes) -> np.ndarray:
+    (w, h, maxval), off = _ppm_header_tokens(content, 3)
+    if content[:2] == b"P6":
+        px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=off)
+    else:  # P3: ascii triplets
+        px = np.array(content[off:].split()[: w * h * 3], dtype=np.int64)
+    if maxval != 255:
+        px = (px.astype(np.float64) * 255.0 / maxval).round()
+    return px.reshape(h, w, 3).astype(np.uint8)
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER), bottom-up or top-down."""
+    off = int.from_bytes(content[10:14], "little")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    comp = int.from_bytes(content[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (compression={comp}, bpp={bpp})")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
+    rows = []
+    top_down = h < 0
+    h = abs(h)
+    for r in range(h):
+        start = off + r * stride
+        row = np.frombuffer(content, dtype=np.uint8, count=w * nch, offset=start)
+        rows.append(row.reshape(w, nch)[:, :3][:, ::-1])  # BGR(A) → RGB
+    img = np.stack(rows)
+    return img if top_down else img[::-1]
+
+
+def _decode_image(content: bytes) -> np.ndarray:
+    """Pure-python decode → (H, W, 3) uint8. PPM (P6/P3) and uncompressed
+    BMP are implemented here; compressed codecs (JPEG/PNG/...) are not in
+    this container — swap in PIL/opencv at deploy, same call site."""
+    magic = bytes(content[:2])
+    if magic in (b"P6", b"P3"):
+        return _decode_ppm(bytes(content))
+    if magic == b"BM":
+        return _decode_bmp(bytes(content))
+    raise NotImplementedError(
+        "compressed image codecs not available in this environment "
+        "(PPM P3/P6 and uncompressed BMP are supported)"
+    )
+
+
+def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize (numpy fancy indexing) — the thumbnail
+    kernel for the feature pipeline."""
+    sh, sw = img.shape[:2]
+    ys = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xs = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return img[ys][:, xs]
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("thumb", T.BinaryType()),  # 8x8 nearest-neighbor PPM
+    ]
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Real decode path: per-image dimensions, channel means, and an 8×8
+    thumbnail, Arrow-batched (one Python crossing per batch, not per row)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in IMAGE_FEATURE_SCHEMA.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = _decode_image(bytes(content))
+                means = img.reshape(-1, 3).mean(axis=0)
+                out["media_id"].append(mid)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+                out["thumb"].append(encode_ppm(resize_nearest(img, 8, 8)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     fake=True → deterministic byte-level features (length, md5, mean byte),
-    so results are verifiable by a SQL oracle. fake=False → the real decode
-    stub (NotImplementedError here; swap per-modality kernels at deploy).
+    so results are verifiable by a SQL oracle. fake=False → real decode
+    (`_decode_image`): feat_mean becomes the mean decoded PIXEL value.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                pdf["content"].map(_decode_image)  # pragma: no cover
             content = pdf["content"]
+            if fake:
+                feat = content.map(
+                    lambda b: round(sum(bytes(b)) / len(b), 6) if len(b) else 0.0
+                )
+            else:
+                feat = content.map(
+                    lambda b: round(float(_decode_image(bytes(b)).mean()), 6)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -85,9 +204,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     "checksum": content.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
-                    "feat_mean": content.map(
-                        lambda b: round(sum(bytes(b)) / len(b), 6) if len(b) else 0.0
-                    ),
+                    "feat_mean": feat,
                 }
             )
 

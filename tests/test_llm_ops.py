@@ -227,3 +227,97 @@ def test_embedding_neardup_max_rows_guard(spark):
         .count()
         == 0
     )
+
+
+# --- round-4: real pure-python image decode (PPM/BMP) --------------------
+
+
+def _bmp24(pixels):
+    """Encode (H, W, 3) uint8 as an uncompressed bottom-up 24-bit BMP."""
+    import numpy as np
+    import struct
+
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in pixels[::-1]:  # bottom-up
+        bgr = row[:, ::-1].astype(np.uint8).tobytes()
+        body += bgr + b"\x00" * (stride - w * 3)
+    off = 14 + 40
+    header = (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def _test_img():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return rng.randint(0, 256, size=(13, 9, 3)).astype(np.uint8)
+
+
+def test_decode_ppm_p6_roundtrip():
+    import numpy as np
+
+    img = _test_img()
+    assert np.array_equal(mm._decode_image(mm.encode_ppm(img)), img)
+
+
+def test_decode_ppm_p3_and_comments():
+    import numpy as np
+
+    img = _test_img()
+    h, w = img.shape[:2]
+    ascii_body = " ".join(str(int(v)) for v in img.reshape(-1))
+    content = f"P3\n# a comment\n{w} {h}\n255\n{ascii_body}\n".encode()
+    assert np.array_equal(mm._decode_image(content), img)
+
+
+def test_decode_bmp24_roundtrip():
+    import numpy as np
+
+    img = _test_img()
+    assert np.array_equal(mm._decode_image(_bmp24(img)), img)
+
+
+def test_resize_nearest_shape_and_identity():
+    import numpy as np
+
+    img = _test_img()
+    t = mm.resize_nearest(img, 8, 8)
+    assert t.shape == (8, 8, 3)
+    assert np.array_equal(mm.resize_nearest(img, img.shape[1], img.shape[0]), img)
+
+
+def test_extract_image_features_spark(spark):
+    import numpy as np
+
+    imgs = {i: _test_img() + i for i in range(4)}  # wraps mod 256 — fine
+    rows = [
+        (i, "image", bytearray(mm.encode_ppm(v) if i % 2 else _bmp24(v)), None)
+        for i, v in enumerate(imgs.items())
+        for v in [imgs[i]]
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
+    assert len(feats) == 4
+    for i, img in imgs.items():
+        f = feats[i]
+        assert (f["width"], f["height"]) == (img.shape[1], img.shape[0])
+        means = img.reshape(-1, 3).mean(axis=0)
+        assert abs(f["mean_r"] - means[0]) < 1e-4
+        assert abs(f["mean_b"] - means[2]) < 1e-4
+        # thumbnail is itself a decodable 8x8 PPM
+        thumb = mm._decode_image(bytes(f["thumb"]))
+        assert thumb.shape == (8, 8, 3)
+
+
+def test_extract_features_real_decode_path(spark):
+    img = _test_img()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_ppm(img)), None)], mm.MEDIA_SCHEMA
+    )
+    row = mm.extract_features(media, fake=False).collect()[0]
+    assert abs(row["feat_mean"] - float(img.mean())) < 1e-4

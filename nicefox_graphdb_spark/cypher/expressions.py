@@ -786,7 +786,10 @@ class ExprCompiler:
             return TypedCol(F.lit(None), T.NullType())
         base = self.compile(e.base)
         idx = self.compile(e.index)
-        if isinstance(base.dtype, T.NullType):
+        if isinstance(base.dtype, T.NullType) or isinstance(
+            idx.dtype, T.NullType
+        ):
+            # container[null] is null for maps and lists alike
             return TypedCol(F.lit(None), T.NullType())
         if _is_string(idx.dtype):
             if isinstance(base.dtype, T.StructType) and isinstance(
@@ -1678,12 +1681,14 @@ def _fn_id(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 def _fn_labels(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     info = _entity_info(comp, args, "labels")
+    null_guard = F.col(info.id_col()).isNull()  # unmatched OPTIONAL entity
     if info.has_label_col:
-        return TypedCol(
-            F.array(F.col(vcol(info.name, "label"))), T.ArrayType(T.StringType())
-        )
+        arr = F.array(F.col(vcol(info.name, "label")))
+    else:
+        arr = F.array(*[F.lit(lbl) for lbl in info.labels])
     return TypedCol(
-        F.array(*[F.lit(lbl) for lbl in info.labels]), T.ArrayType(T.StringType())
+        F.when(null_guard, F.lit(None)).otherwise(arr),
+        T.ArrayType(T.StringType()),
     )
 
 
@@ -1714,7 +1719,12 @@ def _fn_properties(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     dtype = T.StructType(
         [T.StructField(k, info.props[k]) for k in sorted(info.props)]
     )
-    return TypedCol(F.struct(*fields), dtype)
+    return TypedCol(
+        F.when(F.col(info.id_col()).isNull(), F.lit(None)).otherwise(
+            F.struct(*fields)
+        ),
+        dtype,
+    )
 
 
 def _fn_keys(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
@@ -1759,8 +1769,13 @@ def _fn_keys(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
         F.when(F.col(pcol(info.name, k)).isNotNull(), F.lit(k))
         for k in sorted(info.props)
     ]
-    arr = F.array(*items) if items else F.array()
-    return TypedCol(F.array_compact(arr), T.ArrayType(T.StringType()))
+    arr = F.array_compact(F.array(*items)) if items else F.array()
+    return TypedCol(
+        F.when(F.col(info.id_col()).isNull(), F.lit(None)).otherwise(
+            arr.cast("array<string>")
+        ),
+        T.ArrayType(T.StringType()),
+    )
 
 
 def _fn_start_node(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:

@@ -62,6 +62,10 @@ def var_length_expand(
         F.array(F.col("__to")).alias(PATH_NODES),
         F.lit(1).alias(HOPS),
     )
+    if max_hops < 1:
+        # *0..0 — no expansion at all; the caller adds the zero-hop
+        # identity rows itself
+        return base.where(F.lit(False))
     if seed_ids is not None:
         # predicate pushdown into the traversal seed
         base = base.join(

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _CATALOGS: dict = {}
+_ENGINES: dict = {}
 
 
 def _engine(spark: SparkSession, sf_dir: str):
@@ -24,7 +25,13 @@ def _engine(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _CATALOGS:
         _CATALOGS[key] = load_tpch_graph(spark, sf_dir)
-    return CypherEngine(spark, _CATALOGS[key])
+    # One engine per (session, dataset) so the engine's LRU plan cache
+    # (engine.py CypherEngine._plan_cache) persists across invocations —
+    # repeated bench/driver iterations of the same query skip re-parse and
+    # re-compile, like the reference's prepared-statement cache.
+    if key not in _ENGINES:
+        _ENGINES[key] = CypherEngine(spark, _CATALOGS[key])
+    return _ENGINES[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -553,28 +560,35 @@ def _p_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-def _p_minhash_lsh(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from nicefox_graphdb_spark.operators import dedup as dd
-
-    docs = _tables(spark, sf_dir)["documents"]
-    return dd.minhash_lsh_pairs(
-        docs, "doc_id", dd.word_shingles(F.col("text"), 3), k=32, bands=8,
-        threshold=0.2,
-    ).orderBy("id_a", "id_b")
-
-
-def _p_simhash(spark, sf_dir):
+def _p_sig_dedup(spark, sf_dir):
+    """Signature-based near-dup candidates, both families in one gate:
+    MinHash+LSH (banded Jaccard) and SimHash (Hamming banding). Rows-only
+    by design (the hash functions aren't in DuckDB); each family has a
+    pytest recall/accuracy backstop in tests/test_llm_ops.py."""
     from pyspark.sql import functions as F
 
     from nicefox_graphdb_spark.operators import dedup as dd
     from nicefox_graphdb_spark.operators import text as tx
 
     docs = _tables(spark, sf_dir)["documents"]
-    return dd.simhash_pairs(
+    mh = dd.minhash_lsh_pairs(
+        docs, "doc_id", dd.word_shingles(F.col("text"), 3), k=32, bands=8,
+        threshold=0.2,
+    ).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard"), 6).cast("double").alias("score"),
+    )
+    sh = dd.simhash_pairs(
         docs, "doc_id", tx.tokens(F.col("text")), max_hamming=8
-    ).orderBy("id_a", "id_b")
+    ).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh).orderBy("method", "id_a", "id_b")
 
 
 def _p_embed_topk(spark, sf_dir):
@@ -616,52 +630,42 @@ def _p_embed_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-def _p_ann_neardup(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from nicefox_graphdb_spark.operators import similarity as sim
-
-    emb = _tables(spark, sf_dir)["embeddings"]
-    return sim.ann_neardup_pairs(
-        emb, "vec_id", "embedding", dim=64, n_planes=4, n_tables=12,
-        threshold=0.35,
-    ).orderBy("id_a", "id_b")
-
-
 _IVF_INDEXES: dict = {}
 
 
-def _p_ivf_topk(spark, sf_dir):
-    """IVF (coarse-quantizer) approximate top-k — the inverted-file scale
-    path beside the LSH variant; deterministic k-means, n_probe clusters.
-    The index (centroids + persisted assignments) is built once per corpus
-    and reused across query calls."""
+def _p_ann_search(spark, sf_dir):
+    """Approximate-nearest-neighbor scale paths, both families in one gate:
+    multi-table LSH near-dup pairs (seeded hyperplanes) and IVF coarse-
+    quantizer top-k (deterministic k-means, n_probe clusters; the index is
+    built once per corpus and reused). Rows-only by design; both have
+    pytest recall backstops in tests/test_llm_ops.py."""
     from pyspark.sql import functions as F
 
     from nicefox_graphdb_spark.operators import similarity as sim
 
     emb = _tables(spark, sf_dir)["embeddings"]
+    lsh = sim.ann_neardup_pairs(
+        emb, "vec_id", "embedding", dim=64, n_planes=4, n_tables=12,
+        threshold=0.35,
+    ).select(
+        F.lit("lsh_pair").alias("method"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("cosine").cast("double").alias("score"),
+    )
     key = (id(spark), sf_dir)
     if key not in _IVF_INDEXES:
         _IVF_INDEXES[key] = sim.build_ivf_index(
             emb, "vec_id", "embedding", dim=64, n_clusters=16
         )
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return _IVF_INDEXES[key].query(qv, k=10, n_probe=4, exclude_id=0)
-
-
-def _p_multimodal_features(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from nicefox_graphdb_spark.operators import multimodal as mm
-
-    docs = _tables(spark, sf_dir)["documents"].where(F.col("doc_id") < 200)
-    media = mm.attach_fake_media(docs)
-    return (
-        mm.extract_features(media, fake=True)
-        .select("media_id", "n_bytes", "checksum")
-        .orderBy("media_id")
+    ivf = _IVF_INDEXES[key].query(qv, k=10, n_probe=4, exclude_id=0).select(
+        F.lit("ivf_topk").alias("method"),
+        F.lit(0).cast("long").alias("id_a"),
+        F.col("id").cast("long").alias("id_b"),
+        F.col("cosine").cast("double").alias("score"),
     )
+    return lsh.unionByName(ivf).orderBy("method", "id_a", "id_b")
 
 
 def _p_stream_hourly(spark, sf_dir):
@@ -889,12 +893,19 @@ def _p_write_durable(spark, sf_dir):
         e1.query("MATCH (a:Acct) MERGE (a)-[:HAS]->(w:Wallet {acct: a.id})")
         # idempotent on re-run (full-pattern match)
         e1.query("MATCH (a:Acct) MERGE (a)-[:HAS]->(w:Wallet {acct: a.id})")
+        # correlated MERGE with BOTH endpoints unbound (round-5 new,
+        # compiler._merge_rel_both_unbound): one Seg/Zone pair per
+        # distinct a.id % 3, idempotent on re-run
+        e1.query("MATCH (a:Acct) MERGE (s:Seg {m: a.id % 3})-[:COVERS]->(z:Zone)")
+        e1.query("MATCH (a:Acct) MERGE (s:Seg {m: a.id % 3})-[:COVERS]->(z:Zone)")
         e1.query("MATCH (a:Acct) WHERE a.id > 18 DETACH DELETE a")
         # restart: a fresh catalog over the same path must see everything
         e2 = CypherEngine(spark, GraphCatalog(spark), data_path=path)
         out = e2.dataframe(
+            "MATCH (s:Seg)-[:COVERS]->(z:Zone) "
+            "WITH count(*) AS n_seg, sum(s.m) AS seg_sum "
             "MATCH (a:Acct)-[:HAS]->(w:Wallet) "
-            "RETURN count(*) AS n, sum(a.bal) AS total_bal, "
+            "RETURN n_seg, seg_sum, count(*) AS n, sum(a.bal) AS total_bal, "
             "sum(CASE WHEN a.vip THEN 1 ELSE 0 END) AS vips, "
             "sum(w.acct) AS acct_sum"
         )
@@ -936,11 +947,17 @@ def _p_write_bench(spark, sf_dir):
 
 
 def _p_image_decode(spark, sf_dir):
-    """Real (pure-python) image decode: deterministic PPM gradients through
-    the Arrow-batched decode kernel (operators/multimodal.py:_decode_image);
-    pixel(r,c,ch) = i*20 + r*5 + c*3 + ch (< 256, no wrap), so the channel
-    means are closed-form for the oracle."""
+    """Multimodal columns, both kernels in one oracle-paired gate:
+
+    (a) real (pure-python) image decode — deterministic PPM gradients
+        through the Arrow-batched decode kernel (operators/multimodal.py
+        _decode_image); pixel(r,c,ch) = i*20 + r*5 + c*3 + ch (< 256, no
+        wrap), so the channel means are closed-form for the oracle;
+    (b) opaque-binary feature extraction (attach_fake_media +
+        extract_features) over the documents table — byte length and md5
+        checksum line up with DuckDB's octet_length/md5."""
     import numpy as np
+    from pyspark.sql import functions as F
 
     from nicefox_graphdb_spark.operators import multimodal as mm
 
@@ -952,11 +969,30 @@ def _p_image_decode(spark, sf_dir):
         ).astype(np.uint8)
         rows.append((i, "image", bytearray(mm.encode_ppm(arr)), None))
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
-    return (
-        mm.extract_image_features(media)
-        .select("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
-        .orderBy("media_id")
+    img = mm.extract_image_features(media).select(
+        F.lit("ppm").alias("src"),
+        "media_id",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("checksum"),
     )
+    docs = _tables(spark, sf_dir)["documents"].where(F.col("doc_id") < 200)
+    fake = mm.extract_features(mm.attach_fake_media(docs), fake=True).select(
+        F.lit("text").alias("src"),
+        "media_id",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("mean_r"),
+        F.lit(None).cast("double").alias("mean_g"),
+        F.lit(None).cast("double").alias("mean_b"),
+        "n_bytes",
+        "checksum",
+    )
+    return img.unionByName(fake).orderBy("src", "media_id")
 
 
 _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -979,13 +1015,10 @@ _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": _p_fingerprint,
     "q_dedup_exact": _p_dedup_exact,
     "q_ngram_jaccard": _p_ngram_jaccard,
-    "q_minhash_lsh": _p_minhash_lsh,  # rows-only (hash fn not in DuckDB)
-    "q_simhash": _p_simhash,  # rows-only (hash fn not in DuckDB)
+    "q_sig_dedup": _p_sig_dedup,  # rows-only (hash fns not in DuckDB)
     "q_embed_topk": _p_embed_topk,
     "q_embed_neardup": _p_embed_neardup,
-    "q_ann_neardup": _p_ann_neardup,  # rows-only (seeded planes)
-    "q_ivf_topk": _p_ivf_topk,  # rows-only (k-means quantizer)
-    "q_multimodal_features": _p_multimodal_features,
+    "q_ann_search": _p_ann_search,  # rows-only (seeded planes / k-means)
 }
 
 # shared SQL fragments for the text oracles (mirror operators/text.py)
@@ -1047,7 +1080,9 @@ _ORACLE.update(
                    CAST(3 AS BIGINT) AS edges, '1>2|4>5|5>6' AS pairs""",
         "q_write_durable": """
             WITH ks AS (SELECT range AS id FROM range(1, 19))
-            SELECT count(*) AS n,
+            SELECT CAST(3 AS BIGINT) AS n_seg,
+                   CAST(3 AS BIGINT) AS seg_sum,
+                   count(*) AS n,
                    CAST(sum(id * 10) AS BIGINT) AS total_bal,
                    CAST(sum(CASE WHEN id <= 5 THEN 1 ELSE 0 END) AS BIGINT)
                        AS vips,
@@ -1056,15 +1091,25 @@ _ORACLE.update(
         "q_image_decode": """
             WITH p AS (SELECT i, 6 + i AS h, 4 + i AS w
                        FROM (VALUES (1), (2), (3)) t(i))
-            SELECT CAST(i AS BIGINT) AS media_id,
-                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-                   round(i * 20 + 5 * (h - 1) / 2.0 + 3 * (w - 1) / 2.0, 6)
-                       AS mean_r,
-                   round(i * 20 + 5 * (h - 1) / 2.0 + 3 * (w - 1) / 2.0 + 1, 6)
-                       AS mean_g,
-                   round(i * 20 + 5 * (h - 1) / 2.0 + 3 * (w - 1) / 2.0 + 2, 6)
-                       AS mean_b
-            FROM p ORDER BY media_id""",
+            SELECT * FROM (
+                SELECT 'ppm' AS src, CAST(i AS BIGINT) AS media_id,
+                       CAST(w AS INTEGER) AS width,
+                       CAST(h AS INTEGER) AS height,
+                       round(i * 20 + 5 * (h - 1) / 2.0 + 3 * (w - 1) / 2.0, 6)
+                           AS mean_r,
+                       round(i * 20 + 5 * (h - 1) / 2.0 + 3 * (w - 1) / 2.0
+                             + 1, 6) AS mean_g,
+                       round(i * 20 + 5 * (h - 1) / 2.0 + 3 * (w - 1) / 2.0
+                             + 2, 6) AS mean_b,
+                       CAST(NULL AS BIGINT) AS n_bytes,
+                       CAST(NULL AS VARCHAR) AS checksum
+                FROM p
+                UNION ALL
+                SELECT 'text', doc_id, NULL, NULL, NULL, NULL, NULL,
+                       CAST(octet_length(encode(text)) AS BIGINT),
+                       md5(text)
+                FROM documents WHERE doc_id < 200
+            ) ORDER BY src, media_id""",
         "q_write_bench": """
             WITH ks AS (SELECT range AS k FROM range(0, 1400))
             SELECT count(*) AS n_nodes,
@@ -1156,11 +1201,6 @@ _ORACLE.update(
                 FROM base a JOIN base b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
             ORDER BY id_a, id_b""",
-        "q_multimodal_features": """
-            SELECT doc_id AS media_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   md5(text) AS checksum
-            FROM documents WHERE doc_id < 200 ORDER BY media_id""",
         "q_degrees": """
             SELECT id, CAST(out_degree AS BIGINT) AS out_degree,
                    CAST(in_degree AS BIGINT) AS in_degree,
@@ -1244,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for each gate query (rows-only entries —
-    q_minhash_lsh, q_simhash, q_ann_neardup — intentionally omitted: their
-    hash functions/seeded planes aren't reproducible in DuckDB)."""
+    q_pagerank, q_sig_dedup, q_ann_search — intentionally omitted: their
+    hash functions / seeded planes / iterative float fixpoints aren't
+    reproducible in DuckDB; each has a pytest recall/accuracy backstop)."""
     return dict(_ORACLE)

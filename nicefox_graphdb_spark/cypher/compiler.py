@@ -131,6 +131,16 @@ class CypherToSpark:
             if isinstance(obj, ast.Var):
                 expr_refs.add(obj.name)
                 return
+            if isinstance(obj, ast.PatternPath) and (
+                obj.name is not None or obj.shortest is not None
+            ):
+                # nodes(p)/relationships(p) can reach every element's
+                # properties without an ast.Var mention, so endpoints of a
+                # named path are never structural-only.
+                for el in obj.elements:
+                    if getattr(el, "var", None):
+                        expr_refs.add(el.var)
+                # fall through to the generic walk to count occurrences
             if isinstance(obj, ast.NodePattern):
                 if obj.var:
                     occurrences[obj.var] = occurrences.get(obj.var, 0) + 1
@@ -2799,6 +2809,180 @@ class CypherToSpark:
             )
         return new_state
 
+    def _merge_rel_both_unbound(
+        self, state: CompileState, m: ast.Merge
+    ) -> CompileState:
+        """`MATCH (x) WITH x MERGE (a:A {k: x.k})-[:R]->(b:B)` — BOTH
+        endpoints unbound under a non-empty outer scope: per-row
+        full-pattern match-else-create (reference merge interpreters,
+        src/executor.ts:6835-7121).
+
+        Vectorized like _merge_rel_one_unbound: distinct computed key
+        tuples → anti-join against the existing full-pattern matches →
+        one created (src node, dst node, edge) triple per missing tuple;
+        rows sharing a tuple bind the same created elements, and a row
+        whose tuple matches several existing paths binds them all.
+        """
+        from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+        left_np, rel, right_np = m.path.elements
+        assert isinstance(rel, ast.RelPattern)
+        if rel.direction == "both" or len(rel.types) != 1:
+            raise CypherCompileError(
+                "MERGE relationship requires a single directed type"
+            )
+        type_ = rel.types[0]
+        src_np, dst_np = (
+            (left_np, right_np) if rel.direction == "out" else (right_np, left_np)
+        )
+        src_var = src_np.var or self.gensym("mn")
+        dst_var = dst_np.var or self.gensym("mn")
+        if src_var == dst_var:
+            raise CypherCompileError(
+                "correlated MERGE with the same unbound variable at both "
+                "endpoints is not supported"
+            )
+        rel_var = rel.var or self.gensym("mr")
+        src_label = self._single_label(src_np, src_var)
+        dst_label = self._single_label(dst_np, dst_var)
+        self.store.ensure_label(src_label)
+        self.store.ensure_label(dst_label)
+
+        df = state.require_df()
+        skey: dict[str, str] = {}
+        dkey: dict[str, str] = {}
+        rkey: dict[str, str] = {}
+        for prefix, props_ast, key in (
+            ("__sk_", src_np.props, skey),
+            ("__dk_", dst_np.props, dkey),
+            ("__rk_", rel.props, rkey),
+        ):
+            for k, tc in self._compiled_props(state, props_ast).items():
+                tmp = f"{prefix}{k}"
+                df = df.withColumn(tmp, tc.col)
+                key[k] = tmp
+        df = df.localCheckpoint(eager=True)
+        tmp_cols = [*skey.values(), *dkey.values(), *rkey.values()]
+        if tmp_cols:
+            anynull = F.col(tmp_cols[0]).isNull()
+            for t in tmp_cols[1:]:
+                anynull = anynull | F.col(t).isNull()
+            if not df.where(anynull).isEmpty():
+                raise CypherRuntimeError(
+                    "Cannot merge using null property value"
+                )
+
+        def _pattern(base):
+            """base rows joined to every existing full-pattern match whose
+            element properties equal the row's computed key values."""
+            edf, rinfo, _ = self._edge_scan(rel_var, [type_], "out", None, None)
+            if edf is None:
+                return None, None, None, None
+            sscan, sinfo = self._node_scan(src_var, [src_label])
+            dscan, dinfo = self._node_scan(dst_var, [dst_label])
+            pat = edf.join(
+                sscan, F.col(vcol(rel_var, "src")) == sscan[vcol(src_var, "id")]
+            ).join(
+                dscan, F.col(vcol(rel_var, "dst")) == dscan[vcol(dst_var, "id")]
+            )
+            cond = None
+            dead = False
+            for var, key, info in (
+                (src_var, skey, sinfo),
+                (dst_var, dkey, dinfo),
+                (rel_var, rkey, rinfo),
+            ):
+                for k, tmp in key.items():
+                    if k in info.props:
+                        c = F.col(pcol(var, k)) == base[tmp]
+                        cond = c if cond is None else cond & c
+                    else:
+                        dead = True  # prop column doesn't exist yet
+            if dead:
+                joined = base.join(pat, F.lit(False))
+            elif cond is None:
+                joined = base.crossJoin(pat)
+            else:
+                joined = base.join(pat, cond)
+            return joined, sinfo, dinfo, rinfo
+
+        group_cols = tmp_cols or []
+        all_tuples = (
+            df.select(*group_cols).distinct()
+            if group_cols
+            else df.limit(1).select(F.lit(1).alias("__mg"))
+        )
+        matched, _, _, _ = _pattern(df)
+        if matched is not None:
+            have = (
+                matched.select(*group_cols).distinct()
+                if group_cols
+                else matched.limit(1).select(F.lit(1).alias("__mg"))
+            )
+            missing = (
+                all_tuples.join(have, on=group_cols, how="left_anti")
+                if group_cols
+                else (all_tuples if have.isEmpty() else all_tuples.limit(0))
+            )
+            matched_eids = matched.select(
+                F.col(vcol(rel_var, "eid")).alias("_id")
+            ).distinct()
+        else:
+            missing = all_tuples
+            matched_eids = None
+        created = (
+            missing.withColumn("__new_sid", F.expr("uuid()"))
+            .withColumn("__new_did", F.expr("uuid()"))
+            .withColumn("__new_eid", F.expr("uuid()"))
+            .localCheckpoint(eager=True)  # freeze the generated uuids
+        )
+        self.store.append_nodes(
+            src_label,
+            created.select(
+                F.col("__new_sid").alias("_id"),
+                *[F.col(tmp).alias(k) for k, tmp in skey.items()],
+            ),
+        )
+        self.store.append_nodes(
+            dst_label,
+            created.select(
+                F.col("__new_did").alias("_id"),
+                *[F.col(tmp).alias(k) for k, tmp in dkey.items()],
+            ),
+        )
+        self.store.append_edges(
+            type_,
+            src_label,
+            dst_label,
+            created.select(
+                F.col("__new_eid").alias("_id"),
+                F.col("__new_sid").alias("_src"),
+                F.col("__new_did").alias("_dst"),
+                *[F.col(tmp).alias(k) for k, tmp in rkey.items()],
+            ),
+        )
+        # re-bind against the now-complete tables
+        joined, sinfo2, dinfo2, rinfo2 = _pattern(df)
+        assert joined is not None
+        joined = joined.drop("__from", "__to", *tmp_cols)
+        scope = state.scope.copy()
+        scope.bind(sinfo2)
+        scope.bind(dinfo2)
+        scope.bind(rinfo2)
+        new_state = CompileState(df=joined, scope=scope)
+        if m.on_create:
+            new_state = self._apply_merge_sets(
+                new_state,
+                rel_var,
+                created.select(F.col("__new_eid").alias("_id")),
+                m.on_create,
+            )
+        if m.on_match and matched_eids is not None:
+            new_state = self._apply_merge_sets(
+                new_state, rel_var, matched_eids, m.on_match
+            )
+        return new_state
+
     def _merge_relationship(self, state: CompileState, m: ast.Merge) -> CompileState:
         left_np, rel, right_np = m.path.elements
         assert isinstance(rel, ast.RelPattern)
@@ -2811,15 +2995,15 @@ class CypherToSpark:
             # MERGE of a whole unbound path: match the FULL pattern; if
             # nothing matches, create the full pattern (openCypher MERGE
             # atomicity — never a half-created path).
-            if len(unbound) == 2 and not state.scope.vars:
-                return self._merge_standalone_path(state, m)
-            if len(unbound) == 1:
-                # correlated per-row match-else-create (reference MERGE
-                # interpreters, src/executor.ts:6835-7121)
-                return self._merge_rel_one_unbound(state, m)
-            raise CypherCompileError(
-                "MERGE relationship endpoints must be bound variables"
-            )
+            if len(unbound) == 2:
+                if not state.scope.vars:
+                    return self._merge_standalone_path(state, m)
+                # correlated, both endpoints unbound: per-row
+                # match-else-create of the whole pattern
+                return self._merge_rel_both_unbound(state, m)
+            # correlated per-row match-else-create (reference MERGE
+            # interpreters, src/executor.ts:6835-7121)
+            return self._merge_rel_one_unbound(state, m)
         if rel.direction == "both" or len(rel.types) != 1:
             raise CypherCompileError(
                 "MERGE relationship requires a single directed type"

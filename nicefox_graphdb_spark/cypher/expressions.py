@@ -917,9 +917,17 @@ class ExprCompiler:
         tz = temporal.tz
         if tz and not is_date and isinstance(temporal.dtype, T.TimestampType):
             # calendar half in local wall-clock (naive) time, exact half on
-            # the UTC instant — the DST-correct composition
+            # the UTC instant — the DST-correct composition. Pure sub-day
+            # durations (no month/day component) skip the wall-clock round
+            # trip entirely: re-resolving the local time would remap base
+            # instants inside the ambiguous fall-back hour to the other
+            # offset, shifting `datetime + PT1H` by an extra hour.
             local = F.from_utc_timestamp(base, tz) + ym + days
-            out = F.to_utc_timestamp(local, tz) + time
+            composed = F.to_utc_timestamp(local, tz) + time
+            out = F.when(
+                (dc.getField("__dmo") == 0) & (dc.getField("__dd") == 0),
+                base + time,
+            ).otherwise(composed)
         else:
             out = base + ym + days + time
         if is_date:
@@ -1013,6 +1021,55 @@ class ExprCompiler:
                     right = TypedCol(_tag_value(right), _TAGGED_T)
                 eq = left.col == right.col
                 return TypedCol(eq if op == "=" else ~eq, T.BooleanType())
+            lt = left.col if _is_tagged(left.dtype) else _tag_value(left)
+            rt = right.col if _is_tagged(right.dtype) else _tag_value(right)
+            lk, rk = lt.getField("__ck"), rt.getField("__ck")
+            ln, rn = lt.getField("__cn"), rt.getField("__cn")
+            ls, rs = lt.getField("__ct"), rt.getField("__ct")
+            if op in ("<", "<=", ">", ">="):
+                # same-kind comparisons are defined within each orderable
+                # category (number via the numeric slot; string/boolean/
+                # temporal via canonical text, which is lexically ordered
+                # for each of those kinds); only CROSS-kind ordering is null
+                num = {"<": ln < rn, "<=": ln <= rn, ">": ln > rn, ">=": ln >= rn}
+                txt = {"<": ls < rs, "<=": ls <= rs, ">": ls > rs, ">=": ls >= rs}
+                out = (
+                    F.when(lt.isNull() | rt.isNull(), _null_bool())
+                    .when((lk == "n") & (rk == "n"), num[op])
+                    .when((lk == rk) & lk.isin("s", "b", "t"), txt[op])
+                    .otherwise(_null_bool())
+                )
+                return TypedCol(out, T.BooleanType())
+            null_tag = F.lit(None).cast(_TAGGED_T)
+            if op in ("+", "-", "*", "/", "%", "^"):
+                vals = {
+                    "+": ln + rn,
+                    "-": ln - rn,
+                    "*": ln * rn,
+                    "/": ln / rn,
+                    "%": ln % rn,
+                    "^": F.pow(ln, rn),
+                }
+                num_res = F.struct(
+                    F.lit("n").alias("__ck"),
+                    vals[op].alias("__cn"),
+                    F.lit(None).cast("string").alias("__ct"),
+                )
+                out = F.when((lk == "n") & (rk == "n"), num_res)
+                if op == "+":
+                    # string + anything / anything + string concatenates the
+                    # canonical texts (the reference's JS `+` overload)
+                    concat = F.struct(
+                        F.lit("s").alias("__ck"),
+                        F.lit(None).cast("double").alias("__cn"),
+                        F.concat(
+                            _tagged_to_string(lt), _tagged_to_string(rt)
+                        ).alias("__ct"),
+                    )
+                    out = out.when((lk == "s") | (rk == "s"), concat)
+                # result rides the tagged encoding, so int-valued numeric
+                # results decode back to integers at the client boundary
+                return TypedCol(out.otherwise(null_tag), _TAGGED_T)
             left, right = _untag_numeric(left), _untag_numeric(right)
         if op in ("=", "<>"):
             lcat, rcat = _order_category(left.dtype), _order_category(right.dtype)

@@ -35,13 +35,19 @@ small):
 ``DurableGraph`` subclasses ``MutableGraph`` so the Cypher compiler's write
 paths (compiler.py compile_create/merge/set/delete) run unchanged — only
 the storage engine under them swaps.
+
+Deployment: the data plane (parquet IO, bucket pruning) is Spark-native and
+cluster-ready; the commit plane (manifest IO, CURRENT swing, staged-file
+moves) is pluggable via ``commit_plane.CommitPlane`` — driver-local ``os.*``
+by default, ``HadoopCommitPlane`` for hdfs://-style roots, and the op-by-op
+object-store mapping (or the swap to Delta/Iceberg, whose log solves raw-S3
+rename) is documented in commit_plane.py.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from urllib.parse import quote
 
@@ -50,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nicefox_graphdb_spark.catalog import EdgeTable, GraphCatalog
+from nicefox_graphdb_spark.commit_plane import LocalCommitPlane
 from nicefox_graphdb_spark.graph_store import MutableGraph
 
 
@@ -77,12 +84,18 @@ class DurableTableStore:
     """
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16,
-                 compact_threshold: int = 8):
+                 compact_threshold: int = 8, fs=None):
+        """``fs`` is the commit plane (see commit_plane.py): every
+        small-file metadata operation — manifest IO, CURRENT swing, staged
+        parquet moves, vacuum deletes — routes through it. Default is the
+        driver-local filesystem; pass ``HadoopCommitPlane(spark, root)``
+        for hdfs://-style roots."""
         self.spark = spark
         self.root = root
+        self.fs = fs if fs is not None else LocalCommitPlane()
         self._mdir = os.path.join(root, "_manifest")
-        os.makedirs(self._mdir, exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self.fs.makedirs(self._mdir)
+        self.fs.makedirs(os.path.join(root, "data"))
         self.compact_threshold = compact_threshold
         self.manifest = self._load() or {
             "version": 0,
@@ -97,30 +110,30 @@ class DurableTableStore:
     # -- manifest ---------------------------------------------------------
     def _load(self) -> dict | None:
         cur = os.path.join(self._mdir, "CURRENT")
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as f:
-            name = f.read().strip()
-        with open(os.path.join(self._mdir, name)) as f:
-            return json.load(f)
+        if self.fs.exists(cur):
+            name = self.fs.read_text(cur).strip()
+        else:
+            # CURRENT missing but versions exist: a crash between the
+            # manifest publish and the CURRENT swing. Every v*.json was
+            # itself published atomically, so adopting the newest one is
+            # equivalent to the interrupted commit having succeeded.
+            versions = [
+                n for n in self.fs.listdir(self._mdir)
+                if n.startswith("v") and n.endswith(".json")
+            ]
+            if not versions:
+                return None
+            name = max(versions)
+        return json.loads(self.fs.read_text(os.path.join(self._mdir, name)))
 
     def commit(self) -> None:
         """Write the next manifest version, then atomically swing CURRENT."""
         self.manifest["version"] += 1
         name = f"v{self.manifest['version']:012d}.json"
-        path = os.path.join(self._mdir, name)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-        cur_tmp = os.path.join(self._mdir, "CURRENT.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(cur_tmp, os.path.join(self._mdir, "CURRENT"))
+        self.fs.write_text_atomic(
+            os.path.join(self._mdir, name), json.dumps(self.manifest)
+        )
+        self.fs.write_text_atomic(os.path.join(self._mdir, "CURRENT"), name)
 
     # -- schema / bucket helpers -----------------------------------------
     def bucket_col(self, id_col: F.Column) -> F.Column:
@@ -193,19 +206,21 @@ class DurableTableStore:
             .parquet(staging)
         )
         ddir = os.path.join(self.root, "data", key)
-        os.makedirs(ddir, exist_ok=True)
+        self.fs.makedirs(ddir)
         out: dict[int, list[str]] = {}
-        for d in sorted(os.listdir(staging)):
+        for d in self.fs.listdir(staging):
             if not d.startswith("__bucket="):
                 continue
             b = int(d.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(staging, d))):
+            for fn in self.fs.listdir(os.path.join(staging, d)):
                 if not fn.endswith(".parquet"):
                     continue
                 name = f"b{b:05d}-{uuid.uuid4().hex}.parquet"
-                os.replace(os.path.join(staging, d, fn), os.path.join(ddir, name))
+                self.fs.move(
+                    os.path.join(staging, d, fn), os.path.join(ddir, name)
+                )
                 out.setdefault(b, []).append(name)
-        shutil.rmtree(staging, ignore_errors=True)
+        self.fs.rmtree(staging)
         return out
 
     def append(self, key: str, df: DataFrame) -> None:
@@ -225,6 +240,16 @@ class DurableTableStore:
         (the rewrite half of a pruned MERGE/DELETE). Untouched buckets keep
         their files. Old files are left for vacuum (time-travel-ish)."""
         new = self._write_files(key, df)
+        stray = set(new) - set(touched)
+        if stray:
+            # rows hashed outside the touched set would corrupt pruning —
+            # callers must only pass rows belonging to the touched buckets.
+            # Validate BEFORE mutating the bucket map: a caller that catches
+            # this error must still see a consistent in-memory manifest
+            # (the stray files on disk are unreferenced, vacuum-able).
+            raise ValueError(
+                f"replace_buckets: rows outside touched buckets {sorted(stray)}"
+            )
         buckets = self.manifest["tables"][key]["buckets"]
         for b in touched:
             files = new.pop(b, [])
@@ -232,24 +257,18 @@ class DurableTableStore:
                 buckets[str(b)] = files
             else:
                 buckets.pop(str(b), None)
-        if new:
-            # rows hashed outside the touched set would corrupt pruning —
-            # callers must only pass rows belonging to the touched buckets
-            raise ValueError(
-                f"replace_buckets: rows outside touched buckets {sorted(new)}"
-            )
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the current manifest."""
         removed = 0
         for key, t in self.manifest["tables"].items():
             ddir = os.path.join(self.root, "data", key)
-            if not os.path.isdir(ddir):
+            if not self.fs.isdir(ddir):
                 continue
-            live = {f for fs in t["buckets"].values() for f in fs}
-            for fn in os.listdir(ddir):
+            live = {f for fs_ in t["buckets"].values() for f in fs_}
+            for fn in self.fs.listdir(ddir):
                 if fn.endswith(".parquet") and fn not in live:
-                    os.remove(os.path.join(ddir, fn))
+                    self.fs.remove(os.path.join(ddir, fn))
                     removed += 1
         return removed
 

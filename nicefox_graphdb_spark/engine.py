@@ -38,7 +38,9 @@ def _freeze(v):
     if isinstance(v, (list, tuple)):
         return ("__list__", *(_freeze(x) for x in v))
     hash(v)
-    return v
+    # Tag scalar leaves with their type: 1 == True == 1.0 in Python, so a
+    # bare value would let {"x": 1} poison the cache entry for {"x": true}.
+    return (type(v).__name__, v)
 
 
 def _iso_duration(months: int, days: int, us: int) -> str:

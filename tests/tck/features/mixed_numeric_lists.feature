@@ -25,7 +25,7 @@ Feature: Mixed int/float lists preserve numeric flavor (tagged cells)
       | 3   |
       | 1.5 |
 
-  Scenario: arithmetic on mixed-list elements promotes to float
+  Scenario: arithmetic on mixed-list elements keeps each element's flavor
     Given an empty graph
     When executing query:
       """
@@ -34,7 +34,7 @@ Feature: Mixed int/float lists preserve numeric flavor (tagged cells)
     Then the result should be, in order:
       | v   |
       | 2.5 |
-      | 4.0 |
+      | 4   |
 
   Scenario: aggregation over mixed numeric elements
     Given an empty graph

@@ -152,3 +152,66 @@ def test_entity_comprehension_where_keeps_empty_rows(g):
         "RETURN [n IN nodes(p) WHERE n.v = 1 | n.name] AS hits"
     )
     assert rows2 == [{"hits": ["a", "b"]}]
+
+
+# ---------------------------------------------------------------------------
+# round-5 regressions (ADVICE.md r4)
+# ---------------------------------------------------------------------------
+
+
+def test_named_path_endpoint_props_survive_elision(g):
+    # endpoints reachable only through nodes(p) must not be join-elided:
+    # the comprehension reads their property columns (ADVICE r4 #1)
+    g.query("CREATE (:PA {name: 'Alice'})-[:PR]->(:PB {name: 'Bob'})")
+    rows = g.query(
+        "MATCH p = (a:PA)-[r:PR]->(b) RETURN [n IN nodes(p) | n.name] AS names"
+    )
+    assert rows == [{"names": ["Alice", "Bob"]}]
+    rows2 = g.query(
+        "MATCH p = (a:PA)-[r:PR]->(b) "
+        "RETURN all(n IN nodes(p) WHERE n.name IS NOT NULL) AS ok"
+    )
+    assert rows2 == [{"ok": True}]
+
+
+def test_plan_cache_distinguishes_param_types(g):
+    # 1 == True == 1.0 in Python; the frozen cache key must not collide
+    assert g.query("RETURN $x AS x", {"x": 1}) == [{"x": 1}]
+    assert g.query("RETURN $x AS x", {"x": True}) == [{"x": True}]
+    assert g.query("RETURN $x AS x", {"x": 1.0}) == [{"x": 1.0}]
+    assert g.query("RETURN $x AS x", {"x": False}) == [{"x": False}]
+
+
+def test_tagged_cell_same_kind_ordering(g):
+    # string < string is defined inside a heterogeneous list; only
+    # CROSS-kind ordering is null (ADVICE r4 #3)
+    rows = g.query("RETURN [x IN [1, 'a', 'b'] WHERE x < 'b'] AS r")
+    assert rows == [{"r": ["a"]}]
+    rows2 = g.query("RETURN [x IN [1, 2.5, 'a'] WHERE x < 2] AS r")
+    assert rows2 == [{"r": [1]}]
+    rows3 = g.query("RETURN [x IN [false, true, 'a'] WHERE x < true] AS r")
+    assert rows3 == [{"r": [False]}]
+
+
+def test_tagged_cell_arithmetic_keeps_integer_flavor(g):
+    rows = g.query("RETURN [x IN [1, 'a'] | x + 1] AS r")
+    assert rows == [{"r": [2, "a1"]}]
+    rows2 = g.query("RETURN [x IN [3, 2.5] | x * 2] AS r")
+    assert rows2 == [{"r": [6, 5.0]}]
+
+
+def test_zoned_subday_arithmetic_in_fallback_hour(g):
+    # the later (EST) 01:30 plus PT1H must advance the instant by exactly
+    # 3600 s — the wall-clock round trip would remap it to the earlier
+    # (EDT) 01:30 and return the same instant (ADVICE r4 #4)
+    rows = g.query(
+        "WITH datetime('2021-11-07T01:30:00-05:00[America/New_York]') AS dt "
+        "RETURN (dt + duration('PT1H')).epochSeconds - dt.epochSeconds AS diff"
+    )
+    assert rows == [{"diff": 3600}]
+    # calendar components still compose in wall-clock time
+    rows2 = g.query(
+        "WITH datetime('2021-11-06T12:00:00[America/New_York]') AS dt "
+        "RETURN toString(dt + duration('P1D')) AS s"
+    )
+    assert rows2 == [{"s": "2021-11-07T12:00:00-05:00[America/New_York]"}]

@@ -12,6 +12,8 @@ import os
 import pytest
 
 from nicefox_graphdb_spark import CypherEngine, GraphCatalog
+from pyspark.sql import functions as F
+
 from nicefox_graphdb_spark.durable_store import DurableTableStore, node_key
 
 
@@ -191,3 +193,98 @@ def test_null_property_persists(spark, tmp_path):
     assert e2.query("MATCH (n:Z) RETURN n.a AS a, n.b AS b") == [
         {"a": 1, "b": None}
     ]
+
+
+def test_replace_buckets_validates_before_mutating(spark, tmp_path):
+    """Rows outside the touched set must raise BEFORE the in-memory bucket
+    map changes — a caller that catches the error and later commits must
+    not persist a half-updated manifest (ADVICE r4 #5)."""
+    import copy
+
+    from pyspark.sql import types as T
+
+    store = DurableTableStore(spark, str(tmp_path / "rb"), n_buckets=4)
+    schema = T.StructType([T.StructField("_id", T.StringType())])
+    store.create_table("nodes/Y", {"kind": "node", "label": "Y"}, schema)
+    ids = [f"id{i}" for i in range(20)]
+    store.append("nodes/Y", spark.createDataFrame([(i,) for i in ids], schema))
+    store.commit()
+    before = copy.deepcopy(store.manifest["tables"]["nodes/Y"]["buckets"])
+    # pick one real bucket, then feed replace_buckets the FULL table so
+    # some rows hash outside the touched set
+    touched = [int(next(iter(before)))]
+    full = store.read_table("nodes/Y")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside touched"):
+        store.replace_buckets("nodes/Y", touched, full)
+    assert store.manifest["tables"]["nodes/Y"]["buckets"] == before
+    store.commit()  # committing after the failed call stays consistent
+    reopened = DurableTableStore(spark, str(tmp_path / "rb"), n_buckets=4)
+    assert sorted(
+        r._id for r in reopened.read_table("nodes/Y").collect()
+    ) == sorted(ids)
+
+
+def test_hadoop_commit_plane_roundtrip(spark, tmp_path):
+    """The same store logic through the Hadoop FileSystem commit plane
+    (file:// scheme here; hdfs:// at deploy) — write, commit, reopen,
+    recover, vacuum."""
+    from pyspark.sql import types as T
+
+    from nicefox_graphdb_spark.commit_plane import HadoopCommitPlane
+
+    root = "file://" + str(tmp_path / "hfs")
+    fs = HadoopCommitPlane(spark, root)
+    store = DurableTableStore(spark, root, n_buckets=4, fs=fs)
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    store.create_table("nodes/H", {"kind": "node", "label": "H"}, schema)
+    store.append(
+        "nodes/H",
+        spark.createDataFrame([(f"h{i}", i) for i in range(10)], schema),
+    )
+    store.commit()
+    # rewrite a touched subset, commit again
+    touched = store.touched_buckets(
+        spark.createDataFrame([("h1",), ("h2",)], "struct<_id:string>")
+    )
+    updated = store.read_table("nodes/H", touched).withColumn(
+        "v", F.col("v") + 100
+    )
+    store.replace_buckets("nodes/H", touched, updated)
+    store.commit()
+    # reopen through a fresh plane: recovery must see both commits
+    reopened = DurableTableStore(
+        spark, root, fs=HadoopCommitPlane(spark, root)
+    )
+    rows = {r._id: r.v for r in reopened.read_table("nodes/H").collect()}
+    assert rows["h1"] == 101 and rows["h2"] == 102
+    assert len(rows) == 10
+    assert reopened.vacuum() >= 0  # old files drop cleanly via the plane
+
+
+def test_load_falls_back_to_newest_version_when_current_missing(
+    spark, tmp_path
+):
+    """Crash between manifest publish and CURRENT swing: reopen adopts the
+    newest atomic manifest version."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "crash")
+    store = DurableTableStore(spark, root, n_buckets=2)
+    schema = T.StructType([T.StructField("_id", T.StringType())])
+    store.create_table("nodes/C", {"kind": "node", "label": "C"}, schema)
+    store.append(
+        "nodes/C", spark.createDataFrame([("c1",), ("c2",)], schema)
+    )
+    store.commit()
+    _os.remove(_os.path.join(root, "_manifest", "CURRENT"))
+    reopened = DurableTableStore(spark, root)
+    assert reopened.read_table("nodes/C").count() == 2

@@ -1082,6 +1082,8 @@ class CypherToSpark:
         """Replace pattern predicates / EXISTS / pattern comprehensions with
         marker columns computed via semi-join-style subplans."""
 
+        lam_stack: list[str] = []  # comprehension/quantifier vars in scope
+
         def walk(st: CompileState, e: ast.Expr) -> tuple[CompileState, ast.Expr]:
             if (
                 isinstance(e, ast.FuncCall)
@@ -1150,6 +1152,19 @@ class CypherToSpark:
             if isinstance(e, (ast.PatternExpr, ast.ExistsExpr)):
                 path = e.path if isinstance(e, ast.PatternExpr) else e.pattern
                 where = e.where if isinstance(e, ast.ExistsExpr) else None
+                lam_refs = [
+                    v
+                    for v in lam_stack
+                    if any(
+                        getattr(el, "var", None) == v for el in path.elements
+                    )
+                ]
+                if lam_refs:
+                    # pattern predicate over a comprehension/quantifier
+                    # variable: membership rewrite (x IN <matching ids>)
+                    return self._lambda_pattern_marker(
+                        st, lam_refs[-1], path, where
+                    )
                 return self._exists_marker(st, path, where)
             if isinstance(e, ast.PatternComp):
                 return self._pattern_comp_column(st, e)
@@ -1158,21 +1173,29 @@ class CypherToSpark:
                 if r is not None:
                     return r
                 st, ns = walk(st, e.source)
-                nw = e.where
-                if nw is not None:
-                    st, nw = walk(st, nw)
-                np_ = e.projection
-                if np_ is not None:
-                    st, np_ = walk(st, np_)
+                lam_stack.append(e.var)
+                try:
+                    nw = e.where
+                    if nw is not None:
+                        st, nw = walk(st, nw)
+                    np_ = e.projection
+                    if np_ is not None:
+                        st, np_ = walk(st, np_)
+                finally:
+                    lam_stack.pop()
                 return st, ast.ListComp(e.var, ns, nw, np_)
             if isinstance(e, ast.Quantifier):
                 r = self._entity_quant_rewrite(st, e)
                 if r is not None:
                     return r
                 st, ns = walk(st, e.source)
-                nw = e.where
-                if nw is not None:
-                    st, nw = walk(st, nw)
+                lam_stack.append(e.var)
+                try:
+                    nw = e.where
+                    if nw is not None:
+                        st, nw = walk(st, nw)
+                finally:
+                    lam_stack.pop()
                 return st, ast.Quantifier(e.kind, e.var, ns, nw)
             if isinstance(e, ast.Reduce):
                 st, ni = walk(st, e.init)
@@ -1272,6 +1295,64 @@ class CypherToSpark:
             if v and v in state.scope:
                 anchors.append(v)
         return anchors
+
+    def _lambda_pattern_marker(
+        self,
+        state: CompileState,
+        lamvar: str,
+        path: ast.PatternPath,
+        where: ast.Expr | None,
+    ) -> tuple[CompileState, ast.Expr]:
+        """Pattern predicate over a list-comprehension / quantifier variable
+        — `[x IN xs WHERE (x)-[:R]->(:B)]` with x ranging over collected
+        node ids. The lambda element can't seed a join, but the predicate
+        only depends on x's identity: precompute the (one-shot, uncorrelated)
+        set of node ids satisfying the pattern with that endpoint free and
+        rewrite the predicate to an id-membership test."""
+        import dataclasses
+
+        new_elems: list = []
+        fresh = self.gensym("lx")
+        for el in path.elements:
+            if isinstance(el, ast.NodePattern) and el.var == lamvar:
+                new_elems.append(dataclasses.replace(el, var=fresh))
+            elif getattr(el, "var", None) == lamvar:
+                raise CypherCompileError(
+                    "pattern predicate over a comprehension relationship "
+                    "variable is not supported"
+                )
+            else:
+                new_elems.append(el)
+        npath = dataclasses.replace(path, elements=new_elems)
+        if self._pattern_anchors(state, npath):
+            raise CypherCompileError(
+                "pattern predicate mixing a comprehension variable with "
+                "outer pattern variables is not supported"
+            )
+        sub = self.compile_match(
+            CompileState(df=None, scope=Scope()),
+            ast.Match(paths=[npath], optional=False, where=where),
+        )
+        finfo = sub.scope.get(fresh)
+        assert finfo is not None
+        marker = self.gensym("lm")
+        ids = (
+            sub.require_df()
+            .select(F.col(finfo.id_col()).alias("__lmid"))
+            .distinct()
+            .agg(F.collect_list("__lmid").alias(vcol(marker, "val")))
+        )
+        out = state.require_df().crossJoin(F.broadcast(ids))
+        scope = state.scope.copy()
+        scope.bind(
+            VarInfo(
+                name=marker,
+                kind="value",
+                dtype=T.ArrayType(T.StringType()),
+            )
+        )
+        new_expr = ast.Binary("IN", ast.Var(lamvar), ast.Var(marker))
+        return CompileState(df=out, scope=scope), new_expr
 
     def _exists_marker(
         self, state: CompileState, path: ast.PatternPath, where: ast.Expr | None
@@ -1570,6 +1651,33 @@ class CypherToSpark:
             state = CompileState(
                 df=self.spark.range(0, 1, 1, 1).select(), scope=state.scope
             )
+        src = u.source
+        if (
+            isinstance(src, ast.FuncCall)
+            and src.name in ("nodes", "relationships")
+            and len(src.args) == 1
+            and isinstance(src.args[0], ast.Var)
+        ):
+            pinfo = state.scope.get(src.args[0].name)
+            if pinfo is not None and pinfo.kind == "path":
+                elem_vars = (
+                    pinfo.path_node_vars
+                    if src.name == "nodes"
+                    else pinfo.path_rel_vars
+                )
+                if elem_vars:
+                    # static path: bind the alias as a real entity variable
+                    # per element (union expansion), so property access /
+                    # labels()/type() on the unwound rows stay typed columns
+                    return self._unwind_path_elems(
+                        state, u.alias, elem_vars, node=(src.name == "nodes")
+                    )
+                # var-length path: interior elements exist only as ids in
+                # the accumulated arrays — explode, then re-bind entities
+                # by joining the union scan on id (one hash join)
+                return self._unwind_path_ids(
+                    state, u.alias, pinfo, node=(src.name == "nodes")
+                )
         state, src_ast = self._rewrite_pattern_predicates(state, u.source)
         tc = self._compile_expr(state, src_ast)
         df = state.require_df()
@@ -1589,6 +1697,103 @@ class CypherToSpark:
         elem = tc.dtype.elementType if isinstance(tc.dtype, T.ArrayType) else None
         scope = state.scope.copy()
         scope.bind(VarInfo(name=u.alias, kind="value", dtype=elem))
+        return CompileState(df=out, scope=scope)
+
+    def _unwind_path_elems(
+        self,
+        state: CompileState,
+        alias: str,
+        elem_vars: list[str],
+        node: bool,
+    ) -> CompileState:
+        """UNWIND nodes(p)/relationships(p) over a STATIC path: one union
+        branch per path element, the alias bound to that element's columns
+        — the distributed equivalent of iterating the path object
+        (reference path values are JSON arrays of full entities,
+        src/translator.ts:4650-4720)."""
+        df = state.require_df()
+        infos = [state.scope.get(v) for v in elem_vars]
+        assert all(i is not None for i in infos)
+        props: dict[str, T.DataType] = {}
+        for info in infos:
+            for k, t in info.props.items():
+                props.setdefault(k, t)
+        parts = []
+        for info in infos:
+            part = df
+            if node:
+                part = part.withColumn(
+                    vcol(alias, "id"), F.col(vcol(info.name, "id"))
+                )
+                lbl = (
+                    F.col(vcol(info.name, "label"))
+                    if info.has_label_col
+                    else F.lit(info.labels[0] if len(info.labels) == 1 else None)
+                )
+                part = part.withColumn(
+                    vcol(alias, "label"), lbl.cast("string")
+                )
+            else:
+                for f_ in ("eid", "src", "dst", "type"):
+                    part = part.withColumn(
+                        vcol(alias, f_), F.col(vcol(info.name, f_))
+                    )
+            for k, t in props.items():
+                src_col = (
+                    F.col(pcol(info.name, k))
+                    if k in info.props
+                    else F.lit(None)
+                )
+                part = part.withColumn(pcol(alias, k), src_col.cast(t))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        scope = state.scope.copy()
+        if node:
+            labels = sorted({l for i in infos for l in (i.labels or [])})
+            scope.bind(
+                VarInfo(
+                    name=alias,
+                    kind="node",
+                    labels=labels,
+                    props=props,
+                    has_label_col=True,
+                )
+            )
+        else:
+            types = sorted({t for i in infos for t in (i.types or [])})
+            scope.bind(
+                VarInfo(name=alias, kind="edge", types=types, props=props)
+            )
+        return CompileState(df=out, scope=scope)
+
+    def _unwind_path_ids(
+        self, state: CompileState, alias: str, pinfo, node: bool
+    ) -> CompileState:
+        """UNWIND nodes(p)/relationships(p) over a VAR-LENGTH path: explode
+        the accumulated id array, then re-bind full entities by joining the
+        union scan on id."""
+        df = state.require_df()
+        arr = vcol(pinfo.name, "nodes" if node else "rels")
+        exploded = df.select(
+            *df.columns, F.explode(F.col(arr)).alias("__uw_id")
+        )
+        if node:
+            ndf, info = self._node_scan(alias, [])
+            out = exploded.join(
+                ndf, exploded["__uw_id"] == ndf[vcol(alias, "id")]
+            ).drop("__uw_id")
+        else:
+            edf, info, _ = self._edge_scan(alias, None, "out", None, None)
+            if edf is None:
+                out = exploded.where(F.lit(False)).drop("__uw_id")
+            else:
+                out = exploded.join(
+                    edf, exploded["__uw_id"] == edf[vcol(alias, "eid")]
+                ).drop("__uw_id", "__from", "__to")
+        scope = state.scope.copy()
+        scope.bind(info)
         return CompileState(df=out, scope=scope)
 
     # -- CALL ------------------------------------------------------------------
@@ -2538,7 +2743,18 @@ class CypherToSpark:
         created = missing_keys.withColumn("_id", F.expr("uuid()")).localCheckpoint(
             eager=True
         )
-        self.store.append_nodes(label, created)
+        created_empty = created.isEmpty()  # cheap: checkpointed
+        key_types = {k: tc.dtype for k, tc in props.items()}
+        folded = (
+            self._fold_on_create(var, label, created, key_types, on_create)
+            if on_create and not created_empty
+            else None
+        )
+        if not created_empty:
+            # ON CREATE SET folded into the insert rows = ONE write instead
+            # of append + per-row rewrite (the dominant job count of a MERGE
+            # upsert storm); empty create sets skip the write entirely
+            self.store.append_nodes(label, folded if folded is not None else created)
         matched_or_created = self.store.catalog.node(label).df
         # ON CREATE / ON MATCH SET on the two disjoint id sets
         created_ids = created.select("_id")
@@ -2571,9 +2787,73 @@ class CypherToSpark:
         scope = state.scope.copy()
         scope.bind(VarInfo(name=var, kind="node", labels=[label], props=prop_types))
         new_state = CompileState(df=out, scope=scope)
-        new_state = self._apply_merge_sets(new_state, var, created_ids, on_create)
+        if on_create and folded is None and not created_empty:
+            new_state = self._apply_merge_sets(new_state, var, created_ids, on_create)
         new_state = self._apply_merge_sets(new_state, var, matched_ids, on_match)
         return new_state
+
+    def _fold_on_create(
+        self,
+        var: str,
+        label: str,
+        created: DataFrame,
+        key_types: dict[str, "T.DataType"],
+        items: list[ast.SetItem],
+    ) -> DataFrame | None:
+        """ON CREATE SET items that only assign the merged variable's own
+        properties from self-referential/constant expressions fold into the
+        insert rows — one write instead of append + per-row rewrite.
+        Returns None when any item needs the general update path."""
+        import dataclasses
+
+        refs: set[str] = set()
+
+        def walk_vars(o) -> None:
+            if isinstance(o, ast.Var):
+                refs.add(o.name)
+            elif dataclasses.is_dataclass(o) and not isinstance(o, type):
+                for f_ in dataclasses.fields(o):
+                    walk_vars(getattr(o, f_.name))
+            elif isinstance(o, (list, tuple)):
+                for x in o:
+                    walk_vars(x)
+            elif isinstance(o, dict):
+                for x in o.values():
+                    walk_vars(x)
+
+        for it in items:
+            if it.kind != "prop":
+                return None
+            if not (
+                isinstance(it.target, ast.Prop)
+                and isinstance(it.target.base, ast.Var)
+                and it.target.base.name == var
+            ):
+                return None
+            walk_vars(it.value)
+        if refs - {var}:
+            return None
+        bound = created.withColumnRenamed("_id", vcol(var, "id"))
+        for k in key_types:
+            bound = bound.withColumnRenamed(k, pcol(var, k))
+        prop_types = dict(key_types)
+        for it in items:
+            scope = Scope()
+            scope.bind(
+                VarInfo(name=var, kind="node", labels=[label], props=prop_types)
+            )
+            st = CompileState(df=bound, scope=scope)
+            tc = self._compile_expr(st, it.value)
+            key = it.target.key  # type: ignore[union-attr]
+            col, dtype = tc.col, tc.dtype
+            if dtype is None or isinstance(dtype, T.NullType):
+                col, dtype = col.cast("string"), T.StringType()  # parquet-safe
+            bound = bound.withColumn(pcol(var, key), col)
+            prop_types[key] = dtype
+        return bound.select(
+            F.col(vcol(var, "id")).alias("_id"),
+            *[F.col(pcol(var, k)).alias(k) for k in prop_types],
+        )
 
     def _apply_merge_sets(
         self,
@@ -2768,23 +3048,25 @@ class CypherToSpark:
             .withColumn("__new_eid", F.expr("uuid()"))
             .localCheckpoint(eager=True)  # freeze the generated uuids
         )
-        node_rows = created.select(
-            F.col("__new_nid").alias("_id"),
-            *[F.col(tmp).alias(k) for k, tmp in ukey.items()],
-        )
-        self.store.append_nodes(label, node_rows)
-        src_col, dst_col = (
-            (bid, "__new_nid") if bound_is_src else ("__new_nid", bid)
-        )
-        edge_rows = created.select(
-            F.col("__new_eid").alias("_id"),
-            F.col(src_col).alias("_src"),
-            F.col(dst_col).alias("_dst"),
-            *[F.col(tmp).alias(k) for k, tmp in rkey.items()],
-        )
+        created_empty = created.isEmpty()  # cheap: checkpointed
         src_label = bound_info.labels[0] if bound_is_src else label
         dst_label = label if bound_is_src else bound_info.labels[0]
-        self.store.append_edges(type_, src_label, dst_label, edge_rows)
+        if not created_empty:
+            node_rows = created.select(
+                F.col("__new_nid").alias("_id"),
+                *[F.col(tmp).alias(k) for k, tmp in ukey.items()],
+            )
+            self.store.append_nodes(label, node_rows)
+            src_col, dst_col = (
+                (bid, "__new_nid") if bound_is_src else ("__new_nid", bid)
+            )
+            edge_rows = created.select(
+                F.col("__new_eid").alias("_id"),
+                F.col(src_col).alias("_src"),
+                F.col(dst_col).alias("_dst"),
+                *[F.col(tmp).alias(k) for k, tmp in rkey.items()],
+            )
+            self.store.append_edges(type_, src_label, dst_label, edge_rows)
 
         # re-bind against the now-complete tables
         edf2, rinfo2, _ = self._edge_scan(rel_var, [type_], "out", None, None)
@@ -2797,7 +3079,7 @@ class CypherToSpark:
         scope.bind(rinfo2)
         scope.bind(ninfo2)
         new_state = CompileState(df=joined, scope=scope)
-        if m.on_create:
+        if m.on_create and not created_empty:
             new_state = self._apply_merge_sets(
                 new_state, rel_var, created.select(
                     F.col("__new_eid").alias("_id")
@@ -2936,31 +3218,33 @@ class CypherToSpark:
             .withColumn("__new_eid", F.expr("uuid()"))
             .localCheckpoint(eager=True)  # freeze the generated uuids
         )
-        self.store.append_nodes(
-            src_label,
-            created.select(
-                F.col("__new_sid").alias("_id"),
-                *[F.col(tmp).alias(k) for k, tmp in skey.items()],
-            ),
-        )
-        self.store.append_nodes(
-            dst_label,
-            created.select(
-                F.col("__new_did").alias("_id"),
-                *[F.col(tmp).alias(k) for k, tmp in dkey.items()],
-            ),
-        )
-        self.store.append_edges(
-            type_,
-            src_label,
-            dst_label,
-            created.select(
-                F.col("__new_eid").alias("_id"),
-                F.col("__new_sid").alias("_src"),
-                F.col("__new_did").alias("_dst"),
-                *[F.col(tmp).alias(k) for k, tmp in rkey.items()],
-            ),
-        )
+        created_empty = created.isEmpty()  # cheap: checkpointed
+        if not created_empty:
+            self.store.append_nodes(
+                src_label,
+                created.select(
+                    F.col("__new_sid").alias("_id"),
+                    *[F.col(tmp).alias(k) for k, tmp in skey.items()],
+                ),
+            )
+            self.store.append_nodes(
+                dst_label,
+                created.select(
+                    F.col("__new_did").alias("_id"),
+                    *[F.col(tmp).alias(k) for k, tmp in dkey.items()],
+                ),
+            )
+            self.store.append_edges(
+                type_,
+                src_label,
+                dst_label,
+                created.select(
+                    F.col("__new_eid").alias("_id"),
+                    F.col("__new_sid").alias("_src"),
+                    F.col("__new_did").alias("_dst"),
+                    *[F.col(tmp).alias(k) for k, tmp in rkey.items()],
+                ),
+            )
         # re-bind against the now-complete tables
         joined, sinfo2, dinfo2, rinfo2 = _pattern(df)
         assert joined is not None
@@ -2970,7 +3254,7 @@ class CypherToSpark:
         scope.bind(dinfo2)
         scope.bind(rinfo2)
         new_state = CompileState(df=joined, scope=scope)
-        if m.on_create:
+        if m.on_create and not created_empty:
             new_state = self._apply_merge_sets(
                 new_state,
                 rel_var,

@@ -617,6 +617,10 @@ class ExprCompiler:
         "dayofweek": lambda c: F.weekday(c) + 1,
         "quarter": F.quarter,
         "ordinalday": F.dayofyear,
+        # ISO week-based year = calendar year of that week's Thursday
+        "weekyear": lambda c: F.year(
+            F.date_add(F.to_date(c), F.lit(3) - F.weekday(c))
+        ),
         # sub-second components (timestamps are microsecond-precision, so
         # nanosecond reports micros*1000 — reference src/translator.ts:13221+)
         "millisecond": lambda c: F.floor(
@@ -721,10 +725,14 @@ class ExprCompiler:
             key = e.key.lower()
             if key == "timezone":
                 return TypedCol(F.lit(base.tz or "Z"), T.StringType())
-            if key == "offset":
+            if key in ("offset", "offsetminutes", "offsetseconds"):
                 # wall-clock minus instant = UTC offset at that instant
                 local = F.from_utc_timestamp(base.col, base.tz or "UTC")
                 secs = F.unix_timestamp(local) - F.unix_timestamp(base.col)
+                if key == "offsetseconds":
+                    return TypedCol(secs.cast("long"), T.LongType())
+                if key == "offsetminutes":
+                    return TypedCol((secs / 60).cast("long"), T.LongType())
                 sign = F.when(secs < 0, F.lit("-")).otherwise(F.lit("+"))
                 mag = F.abs(secs)
                 return TypedCol(
@@ -1610,43 +1618,13 @@ class ExprCompiler:
         builder = SCALAR_FUNCTIONS.get(name)
         if builder is not None:
             return builder(self, e.args)
-        if name == "duration.between":
-            a = self.compile(e.args[0])
-            b = self.compile(e.args[1])
-            # date-date / timestamp-timestamp subtraction is an ANSI
-            # day-time interval; typing it lets .days/.hours/... dispatch
-            return TypedCol(b.col - a.col, T.DayTimeIntervalType())
-        if name in ("duration.inmonths", "duration.indays", "duration.inseconds"):
-            # single-component durations (reference translator.ts:8737-8809:
-            # inMonths = calendar year/month diff, inDays/inSeconds =
-            # truncated whole days/seconds)
-            a = self.compile(e.args[0])
-            b = self.compile(e.args[1])
-            if name == "duration.inmonths":
-                months = (
-                    (F.year(b.col) - F.year(a.col)) * 12
-                    + (F.month(b.col) - F.month(a.col))
-                ).cast("int")
-                return TypedCol(
-                    F.make_ym_interval(F.lit(0), months),
-                    T.YearMonthIntervalType(),
-                )
-            at = a.col.cast("timestamp")
-            bt = b.col.cast("timestamp")
-            micros = F.unix_micros(bt) - F.unix_micros(at)
-            if name == "duration.indays":
-                days = (micros / F.lit(86_400_000_000)).cast("long")
-                return TypedCol(
-                    F.make_dt_interval(days.cast("int")),
-                    T.DayTimeIntervalType(),
-                )
-            secs = (micros / F.lit(1_000_000)).cast("long")
-            return TypedCol(
-                F.make_dt_interval(
-                    F.lit(0), F.lit(0), F.lit(0), secs.cast("decimal(18,6)")
-                ),
-                T.DayTimeIntervalType(),
-            )
+        if name in (
+            "duration.between",
+            "duration.inmonths",
+            "duration.indays",
+            "duration.inseconds",
+        ):
+            return self._duration_diff(name, e.args)
         if name.startswith("."):
             # method call on an arbitrary base expression (parser encodes
             # f(...).method(args) with the base as first argument)
@@ -1664,6 +1642,53 @@ class ExprCompiler:
             return self._method_call(base, method, e.args)
         raise CypherCompileError(f"unknown function {name}()")
 
+    def _duration_diff(self, name: str, args: list[ast.Expr]) -> TypedCol:
+        """duration.between / inMonths / inDays / inSeconds as composite
+        duration structs (reference translator.ts:8517-8816 calendar-aware
+        diffs). Neo4j semantics: between() splits into whole calendar
+        months, then whole wall-clock days, then an exact time remainder —
+        so `a + duration.between(a, b) = b` holds under our calendar-in-
+        wall-clock / time-on-instant addition. Components share the sign of
+        the overall duration (truncation toward zero)."""
+        a = self.compile(args[0])
+        b = self.compile(args[1])
+        tz = a.tz or b.tz
+        at = a.col.cast("timestamp")
+        bt = b.col.cast("timestamp")
+        if tz:
+            al, bl = F.from_utc_timestamp(at, tz), F.from_utc_timestamp(bt, tz)
+        else:
+            al, bl = at, bt
+        zero = F.lit(0).cast("long")
+
+        def tozero(c: Column) -> Column:  # truncate toward zero
+            return F.when(c < 0, F.ceil(c)).otherwise(F.floor(c)).cast("long")
+
+        if name == "duration.inseconds":
+            return TypedCol(
+                _dur_struct(zero, zero, F.unix_micros(bt) - F.unix_micros(at)),
+                _DUR_T,
+            )
+        if name == "duration.indays":
+            # whole wall-clock days
+            days = tozero(
+                (F.unix_micros(bl) - F.unix_micros(al)) / F.lit(86_400_000_000)
+            )
+            return TypedCol(_dur_struct(zero, days, zero), _DUR_T)
+        months = tozero(F.months_between(bl, al))
+        if name == "duration.inmonths":
+            return TypedCol(_dur_struct(months, zero, zero), _DUR_T)
+        # between: months, then whole days from the month-shifted local,
+        # then the exact instant remainder from the day-shifted point
+        a2l = al + F.make_ym_interval(F.lit(0), months.cast("int"))
+        days = tozero(
+            (F.unix_micros(bl) - F.unix_micros(a2l)) / F.lit(86_400_000_000)
+        )
+        a3l = a2l + F.make_dt_interval(days.cast("int"))
+        a3 = F.to_utc_timestamp(a3l, tz) if tz else a3l
+        us = F.unix_micros(bt) - F.unix_micros(a3)
+        return TypedCol(_dur_struct(months, days, us), _DUR_T)
+
     def _method_call(
         self, base: TypedCol, method: str, args: list[ast.Expr]
     ) -> TypedCol:
@@ -1673,6 +1698,14 @@ class ExprCompiler:
             unit = str(args[0].value)
             if isinstance(base.dtype, T.DateType):
                 return TypedCol(F.trunc(base.col, unit), T.DateType())
+            if base.tz:
+                # zoned datetimes truncate in LOCAL wall-clock time and keep
+                # the zone: midnight/hour boundaries are the zone's, not
+                # UTC's (reference translateTemporalTruncate operates on the
+                # rendered local string, src/translator.ts:14424-15234)
+                local = F.from_utc_timestamp(base.col, base.tz)
+                out = F.to_utc_timestamp(F.date_trunc(unit, local), base.tz)
+                return TypedCol(out, T.TimestampType(), tz=base.tz)
             return TypedCol(F.date_trunc(unit, base.col), T.TimestampType())
         raise CypherCompileError(f"unknown method .{method}()")
 
@@ -2197,10 +2230,26 @@ def _fn_datetime(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     if isinstance(args[0], ast.Literal) and isinstance(args[0].value, str):
         zm = _ZONED_LITERAL_RE.match(args[0].value)
         if zm:
-            local = F.to_timestamp(F.lit(zm.group("local")))
-            zone = zm.group("zone")
+            local_s, zone = zm.group("local"), zm.group("zone")
+            if re.search(r"(?:Z|[+-]\d{2}(?::?\d{2})?)$", local_s):
+                # an explicit offset fully determines the instant — the
+                # [zone] suffix only names the display zone (parsing the
+                # offset AND re-resolving the wall clock in the zone would
+                # double-shift the instant)
+                inst = F.to_timestamp(F.lit(local_s))
+            else:
+                inst = F.to_utc_timestamp(
+                    F.to_timestamp(F.lit(local_s)), zone
+                )
+            return TypedCol(inst, T.TimestampType(), tz=zone)
+        off = re.search(r"[+-]\d{2}:?\d{2}$", args[0].value)
+        if off:
+            # bare offset, no zone name: the offset IS the display zone
+            # (Spark accepts ±HH:mm as a timezone id)
             return TypedCol(
-                F.to_utc_timestamp(local, zone), T.TimestampType(), tz=zone
+                F.to_timestamp(F.lit(args[0].value)),
+                T.TimestampType(),
+                tz=off.group(0),
             )
     return TypedCol(F.to_timestamp(_c(comp, args, 0).col), T.TimestampType())
 

@@ -1,14 +1,14 @@
 Feature: CASE and null interactions (simple/searched, branches, aggregation)
 
-  Scenario: simple CASE with null subject matches a null WHEN
+  Scenario: simple CASE null subject never matches, even a null WHEN
     Given an empty graph
     When executing query:
       """
       RETURN CASE null WHEN null THEN 'matched' ELSE 'else' END AS r
       """
     Then the result should be, in any order:
-      | r         |
-      | 'matched' |
+      | r      |
+      | 'else' |
 
   Scenario: simple CASE with null subject skips value branches
     Given an empty graph
@@ -85,7 +85,7 @@ Feature: CASE and null interactions (simple/searched, branches, aggregation)
       | 1 | null |
       | 2 | 'v'  |
 
-  Scenario: missing property as CASE subject behaves as null subject
+  Scenario: missing property as CASE subject skips all WHENs
     Given an empty graph
     And having executed:
       """
@@ -97,8 +97,8 @@ Feature: CASE and null interactions (simple/searched, branches, aggregation)
       RETURN CASE p.nothere WHEN null THEN 'null' ELSE 'set' END AS r
       """
     Then the result should be, in any order:
-      | r      |
-      | 'null' |
+      | r     |
+      | 'set' |
 
   Scenario: CASE over null inside an aggregate counts only decided rows
     Given an empty graph
@@ -136,8 +136,8 @@ Feature: CASE and null interactions (simple/searched, branches, aggregation)
              ELSE 'outer' END AS r
       """
     Then the result should be, in any order:
-      | r            |
-      | 'inner-null' |
+      | r       |
+      | 'inner' |
 
   Scenario: CASE in WHERE — null result filters the row out
     Given an empty graph
@@ -151,7 +151,7 @@ Feature: CASE and null interactions (simple/searched, branches, aggregation)
       | i |
       | 2 |
 
-  Scenario: CASE with boolean subject and null WHEN list member semantics
+  Scenario: CASE with boolean subject leaves the null row unmatched
     Given an empty graph
     When executing query:
       """
@@ -160,10 +160,10 @@ Feature: CASE and null interactions (simple/searched, branches, aggregation)
       ORDER BY r
       """
     Then the result should be, in order:
-      | b     | r   |
-      | false | 'f' |
-      | null  | 'n' |
-      | true  | 't' |
+      | b     | r    |
+      | false | 'f'  |
+      | true  | 't'  |
+      | null  | null |
 
   Scenario: CASE subject of mixed type rows matches by value and type
     Given an empty graph

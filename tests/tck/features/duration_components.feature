@@ -1,6 +1,6 @@
 Feature: Single-component duration constructors (duration.inMonths/inDays/inSeconds)
 
-  Scenario: inMonths is the calendar year and month difference
+  Scenario: inMonths counts whole months with end-of-month clamping
     Given an empty graph
     When executing query:
       """
@@ -8,7 +8,7 @@ Feature: Single-component duration constructors (duration.inMonths/inDays/inSeco
       """
     Then the result should be, in any order:
       | m  |
-      | 14 |
+      | 13 |
 
   Scenario: inDays between dates counts whole days
     Given an empty graph

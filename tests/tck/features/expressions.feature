@@ -185,15 +185,16 @@ Feature: Scalar expressions (TCK expressions/comparison, string, math corners)
       | y    | m | dd | q | dow |
       | 2024 | 3 | 15 | 1 | 5   |
 
-  Scenario: duration between dates
+  Scenario: duration between dates is calendar months first
     Given an empty graph
     When executing query:
       """
-      RETURN duration.between(date('2024-01-01'), date('2024-03-01')).days AS d
+      RETURN duration.between(date('2024-01-01'), date('2024-03-01')).months AS m,
+             duration.inDays(date('2024-01-01'), date('2024-03-01')).days AS d
       """
     Then the result should be, in any order:
-      | d  |
-      | 60 |
+      | m | d  |
+      | 2 | 60 |
 
   Scenario: Date plus duration
     Given an empty graph

@@ -158,17 +158,19 @@ Feature: Temporal accessors, constructors, truncation, and duration arithmetic
       | m | d  | h  |
       | 2 | 29 | 23 |
 
-  Scenario: duration.between two datetimes in days
+  Scenario: duration.between splits months then exact time
     Given an empty graph
     When executing query:
       """
       WITH duration.between(datetime('2024-01-01T00:00:00'),
-                            datetime('2024-03-01T12:00:00')) AS du
-      RETURN du.days AS d, du.hours AS h
+                            datetime('2024-03-01T12:00:00')) AS du,
+           duration.inDays(datetime('2024-01-01T00:00:00'),
+                           datetime('2024-03-01T12:00:00')) AS dd
+      RETURN du.months AS mo, du.days AS d, du.hours AS h, dd.days AS wd
       """
     Then the result should be, in any order:
-      | d  | h |
-      | 60 | 12 |
+      | mo | d | h  | wd |
+      | 2  | 0 | 12 | 60 |
 
   Scenario: Datetime comparison orders chronologically
     Given an empty graph

@@ -28,8 +28,8 @@ Feature: Temporal zone and offset matrix (beyond the DST basics)
     Then the result should be, in order:
       | es         |
       | 1717236000 |
+      | 1717243200 |
       | 1717250400 |
-      | 1717279200 |
 
   Scenario: offset accessor on a positive half-hour zone
     Given an empty graph
@@ -151,8 +151,8 @@ Feature: Temporal zone and offset matrix (beyond the DST basics)
       RETURN toString(t) AS s
       """
     Then the result should be, in any order:
-      | s                     |
-      | '2024-02-29T00:00:00' |
+      | s                      |
+      | '2024-02-29T00:00:00Z' |
 
   Scenario: datetime minus itself is zero duration via between
     Given an empty graph
@@ -241,12 +241,24 @@ Feature: Temporal zone and offset matrix (beyond the DST basics)
       | s            |
       | '2024-03-15' |
 
-  Scenario: fall-back day is 25 wall-clock-invariant hours via between
+  Scenario: fall-back day is one calendar day via between
     Given an empty graph
     When executing query:
       """
       WITH duration.between(datetime('2024-11-03T00:00:00[America/New_York]'),
                             datetime('2024-11-04T00:00:00[America/New_York]')) AS d
+      RETURN toString(d) AS s, d.hours AS h
+      """
+    Then the result should be, in any order:
+      | s     | h |
+      | 'P1D' | 0 |
+
+  Scenario: fall-back day is 25 exact hours via inSeconds
+    Given an empty graph
+    When executing query:
+      """
+      WITH duration.inSeconds(datetime('2024-11-03T00:00:00[America/New_York]'),
+                              datetime('2024-11-04T00:00:00[America/New_York]')) AS d
       RETURN d.hours AS h
       """
     Then the result should be, in any order:

@@ -107,10 +107,45 @@ class CypherToSpark:
                     "UNION requires identical column names: "
                     f"{out.columns} vs {right.columns}"
                 )
+            out, right = self._align_union_types(out, right)
             out = out.unionByName(right)
             if not all_:
                 out = out.dropDuplicates()
         return out
+
+    @staticmethod
+    def _align_union_types(left: DataFrame, right: DataFrame):
+        """Columns whose Catalyst types differ across UNION branches keep
+        their per-branch value types by riding the tagged-variant encoding
+        (Spark's unionByName would silently coerce, turning 1 into '1')."""
+        from nicefox_graphdb_spark.cypher.expressions import (
+            _TAGGED_T,
+            TypedCol,
+            _is_tagged,
+            _tag_value,
+        )
+
+        lt = {f.name: f.dataType for f in left.schema.fields}
+        rt = {f.name: f.dataType for f in right.schema.fields}
+        for c in left.columns:
+            a, b = lt[c], rt[c]
+            if a == b:
+                continue
+            if isinstance(a, T.NullType):
+                left = left.withColumn(c, F.col(c).cast(b))
+                continue
+            if isinstance(b, T.NullType):
+                right = right.withColumn(c, F.col(c).cast(a))
+                continue
+            if not _is_tagged(a):
+                left = left.withColumn(
+                    c, _tag_value(TypedCol(F.col(c), a))
+                )
+            if not _is_tagged(b):
+                right = right.withColumn(
+                    c, _tag_value(TypedCol(F.col(c), b))
+                )
+        return left, right
 
     @staticmethod
     def _structural_only_vars(q: ast.Query) -> set[str]:
@@ -412,15 +447,22 @@ class CypherToSpark:
         Returns (df, edge_info, fused_far_node_info-or-None).
         """
         orientations = ["out", "in"] if direction == "both" else [direction]
-        # collect candidate (table, orientation) pairs
+        # collect candidate (table, orientation) pairs. Endpoint-label
+        # pruning is sound only while every node carries exactly the label
+        # it was scanned under; once multi-label membership exists
+        # (SET n:Label / CREATE (:A:B)), an edge keyed under a node's
+        # primary label must stay visible to matches on its other labels —
+        # the id-equijoin with the (label-correct) node scan then supplies
+        # the constraint the pruning would have.
+        prune_labels = not self.catalog.multi_label_dirty
         chosen: list[tuple] = []
         for et in self.catalog.edge_tables(types or None):
             for ori in orientations:
                 near = et.src_label if ori == "out" else et.dst_label
                 far = et.dst_label if ori == "out" else et.src_label
-                if left_labels and near not in left_labels:
+                if prune_labels and left_labels and near not in left_labels:
                     continue
-                if right_labels and far not in right_labels:
+                if prune_labels and right_labels and far not in right_labels:
                     continue
                 chosen.append((et, ori))
         if not chosen:
@@ -881,44 +923,56 @@ class CypherToSpark:
             edf = self._inline_prop_filter(
                 edf, CompileState(df=edf, scope=vle_scope), vle_info, rel.props
             )
-        if edf is None:
-            empty = df.where(F.lit(False))
-            rinfo = VarInfo(
-                name=rel_var, kind="edge", types=rel.types, props={}, var_length=True
-            )
-            scope = state.scope.copy()
-            scope.bind(rinfo)
-            st = CompileState(df=empty, scope=scope)
-            st, rvar = self._add_node(st, right_np)
-            return st, rvar, rinfo
-        edges = edf.select(
-            F.col("__from"),
-            F.col("__to"),
-            F.col(vcol("__vle", "eid")).alias("__eid"),
-        )
         min_h = rel.min_hops if rel.min_hops is not None else 1
-        max_h = rel.max_hops if rel.max_hops is not None else self.max_hops
-        if max_h > 1:
-            # materialize the edge set once — every BFS hop re-reads it, and
-            # recomputing a derived edge view (joins/windows) per hop is the
-            # recursive-CTE equivalent of forgetting to memoize the base case
-            edges = edges.localCheckpoint(eager=True)
-        seed = df.select(F.col(vcol(left_var, "id"))).distinct()
-        expansion = vl.var_length_expand(
-            edges,
-            max(min_h, 1),
-            max_h,
-            seed_ids=seed,
-            max_rows=getattr(self, "_vl_max_rows", None),
-        )
-        exp = expansion.select(
-            F.col(vl.START).alias("__from"),
-            F.col(vl.END).alias("__to"),
-            F.col(vl.PATH_EIDS).alias(vcol(rel_var, "path")),
-            F.col(vl.PATH_NODES).alias(vcol(rel_var, "nodes_seq")),
-            F.col(vl.HOPS).alias(vcol(rel_var, "len")),
-        )
-        if min_h == 0:
+        if edf is None:
+            if min_h > 0:
+                empty = df.where(F.lit(False))
+                rinfo = VarInfo(
+                    name=rel_var, kind="edge", types=rel.types, props={}, var_length=True
+                )
+                scope = state.scope.copy()
+                scope.bind(rinfo)
+                st = CompileState(df=empty, scope=scope)
+                st, rvar = self._add_node(st, right_np)
+                return st, rvar, rinfo
+            # no such edge type, but *0..k still includes the zero-hop
+            # identity — every left row reaches itself via an empty path
+            exp = df.select(
+                F.col(vcol(left_var, "id")).alias("__from"),
+                F.col(vcol(left_var, "id")).alias("__to"),
+                F.array().cast("array<string>").alias(vcol(rel_var, "path")),
+                F.array().cast("array<string>").alias(vcol(rel_var, "nodes_seq")),
+                F.lit(0).alias(vcol(rel_var, "len")),
+            ).distinct()
+        else:
+            edges = edf.select(
+                F.col("__from"),
+                F.col("__to"),
+                F.col(vcol("__vle", "eid")).alias("__eid"),
+            )
+            max_h = rel.max_hops if rel.max_hops is not None else self.max_hops
+            if max_h > 1:
+                # materialize the edge set once — every BFS hop re-reads it,
+                # and recomputing a derived edge view (joins/windows) per hop
+                # is the recursive-CTE equivalent of forgetting to memoize
+                # the base case
+                edges = edges.localCheckpoint(eager=True)
+            seed = df.select(F.col(vcol(left_var, "id"))).distinct()
+            expansion = vl.var_length_expand(
+                edges,
+                max(min_h, 1),
+                max_h,
+                seed_ids=seed,
+                max_rows=getattr(self, "_vl_max_rows", None),
+            )
+            exp = expansion.select(
+                F.col(vl.START).alias("__from"),
+                F.col(vl.END).alias("__to"),
+                F.col(vl.PATH_EIDS).alias(vcol(rel_var, "path")),
+                F.col(vl.PATH_NODES).alias(vcol(rel_var, "nodes_seq")),
+                F.col(vl.HOPS).alias(vcol(rel_var, "len")),
+            )
+        if edf is not None and min_h == 0:
             # zero-hop identity: (n)-[*0..k]->(n) — same node, empty path
             ident = df.select(
                 F.col(vcol(left_var, "id")).alias("__from"),
@@ -2260,10 +2314,15 @@ class CypherToSpark:
                 return F.countDistinct(tc.col), T.LongType()
             return F.count(tc.col), T.LongType()
         tc = self._compile_expr(state, call.args[0])
+        was_tagged = False
         if name in ("sum", "avg", "min", "max", "stdev", "stdevp",
                     "percentilecont", "percentiledisc"):
-            from nicefox_graphdb_spark.cypher.expressions import _untag_numeric
+            from nicefox_graphdb_spark.cypher.expressions import (
+                _is_tagged,
+                _untag_numeric,
+            )
 
+            was_tagged = _is_tagged(tc.dtype)
             tc = _untag_numeric(tc)  # tagged cells aggregate their numeric slot
         if name == "sum":
             # sum of no values is 0, not null (openCypher; reference
@@ -2333,10 +2392,22 @@ class CypherToSpark:
                     / F.count_distinct(tc.col)
                 ), T.DoubleType()
             return F.avg(tc.col), T.DoubleType()
-        if name == "min":
-            return F.min(tc.col), tc.dtype
-        if name == "max":
-            return F.max(tc.col), tc.dtype
+        if name in ("min", "max"):
+            col = F.min(tc.col) if name == "min" else F.max(tc.col)
+            if was_tagged:
+                # re-tag so integer-valued results decode as integers (the
+                # flavor contract of mixed-numeric lists)
+                from nicefox_graphdb_spark.cypher.expressions import _TAGGED_T
+
+                return (
+                    F.struct(
+                        F.lit("n").alias("__ck"),
+                        col.alias("__cn"),
+                        F.lit(None).cast("string").alias("__ct"),
+                    ),
+                    _TAGGED_T,
+                )
+            return col, tc.dtype
         if name == "collect":
             if call.distinct:
                 return F.collect_set(tc.col), (
@@ -2519,10 +2590,13 @@ class CypherToSpark:
         src_info = state.scope.get(src_var)
         dst_info = state.scope.get(dst_var)
         assert src_info is not None and dst_info is not None
-        if len(src_info.labels) != 1 or len(dst_info.labels) != 1:
+        if not src_info.labels or not dst_info.labels:
             raise CypherCompileError(
-                "CREATE relationship endpoints must have a single known label"
+                "CREATE relationship endpoints must have a known label"
             )
+        # multi-label endpoints key the edge table under the PRIMARY label
+        # (the reference's json_extract(label,'$[0]') convention); the
+        # edge-scan pruning relaxes once multi-label membership exists
         props = self._compiled_props(state, rel.props)
         df = state.require_df().withColumn(vcol(rel_var, "eid"), F.expr("uuid()"))
         prop_types: dict[str, T.DataType] = {}
@@ -2743,7 +2817,13 @@ class CypherToSpark:
         created = missing_keys.withColumn("_id", F.expr("uuid()")).localCheckpoint(
             eager=True
         )
-        created_empty = created.isEmpty()  # cheap: checkpointed
+        # one probe returns emptiness AND the runtime null-key check: a null
+        # key never equals a stored key, so it always lands in the created
+        # (missing) set — detect it there before anything is appended
+        # (reference MERGE-null rules, src/translator.ts:829-842)
+        created_empty = self._probe_created(
+            created, list(key_tmp), "Cannot merge node using null property value"
+        )
         key_types = {k: tc.dtype for k, tc in props.items()}
         folded = (
             self._fold_on_create(var, label, created, key_types, on_create)
@@ -2855,6 +2935,28 @@ class CypherToSpark:
             *[F.col(pcol(var, k)).alias(k) for k in prop_types],
         )
 
+    def _probe_created(
+        self, created: DataFrame, key_cols: list[str], err: str
+    ) -> bool:
+        """ONE Spark job over the (checkpointed) created set: returns
+        emptiness and raises on null key values (which always land in the
+        created set, since null never equals a stored key)."""
+        from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+        if not key_cols:
+            return created.isEmpty()
+        anynull = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            anynull = c if anynull is None else anynull | c
+        row = created.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(anynull).alias("__has_null"),
+        ).first()
+        if row["__has_null"]:
+            raise CypherRuntimeError(err)
+        return row["__n"] == 0
+
     def _apply_merge_sets(
         self,
         state: CompileState,
@@ -2947,8 +3049,6 @@ class CypherToSpark:
         props but no edge from the bound endpoint is NOT reused — the whole
         pattern is created, Neo4j's documented behavior.
         """
-        from nicefox_graphdb_spark.graph_store import CypherRuntimeError
-
         left_np, rel, right_np = m.path.elements
         assert isinstance(rel, ast.RelPattern)
         if rel.direction == "both" or len(rel.types) != 1:
@@ -2996,16 +3096,6 @@ class CypherToSpark:
             df = df.withColumn(tmp, tc.col)
             rkey[k] = tmp
         df = df.localCheckpoint(eager=True)
-        null_checks = [F.col(t).isNull() for t in (*ukey.values(), *rkey.values())]
-        if null_checks:
-            anynull = null_checks[0]
-            for c in null_checks[1:]:
-                anynull = anynull | c
-            if not df.where(anynull).isEmpty():
-                raise CypherRuntimeError(
-                    "Cannot merge using null property value"
-                )
-
         bid = vcol(bound_var, "id")
         # pre-mutation full-pattern match
         edf, rinfo, _ = self._edge_scan(rel_var, [type_], "out", None, None)
@@ -3048,7 +3138,13 @@ class CypherToSpark:
             .withColumn("__new_eid", F.expr("uuid()"))
             .localCheckpoint(eager=True)  # freeze the generated uuids
         )
-        created_empty = created.isEmpty()  # cheap: checkpointed
+        # null keys never pattern-match, so they always land in the created
+        # set — the emptiness probe doubles as the runtime null-key check
+        created_empty = self._probe_created(
+            created,
+            [*ukey.values(), *rkey.values()],
+            "Cannot merge using null property value",
+        )
         src_label = bound_info.labels[0] if bound_is_src else label
         dst_label = label if bound_is_src else bound_info.labels[0]
         if not created_empty:
@@ -3105,8 +3201,6 @@ class CypherToSpark:
         rows sharing a tuple bind the same created elements, and a row
         whose tuple matches several existing paths binds them all.
         """
-        from nicefox_graphdb_spark.graph_store import CypherRuntimeError
-
         left_np, rel, right_np = m.path.elements
         assert isinstance(rel, ast.RelPattern)
         if rel.direction == "both" or len(rel.types) != 1:
@@ -3145,14 +3239,6 @@ class CypherToSpark:
                 key[k] = tmp
         df = df.localCheckpoint(eager=True)
         tmp_cols = [*skey.values(), *dkey.values(), *rkey.values()]
-        if tmp_cols:
-            anynull = F.col(tmp_cols[0]).isNull()
-            for t in tmp_cols[1:]:
-                anynull = anynull | F.col(t).isNull()
-            if not df.where(anynull).isEmpty():
-                raise CypherRuntimeError(
-                    "Cannot merge using null property value"
-                )
 
         def _pattern(base):
             """base rows joined to every existing full-pattern match whose
@@ -3218,7 +3304,11 @@ class CypherToSpark:
             .withColumn("__new_eid", F.expr("uuid()"))
             .localCheckpoint(eager=True)  # freeze the generated uuids
         )
-        created_empty = created.isEmpty()  # cheap: checkpointed
+        # null keys never pattern-match, so they always land in the created
+        # set — the emptiness probe doubles as the runtime null-key check
+        created_empty = self._probe_created(
+            created, tmp_cols, "Cannot merge using null property value"
+        )
         if not created_empty:
             self.store.append_nodes(
                 src_label,

@@ -249,13 +249,17 @@ def _tag_value(tc: "TypedCol") -> Column:
         tagged = F.struct(
             F.lit("m").alias("__ck"),
             F.lit(None).cast("double").alias("__cn"),
-            F.to_json(ordered).alias("__ct"),
+            F.to_json(ordered, {"ignoreNullFields": "false"}).alias("__ct"),
         )
     elif cat == "list":
         tagged = F.struct(
             F.lit("l").alias("__ck"),
             F.lit(None).cast("double").alias("__cn"),
-            F.to_json(F.struct(tc.col.alias("v"))).alias("__ct"),
+            # keep null fields: nested tagged cells must round-trip their
+            # full key set through the JSON text
+            F.to_json(
+                F.struct(tc.col.alias("v")), {"ignoreNullFields": "false"}
+            ).alias("__ct"),
         )
     else:
         # string / boolean / temporal / duration → canonical text; composite
@@ -1141,6 +1145,23 @@ class ExprCompiler:
                 rc = right.col if _is_array(right.dtype) else F.array(right.col)
                 ldt = left.dtype if _is_array(left.dtype) else None
                 rdt = right.dtype if _is_array(right.dtype) else None
+                let = ldt.elementType if ldt is not None else left.dtype
+                ret = rdt.elementType if rdt is not None else right.dtype
+                if _is_tagged(let) != _is_tagged(ret):
+                    # heterogeneous + homogeneous list: lift the plain
+                    # side's elements into the tagged-variant encoding
+                    if _is_tagged(let):
+                        rc = F.transform(
+                            rc, lambda x: _tag_value(TypedCol(x, ret))
+                        )
+                        rdt = T.ArrayType(_TAGGED_T) if rdt is not None else None
+                        ret = _TAGGED_T
+                    else:
+                        lc = F.transform(
+                            lc, lambda x: _tag_value(TypedCol(x, let))
+                        )
+                        ldt = T.ArrayType(_TAGGED_T) if ldt is not None else None
+                        let = _TAGGED_T
                 # [] literals are ARRAY<VOID>; coerce to the other side's
                 # element type so Spark's concat type check passes
                 if (
@@ -1586,7 +1607,49 @@ class ExprCompiler:
             .otherwise(matches == 1)
         )
 
+    @staticmethod
+    def _subst_var(expr, old: str, new: str):
+        """Deep-copy an expression substituting Var(old) → Var(new),
+        respecting inner bindings that shadow `old`."""
+        import dataclasses
+
+        def walk(o):
+            if isinstance(o, ast.Var):
+                return ast.Var(new) if o.name == old else o
+            if isinstance(o, (ast.ListComp, ast.Quantifier)) and o.var == old:
+                return o  # inner binding shadows
+            if isinstance(o, ast.Reduce) and old in (o.var, o.acc):
+                return o
+            if dataclasses.is_dataclass(o) and not isinstance(o, type):
+                return dataclasses.replace(
+                    o,
+                    **{
+                        f_.name: walk(getattr(o, f_.name))
+                        for f_ in dataclasses.fields(o)
+                    },
+                )
+            if isinstance(o, list):
+                return [walk(x) for x in o]
+            if isinstance(o, tuple):
+                return tuple(walk(x) for x in o)
+            if isinstance(o, dict):
+                return {k: walk(v) for k, v in o.items()}
+            return o
+
+        return walk(expr)
+
     def _reduce(self, e: ast.Reduce) -> TypedCol:
+        elem_vars = self._static_path_elems(e.source)
+        if elem_vars is not None:
+            # reduce over nodes(p)/relationships(p) of a STATIC path:
+            # unroll the fold over the bound element variables so entity
+            # property access compiles to typed columns
+            acc_tc = self.compile(e.init)
+            for v in elem_vars:
+                body = self._subst_var(e.body, e.var, v)
+                sub = ExprCompiler(self.ctx.child_with_lambda(e.acc, acc_tc))
+                acc_tc = sub.compile(body)
+            return acc_tc
         source = self.compile(e.source)
         if isinstance(source.dtype, T.NullType):
             return TypedCol(F.lit(None), T.NullType())
@@ -1602,6 +1665,24 @@ class ExprCompiler:
         elif isinstance(elem, (T.DoubleType, T.FloatType)) and _is_int(init.dtype):
             acc_dtype = T.DoubleType()
             init_col = init_col.cast("double")
+        elif _is_array(init.dtype) and isinstance(
+            init.dtype.elementType, T.NullType
+        ):
+            # `reduce(acc = [], ...)`: the VOID-element initializer must be
+            # cast to the merge result's type or aggregate() rejects the
+            # lambda — probe-compile the body once to learn that type
+            probe = ExprCompiler(
+                self.ctx.child_with_lambda(
+                    e.acc, TypedCol(init_col, init.dtype)
+                ).child_with_lambda(
+                    e.var, TypedCol(F.element_at(source.col, 1), elem)
+                )
+            ).compile(e.body)
+            if probe.dtype is not None and not isinstance(
+                probe.dtype, T.NullType
+            ):
+                acc_dtype = probe.dtype
+                init_col = init_col.cast(probe.dtype)
 
         def merge(acc: Column, x: Column) -> Column:
             sub = ExprCompiler(
@@ -1748,9 +1829,20 @@ def _entity_info(comp: ExprCompiler, args: list[ast.Expr], fn: str) -> VarInfo:
             if isinstance(tc.dtype, T.NullType):
                 raise _NullEntityArg()
         raise CypherCompileError(f"{fn}() requires a variable argument")
-    info = comp.ctx.scope.get(args[0].name)
+    name = args[0].name
+    if name in comp.ctx.lambdas:
+        if isinstance(comp.ctx.lambdas[name].dtype, T.NullType):
+            raise _NullEntityArg()
+        raise CypherCompileError(f"{fn}() requires a variable argument")
+    info = comp.ctx.scope.get(name)
     if info is None:
-        raise CypherCompileError(f"variable `{args[0].name}` not defined")
+        raise CypherCompileError(f"variable `{name}` not defined")
+    if info.kind == "value" and (
+        info.dtype is None or isinstance(info.dtype, T.NullType)
+    ):
+        # a value variable holding null (WITH null AS x): entity functions
+        # of null are null (reference null-entity parity)
+        raise _NullEntityArg()
     return info
 
 

@@ -463,11 +463,15 @@ class DurableGraph(MutableGraph):
         touched = self.tables.touched_buckets(idcol)
         # same hash ring for every table → the deleted ids' buckets are the
         # only buckets that can contain them, in every label table
-        for label in list(self.catalog._nodes):
+        labels = list(self.catalog._nodes)
+        for label in labels:
             if not touched:
                 break
             if (
-                self.catalog.node(label).df.select("_id")
+                # with a single label the ids can only live there — skip
+                # the membership probe job
+                len(labels) > 1
+                and self.catalog.node(label).df.select("_id")
                 .join(idcol, on="_id", how="left_semi")
                 .isEmpty()
             ):

@@ -76,27 +76,29 @@ def _decode_cell(v):
     ride in one double slot so int-valued cells decode to int — the same
     collapse the reference's JS number type performs."""
     if isinstance(v, dict):
-        if set(v.keys()) == _DUR_KEYS:
-            if v["__dmo"] is None:
+        # JSON round trips may drop null-valued keys — treat any dict whose
+        # keys are a subset containing the discriminator as the marker type
+        if "__dmo" in v and set(v.keys()) <= _DUR_KEYS:
+            if v.get("__dmo") is None:
                 return None
-            return _iso_duration(v["__dmo"], v["__dd"], v["__dus"])
-        if set(v.keys()) == _TAG_KEYS:
+            return _iso_duration(v["__dmo"], v.get("__dd", 0), v.get("__dus", 0))
+        if "__ck" in v and set(v.keys()) <= _TAG_KEYS:
             kind = v["__ck"]
             if kind is None:
                 return None
-        if set(v.keys()) == _TAG_KEYS and kind in ("n", "s", "b", "m", "l", "t", "d", "o"):
+        if "__ck" in v and set(v.keys()) <= _TAG_KEYS and kind in ("n", "s", "b", "m", "l", "t", "d", "o"):
             import json
 
             if kind == "n":
-                n = v["__cn"]
+                n = v.get("__cn")
                 return int(n) if n is not None and n == int(n) else n
             if kind == "b":
-                return v["__ct"] == "true"
+                return v.get("__ct") == "true"
             if kind == "m":
                 return _decode_cell(json.loads(v["__ct"]))
             if kind == "l":
                 return _decode_cell(json.loads(v["__ct"])["v"])
-            return v["__ct"]
+            return v.get("__ct")
         return {k: _decode_cell(x) for k, x in v.items()}
     if isinstance(v, list):
         return [_decode_cell(x) for x in v]

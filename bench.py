@@ -56,14 +56,17 @@ HEADLINE = [
 
 # Mutation workloads re-run the whole write script per iteration (there is
 # no warm cache to measure); fewer iterations keep bench wall-clock sane.
-ITER_OVERRIDE = {"q_write_bench": 3}
+ITER_OVERRIDE = {"q_write_bench": 5}
 
 # Queries slower than this after warmup get a reduced iteration count —
 # the reference runs 100 iterations on sub-millisecond lookups
 # (benchmark/src/config.ts:36-41); mirroring that for multi-second
 # aggregate scans would just burn wall-clock without tightening medians.
+# Round-6: SLOW_ITERS floor raised 5 → 12 — at n=5 the round-5 artifact
+# showed 14-46% swings on unchanged code that were indistinguishable from
+# local[32] scheduler noise; median-of-12 tightens that signal.
 SLOW_CUTOFF_SEC = 1.0
-SLOW_ITERS = max(5, ITERS // 6)
+SLOW_ITERS = max(12, ITERS // 2)
 
 
 def main():

@@ -68,6 +68,9 @@ class LocalCommitPlane:
     def listdir(self, path: str) -> list[str]:
         return sorted(os.listdir(path))
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
     def move(self, src: str, dst: str) -> None:
         os.replace(src, dst)
 
@@ -141,6 +144,9 @@ class HadoopCommitPlane:
             s.getPath().getName()
             for s in self._fs.listStatus(self._p(path))
         )
+
+    def size(self, path: str) -> int:
+        return self._fs.getFileStatus(self._p(path)).getLen()
 
     def move(self, src: str, dst: str) -> None:
         self._fs.rename(self._p(src), self._p(dst))

@@ -2978,9 +2978,10 @@ class CypherToSpark:
             on=idc,
             how="left",
         )
+        # no emptiness probe: an empty matched/created set flows through
+        # compile_set to a zero-touched-bucket no-op write — probing first
+        # would cost a Spark job in the common non-empty case
         sub = CompileState(df=marked.where(F.col(flag)).drop(flag), scope=state.scope)
-        if sub.df.isEmpty():
-            return state
         sub = self.compile_set(sub, ast.SetClause(items=items))
         # merge updated prop columns back into the full binding table
         full = marked

@@ -12,21 +12,32 @@ environment, so the transactional layer is implemented directly — it is
 small):
 
 - Every table's rows are hash-bucketed by ``_id`` (``pmod(xxhash64(_id),
-  n_buckets)``); each bucket owns its own parquet files.
-- A versioned JSON **manifest** maps table → schema + bucket → file list.
-  Commits write a new manifest version then atomically swing a ``CURRENT``
-  pointer (``os.replace``) — readers always see a consistent snapshot and a
-  crash mid-write leaves the previous version intact (Delta's _delta_log,
-  in miniature).
+  n_buckets)``); the manifest tracks, per FILE, the set of buckets whose
+  rows it may contain plus row/byte stats — Delta/Iceberg's file-stats
+  model, with the bucket set as the skipping predicate.
+- A versioned JSON **manifest** maps table → schema + file list. Commits
+  write a new manifest version then atomically swing a ``CURRENT`` pointer
+  (``os.replace``) — readers always see a consistent snapshot and a crash
+  mid-write leaves the previous version intact (Delta's _delta_log, in
+  miniature).
+- **Writes are size-aware** (Delta's optimized write): the incoming
+  frame's Catalyst plan statistics decide the physical shape with zero
+  extra jobs. Small writes land as ONE parquet file spanning several
+  buckets, with the exact bucket set, row count, and contract validation
+  collected by ``DataFrame.observe`` DURING the write (no follow-up scan);
+  large writes fan out via an AQE-rebalanced ``partitionBy`` into
+  bucket-exclusive files. A 1 000-row MERGE therefore costs one
+  single-task file write, while a 1 TB bulk load still parallelizes.
 - **Keyed MERGE prunes files**: ``SET n.p = v`` on k matched ids computes
-  the touched bucket set from the update keys (≤ n_buckets small ints, the
-  moral equivalent of Delta's file-skipping stats), reads and rewrites ONLY
-  those buckets' files, and commits a manifest where untouched buckets keep
-  their existing files byte-for-byte. At 100 TB with n_buckets=4096, a
-  10-row MERGE touches ~10 files, not the table.
-- **Appends add files** to their buckets without rewriting anything;
-  buckets that accumulate more than ``compact_threshold`` files are
-  compacted in the same commit (read the bucket once, rewrite one file).
+  the touched bucket set from the update keys (≤ n_buckets small ints),
+  reads and rewrites ONLY the files overlapping those buckets, and commits
+  a manifest where untouched files stay referenced byte-for-byte. At
+  100 TB with n_buckets=4096, a 10-row MERGE touches ~10 files, not the
+  table.
+- **Appends add files** without rewriting anything; when a bucket's
+  exclusive files or the table's shared (multi-bucket) files exceed
+  ``compact_threshold``, they are compacted back into bucket-exclusive
+  files in the same commit.
 - Schema evolution: the manifest carries the table's logical schema
   (first-seen type wins, as in MutableGraph); old files are read with the
   current schema, so columns added later null-fill for free (parquet
@@ -80,8 +91,21 @@ class DurableTableStore:
 
         {root}/_manifest/v{n:012d}.json   # full manifest per version
         {root}/_manifest/CURRENT          # name of the live manifest
-        {root}/data/{table_key}/b{bucket:05d}-{uuid}.parquet
+        {root}/data/{table_key}/b{bucket:05d}-{uuid}.parquet   # exclusive
+        {root}/data/{table_key}/s-{uuid}.parquet               # shared
+
+    Each manifest table entry carries ``files``: a list of
+    ``{"name", "buckets": [int] | None, "rows": int | None, "bytes": int}``
+    — ``buckets`` is the (exact or superset) bucket set whose rows the file
+    may contain (``None`` = unknown/any), the skipping stat every pruned
+    read and rewrite consults.
     """
+
+    # writes whose Catalyst-estimated output is at most this land as one
+    # single-task file instead of a partitionBy fan-out (Delta's
+    # optimized-write small-file path); at 100 TB the estimate of a bulk
+    # load blows straight past it and fans out
+    small_write_bytes = 32 * 1024 * 1024
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16,
                  compact_threshold: int = 8, fs=None):
@@ -124,7 +148,15 @@ class DurableTableStore:
             if not versions:
                 return None
             name = max(versions)
-        return json.loads(self.fs.read_text(os.path.join(self._mdir, name)))
+        m = json.loads(self.fs.read_text(os.path.join(self._mdir, name)))
+        for t in m.get("tables", {}).values():
+            if "files" not in t:  # pre-v2 manifest: bucket → file-name map
+                t["files"] = [
+                    {"name": f, "buckets": [int(b)], "rows": None, "bytes": None}
+                    for b, names in t.pop("buckets", {}).items()
+                    for f in names
+                ]
+        return m
 
     def commit(self) -> None:
         """Write the next manifest version, then atomically swing CURRENT."""
@@ -164,99 +196,287 @@ class DurableTableStore:
         self.manifest["tables"][key] = {
             **meta,
             "schema": schema.jsonValue(),
-            "buckets": {},
+            "files": [],
         }
 
     # -- reads ------------------------------------------------------------
-    def _paths(self, key: str, buckets: list[int] | None = None) -> list[str]:
-        t = self.manifest["tables"][key]
-        ddir = os.path.join(self.root, "data", key)
-        out = []
-        for b, files in t["buckets"].items():
-            if buckets is not None and int(b) not in buckets:
-                continue
-            out.extend(os.path.join(ddir, f) for f in files)
-        return out
+    @staticmethod
+    def _overlaps(entry: dict, buckets: list[int]) -> bool:
+        return entry["buckets"] is None or any(
+            b in buckets for b in entry["buckets"]
+        )
 
     def read_table(self, key: str, buckets: list[int] | None = None) -> DataFrame:
         """Scan the table (or only the given buckets) at the current logical
-        schema; files written before a column existed null-fill it."""
+        schema; files written before a column existed null-fill it. Pruned
+        reads skip files whose bucket set is disjoint from the request; a
+        shared (multi-bucket) file that overlaps gets a residual row filter
+        so only the requested buckets' rows come back."""
         schema = self.schema_of(key)
-        paths = self._paths(key, buckets)
-        if not paths:
+        t = self.manifest["tables"][key]
+        ddir = os.path.join(self.root, "data", key)
+        if buckets is None:
+            entries = t["files"]
+        else:
+            entries = [e for e in t["files"] if self._overlaps(e, buckets)]
+        if not entries:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(
+            *(os.path.join(ddir, e["name"]) for e in entries)
+        )
+        if buckets is not None and any(
+            e["buckets"] is None or not set(e["buckets"]) <= set(buckets)
+            for e in entries
+        ):
+            df = df.where(self.bucket_col(F.col("_id")).isin(buckets))
+        return df
 
     # -- writes -----------------------------------------------------------
-    def _write_files(self, key: str, df: DataFrame) -> dict[int, list[str]]:
-        """Write rows bucketed by ``_id``; returns bucket → new file names.
-        Rows land in per-bucket parquet files via a partitionBy staging
-        write (one shuffle on the bucket key), then move into the table
-        directory; nothing is visible until the manifest commits."""
+    def _plan_bytes(self, df: DataFrame) -> int | None:
+        """Catalyst's size estimate for the frame — free (driver-side plan
+        stats; exact for localCheckpointed inputs, file-stat-derived for
+        parquet scans). Unknown → None → callers take the fan-out path."""
+        try:
+            n = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            return int(min(n, 2**63 - 1))
+        except Exception:  # noqa: BLE001 — estimate only, never fail a write
+            return None
+
+    def _write_files(
+        self, key: str, df: DataFrame, touched: list[int] | None = None,
+        force_fanout: bool = False, est_bytes: int | None = None,
+    ) -> list[dict]:
+        """Write rows bucketed by ``_id``; returns new manifest file
+        entries. Nothing is visible until the manifest commits.
+
+        Small frames (by plan-stats estimate) write ONE file from one task;
+        its exact bucket set, row count, and the touched-set contract check
+        ride the write via ``observe`` — zero extra jobs. Large frames
+        shuffle once on the bucket key (AQE rebalance sizes the tasks) into
+        bucket-exclusive files. With ``touched``, rows outside the touched
+        buckets raise BEFORE anything moves into the table directory or the
+        manifest mutates."""
+        from pyspark.sql import Observation
+
+        est = None
+        if not force_fanout:
+            est = est_bytes if est_bytes is not None else self._plan_bytes(df)
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        ddir = os.path.join(self.root, "data", key)
+        bucketed = df.withColumn("__bucket", self.bucket_col(F.col("_id")))
+        entries: list[dict] = []
+        if est is not None and est <= self.small_write_bytes:
+            obs = Observation()
+            metrics = [
+                F.count(F.lit(1)).alias("rows"),
+                F.collect_set("__bucket").alias("buckets"),
+            ]
+            if touched is not None:
+                metrics.append(
+                    F.max(~F.col("__bucket").isin(touched)).alias("stray")
+                )
+            (
+                bucketed.observe(obs, *metrics)
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            got = obs.get
+            if touched is not None and got.get("stray"):
+                self.fs.rmtree(staging)
+                raise ValueError(
+                    "replace_buckets: rows outside touched buckets "
+                    f"{sorted(set(got['buckets']) - set(touched))}"
+                )
+            if got["rows"] == 0:
+                self.fs.rmtree(staging)
+                return []
+            self.fs.makedirs(ddir)
+            for fn in self.fs.listdir(staging):
+                if not fn.endswith(".parquet"):
+                    continue
+                name = f"s-{uuid.uuid4().hex}.parquet"
+                src = os.path.join(staging, fn)
+                size = self.fs.size(src)
+                self.fs.move(src, os.path.join(ddir, name))
+                entries.append(
+                    {
+                        "name": name,
+                        "buckets": sorted(got["buckets"]),
+                        "rows": got["rows"],
+                        "bytes": size,
+                    }
+                )
+            self.fs.rmtree(staging)
+            return entries
         (
-            # REBALANCE (AQE) sizes write tasks by data volume: a 10-row
-            # MERGE writes from one task, a bulk append fans out — and a
-            # skewed bucket may split into several files (all fine, the
-            # manifest maps bucket → file LIST)
-            df.withColumn("__bucket", self.bucket_col(F.col("_id")))
-            .hint("rebalance", "__bucket")
+            # REBALANCE (AQE) sizes write tasks by data volume: a skewed
+            # bucket may split into several files (fine — entries are a
+            # LIST), small buckets coalesce into few tasks
+            bucketed.hint("rebalance", "__bucket")
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(staging)
         )
-        ddir = os.path.join(self.root, "data", key)
+        dirs = [
+            (int(d.split("=", 1)[1]), d)
+            for d in self.fs.listdir(staging)
+            if d.startswith("__bucket=")
+        ]
+        if touched is not None:
+            stray = {b for b, _ in dirs} - set(touched)
+            if stray:
+                # rows hashed outside the touched set would corrupt pruning
+                # — callers must only pass rows belonging to the touched
+                # buckets. Validate BEFORE anything moves or the manifest
+                # mutates: a caller that catches this error sees a fully
+                # consistent store.
+                self.fs.rmtree(staging)
+                raise ValueError(
+                    f"replace_buckets: rows outside touched buckets {sorted(stray)}"
+                )
         self.fs.makedirs(ddir)
-        out: dict[int, list[str]] = {}
-        for d in self.fs.listdir(staging):
-            if not d.startswith("__bucket="):
-                continue
-            b = int(d.split("=", 1)[1])
+        for b, d in dirs:
             for fn in self.fs.listdir(os.path.join(staging, d)):
                 if not fn.endswith(".parquet"):
                     continue
                 name = f"b{b:05d}-{uuid.uuid4().hex}.parquet"
-                self.fs.move(
-                    os.path.join(staging, d, fn), os.path.join(ddir, name)
+                src = os.path.join(staging, d, fn)
+                size = self.fs.size(src)
+                self.fs.move(src, os.path.join(ddir, name))
+                entries.append(
+                    {"name": name, "buckets": [b], "rows": None, "bytes": size}
                 )
-                out.setdefault(b, []).append(name)
         self.fs.rmtree(staging)
-        return out
+        return entries
 
     def append(self, key: str, df: DataFrame) -> None:
-        """Add files to their buckets; existing files untouched. Buckets
-        that exceed compact_threshold files are compacted in this commit."""
-        new = self._write_files(key, df)
-        buckets = self.manifest["tables"][key]["buckets"]
-        for b, files in new.items():
-            buckets.setdefault(str(b), []).extend(files)
-        over = [int(b) for b, fs in buckets.items()
-                if len(fs) > self.compact_threshold]
+        """Add files; existing files untouched. Buckets whose exclusive
+        files (or the table's shared files) exceed compact_threshold are
+        compacted back into bucket-exclusive files in this commit."""
+        files = self.manifest["tables"][key]["files"]
+        files.extend(self._write_files(key, df))
+        shared = [e for e in files if e["buckets"] is None or len(e["buckets"]) != 1]
+        if len(shared) > self.compact_threshold:
+            self._compact_shared(key)
+            files = self.manifest["tables"][key]["files"]
+        per_bucket: dict[int, int] = {}
+        for e in files:
+            if e["buckets"] is not None and len(e["buckets"]) == 1:
+                per_bucket[e["buckets"][0]] = per_bucket.get(e["buckets"][0], 0) + 1
+        over = [b for b, n in per_bucket.items() if n > self.compact_threshold]
         if over:
-            self.replace_buckets(key, over, self.read_table(key, over))
+            self._compact_buckets(key, over)
+
+    def _compact_shared(self, key: str) -> None:
+        """Fold every shared (multi-bucket) file into bucket-exclusive
+        files: one scan of the shared files, one fan-out write."""
+        t = self.manifest["tables"][key]
+        shared = [e for e in t["files"] if e["buckets"] is None or len(e["buckets"]) != 1]
+        if not shared:
+            return
+        ddir = os.path.join(self.root, "data", key)
+        df = self.spark.read.schema(self.schema_of(key)).parquet(
+            *(os.path.join(ddir, e["name"]) for e in shared)
+        )
+        new = self._write_files(key, df, force_fanout=True)
+        names = {e["name"] for e in shared}
+        t["files"] = [e for e in t["files"] if e["name"] not in names] + new
+
+    def _compact_buckets(self, key: str, over: list[int]) -> None:
+        """Merge each over-full bucket's exclusive files into one file per
+        bucket. Shared files stay untouched (their rows are not duplicated
+        here), so this reads exactly the files being replaced."""
+        t = self.manifest["tables"][key]
+        old = [
+            e for e in t["files"]
+            if e["buckets"] is not None
+            and len(e["buckets"]) == 1
+            and e["buckets"][0] in over
+        ]
+        if not old:
+            return
+        ddir = os.path.join(self.root, "data", key)
+        df = self.spark.read.schema(self.schema_of(key)).parquet(
+            *(os.path.join(ddir, e["name"]) for e in old)
+        )
+        new = self._write_files(key, df, force_fanout=True)
+        names = {e["name"] for e in old}
+        t["files"] = [e for e in t["files"] if e["name"] not in names] + new
 
     def replace_buckets(self, key: str, touched: list[int], df: DataFrame) -> None:
-        """Swap the given buckets' file lists for freshly-written ones
-        (the rewrite half of a pruned MERGE/DELETE). Untouched buckets keep
-        their files. Old files are left for vacuum (time-travel-ish)."""
-        new = self._write_files(key, df)
-        stray = set(new) - set(touched)
-        if stray:
-            # rows hashed outside the touched set would corrupt pruning —
-            # callers must only pass rows belonging to the touched buckets.
-            # Validate BEFORE mutating the bucket map: a caller that catches
-            # this error must still see a consistent in-memory manifest
-            # (the stray files on disk are unreferenced, vacuum-able).
-            raise ValueError(
-                f"replace_buckets: rows outside touched buckets {sorted(stray)}"
-            )
-        buckets = self.manifest["tables"][key]["buckets"]
-        for b in touched:
-            files = new.pop(b, [])
-            if files:
-                buckets[str(b)] = files
+        """Make ``df`` the new complete state of the touched buckets.
+        Files fully inside the touched set are dropped; files disjoint from
+        it stay referenced byte-for-byte; a shared file straddling the
+        boundary has its untouched-bucket rows rewritten into a fresh file
+        (they are small by construction — shared files only arise from
+        small writes). Old files are left for vacuum (time-travel-ish)."""
+        t = self.manifest["tables"][key]
+        keep, drop, partial = [], [], []
+        for e in t["files"]:
+            if not self._overlaps(e, touched):
+                keep.append(e)
+            elif e["buckets"] is not None and set(e["buckets"]) <= set(touched):
+                drop.append(e)
             else:
-                buckets.pop(str(b), None)
+                partial.append(e)
+        touched = sorted(touched)
+        caller_obs = None
+        if partial:
+            # a shared file straddling the boundary: fold its untouched
+            # rows into THIS write by widening the touched set to cover the
+            # file — one write replaces everything, instead of a separate
+            # remainder file per rewrite (they are small by construction —
+            # shared files only arise from small writes). The caller's
+            # rows-within-touched contract is still enforced against the
+            # ORIGINAL touched set, via an observation pinned to the
+            # caller's union branch (computed during the write, no extra
+            # job).
+            from pyspark.sql import Observation
+
+            caller_obs = Observation()
+            df = (
+                df.withColumn("__cb", self.bucket_col(F.col("_id")))
+                .observe(
+                    caller_obs,
+                    F.max(~F.col("__cb").isin(touched)).alias("stray"),
+                )
+                .drop("__cb")
+            )
+            ddir = os.path.join(self.root, "data", key)
+            rem = (
+                self.spark.read.schema(self.schema_of(key))
+                .parquet(*(os.path.join(ddir, e["name"]) for e in partial))
+                .where(~self.bucket_col(F.col("_id")).isin(touched))
+            )
+            df = df.unionByName(rem)
+            widened: set[int] = set(touched)
+            for e in partial:
+                widened |= (
+                    set(range(self.n_buckets))
+                    if e["buckets"] is None
+                    else set(e["buckets"])
+                )
+            touched = sorted(widened)
+            drop.extend(partial)
+            partial = []
+        # rewrites replace known data: the replaced files' OWN byte stats
+        # estimate the output better than the plan stats of a join-shaped
+        # merge frame (which Catalyst can only bound loosely); 1.5× covers
+        # added columns/rows. Unknown stats (pre-v2 files) → fan-out path.
+        est = None
+        if drop and all(e["bytes"] is not None for e in drop):
+            est = int(sum(e["bytes"] for e in drop) * 1.5)
+        # validate-before-mutate: _write_files raises on stray rows before
+        # anything moves; the manifest only changes after every write lands
+        new = self._write_files(key, df, touched=touched, est_bytes=est)
+        if caller_obs is not None and caller_obs.get.get("stray"):
+            # written files stay orphaned (vacuum-able); manifest untouched
+            raise ValueError(
+                "replace_buckets: rows outside touched buckets "
+                f"(caller rows beyond {touched})"
+            )
+        t["files"] = keep + new
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the current manifest."""
@@ -265,7 +485,7 @@ class DurableTableStore:
             ddir = os.path.join(self.root, "data", key)
             if not self.fs.isdir(ddir):
                 continue
-            live = {f for fs_ in t["buckets"].values() for f in fs_}
+            live = {e["name"] for e in t["files"]}
             for fn in self.fs.listdir(ddir):
                 if fn.endswith(".parquet") and fn not in live:
                     self.fs.remove(os.path.join(ddir, fn))
@@ -293,6 +513,9 @@ class DurableGraph(MutableGraph):
     ):
         super().__init__(spark, catalog)
         self.tables = DurableTableStore(spark, path, n_buckets=n_buckets)
+        self._in_query = False
+        self._query_dirty = False
+        self._manifest_snapshot: dict | None = None
         m = self.tables.manifest
         for key, t in m["tables"].items():
             df = self.tables.read_table(key)
@@ -303,14 +526,50 @@ class DurableGraph(MutableGraph):
         if m.get("multi_label_dirty"):
             self.catalog.multi_label_dirty = True
 
+    # -- query-scoped atomicity --------------------------------------------
+    # Durable flavor of the MutableGraph contract: all clause mutations of
+    # one query publish as ONE manifest version at query end (matching the
+    # reference's single transaction per query, src/executor.ts:446-456).
+    # Mid-query, data files land on disk but stay unreferenced by the
+    # durable CURRENT manifest — a crash or an abort leaves the previous
+    # version intact (orphans are vacuum-able), while intra-query reads see
+    # every prior clause through the in-memory catalog.
+    def begin_query(self) -> None:
+        super().begin_query()
+        self._manifest_snapshot = json.loads(json.dumps(self.tables.manifest))
+        self._in_query = True
+        self._query_dirty = False
+
+    def commit_query(self) -> None:
+        self._in_query = False
+        self._manifest_snapshot = None
+        if self._query_dirty:
+            self._query_dirty = False
+            self._commit_manifest()
+        super().commit_query()
+
+    def abort_query(self) -> None:
+        self._in_query = False
+        self._query_dirty = False
+        if self._manifest_snapshot is not None:
+            self.tables.manifest = self._manifest_snapshot
+            self._manifest_snapshot = None
+        super().abort_query()
+
     # -- plumbing ---------------------------------------------------------
-    def _bump(self) -> None:
-        # every mutation commits durably; nothing to checkpoint
-        self.catalog.touch()
+    def _commit_manifest(self) -> None:
         self.tables.manifest["multi_label_dirty"] = bool(
             self.catalog.multi_label_dirty
         )
         self.tables.commit()
+
+    def _bump(self) -> None:
+        self.catalog.touch()
+        if self._in_query:
+            # staged: one durable manifest version per query, at commit_query
+            self._query_dirty = True
+            return
+        self._commit_manifest()
 
     def checkpoint(self) -> None:
         """Durability is per-commit; checkpoint() is a no-op kept for API

@@ -153,7 +153,8 @@ class CypherEngine:
         """
         q = parse(cypher)
         key = None
-        if not _has_writes(q):
+        writes = _has_writes(q)
+        if not writes:
             try:
                 key = (
                     cypher,
@@ -173,7 +174,20 @@ class CypherEngine:
             max_hops=self.max_hops,
             store=self.store,
         )
-        df = compiler.compile_query(q)
+        if writes and self.store is not None:
+            # query-scoped atomicity (reference: one transaction per query,
+            # src/executor.ts:446-456): a failing later clause rolls back
+            # every earlier clause's writes; the durable store publishes
+            # ONE manifest version per query at commit
+            self.store.begin_query()
+            try:
+                df = compiler.compile_query(q)
+            except BaseException:
+                self.store.abort_query()
+                raise
+            self.store.commit_query()
+        else:
+            df = compiler.compile_query(q)
         if key is not None:
             self._plan_cache[key] = df
             while len(self._plan_cache) > self._plan_cache_cap:

@@ -35,6 +35,35 @@ class MutableGraph:
         self.spark = spark
         self.catalog = catalog if catalog is not None else GraphCatalog(spark)
         self._mutations = 0
+        self._snapshot = None
+
+    # -- query-scoped atomicity --------------------------------------------
+    # The reference runs all statements of one query inside a single
+    # transaction with rollback (src/executor.ts:446-456). Table versions
+    # here are immutable DataFrames, so a snapshot is just the catalog's
+    # reference state: begin captures it, abort restores it — a failing
+    # later clause leaves no earlier clause's writes visible.
+    def begin_query(self) -> None:
+        self._snapshot = (
+            dict(self.catalog._nodes),
+            list(self.catalog._edges),
+            self.catalog.version,
+            self.catalog.multi_label_dirty,
+        )
+
+    def commit_query(self) -> None:
+        self._snapshot = None
+
+    def abort_query(self) -> None:
+        if self._snapshot is None:
+            return
+        nodes, edges, version, mld = self._snapshot
+        self.catalog._nodes.clear()
+        self.catalog._nodes.update(nodes)
+        self.catalog._edges[:] = edges
+        self.catalog.version = version
+        self.catalog.multi_label_dirty = mld
+        self._snapshot = None
 
     # -- plumbing ---------------------------------------------------------
     def _bump(self) -> None:

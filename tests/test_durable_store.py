@@ -67,8 +67,9 @@ def test_merge_on_match_durable(spark, tmp_path):
 
 
 def test_update_rewrites_only_touched_buckets(spark, tmp_path):
-    """The 100 TB property: a keyed SET must leave untouched buckets'
-    files byte-identical in the manifest (file skipping, Delta-style)."""
+    """The 100 TB property: on a compacted (bucket-exclusive) table, a
+    keyed SET must leave every untouched file byte-identical in the
+    manifest (file skipping, Delta-style)."""
     p = tmp_path / "g"
     eng = _engine(spark, p)
     eng.query(
@@ -76,13 +77,23 @@ def test_update_rewrites_only_touched_buckets(spark, tmp_path):
     )
     store = eng.store.tables
     key = node_key("N")
-    before = dict(store.manifest["tables"][key]["buckets"])
+    # compact into the steady-state layout a 100 TB table would have:
+    # one exclusive file per bucket
+    store._compact_shared(key)
+    store.commit()
+    before = {e["name"]: e for e in store.manifest["tables"][key]["files"]}
+    assert all(len(e["buckets"]) == 1 for e in before.values())
     # update exactly one node → its _id hashes to exactly one bucket
     eng.query("MATCH (n:N {k: 7}) SET n.v = 1")
-    after = store.manifest["tables"][key]["buckets"]
-    changed = [b for b in set(before) | set(after)
-               if before.get(b) != after.get(b)]
-    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+    after = {e["name"]: e for e in store.manifest["tables"][key]["files"]}
+    removed = set(before) - set(after)
+    touched = {b for n in removed for b in before[n]["buckets"]}
+    assert len(touched) == 1, f"expected 1 rewritten bucket, got {touched}"
+    for n in set(before) & set(after):  # untouched files untouched
+        assert before[n] == after[n]
+    # every new file covers only the touched bucket
+    for n in set(after) - set(before):
+        assert set(after[n]["buckets"]) <= touched
     # and the data is correct
     assert eng.query(
         "MATCH (n:N) WHERE n.v = 1 RETURN n.k AS k"
@@ -98,12 +109,39 @@ def test_append_does_not_rewrite_existing_files(spark, tmp_path):
     eng.query("CREATE (:A {k: 1})")
     store = eng.store.tables
     key = node_key("A")
-    before = {f for fs in store.manifest["tables"][key]["buckets"].values()
-              for f in fs}
+    before = {e["name"] for e in store.manifest["tables"][key]["files"]}
     eng.query("CREATE (:A {k: 2})")
-    after = {f for fs in store.manifest["tables"][key]["buckets"].values()
-             for f in fs}
+    after = {e["name"] for e in store.manifest["tables"][key]["files"]}
     assert before <= after  # old files still referenced, only added to
+
+
+def test_small_write_lands_as_one_stats_tagged_file(spark, tmp_path):
+    """A small append writes ONE file whose manifest entry carries the
+    exact bucket set + row/byte stats (observe-collected, no extra scan)."""
+    from pyspark.sql import types as T
+
+    store = DurableTableStore(spark, str(tmp_path / "sw"), n_buckets=8)
+    schema = T.StructType([T.StructField("_id", T.StringType())])
+    store.create_table("nodes/S", {"kind": "node", "label": "S"}, schema)
+    store.append(
+        "nodes/S",
+        # a JVM-derived checkpointed frame carries exact size stats —
+        # Python-parallelized local relations report unknown size and
+        # deliberately take the fan-out path
+        spark.range(50)
+        .select(F.concat(F.lit("id"), F.col("id")).alias("_id"))
+        .localCheckpoint(eager=True),
+    )
+    files = store.manifest["tables"]["nodes/S"]["files"]
+    assert len(files) == 1
+    e = files[0]
+    assert e["rows"] == 50 and e["bytes"] > 0
+    # exact bucket tag: a pruned read on any bucket outside the set skips
+    # the file entirely; inside the set it row-filters
+    all_buckets = set(e["buckets"])
+    assert all_buckets <= set(range(8))
+    inside = store.read_table("nodes/S", [e["buckets"][0]]).count()
+    assert 0 < inside < 50
 
 
 def test_bucket_compaction_bounds_file_count(spark, tmp_path):
@@ -119,9 +157,36 @@ def test_bucket_compaction_bounds_file_count(spark, tmp_path):
             "nodes/X", spark.createDataFrame([(f"id{i}",)], schema)
         )
         store.commit()
-    files = store.manifest["tables"]["nodes/X"]["buckets"]["0"]
+    files = store.manifest["tables"]["nodes/X"]["files"]
     assert len(files) <= 3 + 1  # compaction keeps the bucket bounded
     assert store.read_table("nodes/X").count() == 10
+
+
+def test_shared_file_compaction_restores_exclusive_layout(spark, tmp_path):
+    """Small appends accumulate shared (multi-bucket) files; crossing the
+    threshold folds them back into bucket-exclusive files so pruned reads
+    stay pruned at scale."""
+    from pyspark.sql import types as T
+
+    store = DurableTableStore(
+        spark, str(tmp_path / "sh"), n_buckets=4, compact_threshold=2
+    )
+    schema = T.StructType([T.StructField("_id", T.StringType())])
+    store.create_table("nodes/M", {"kind": "node", "label": "M"}, schema)
+    for i in range(4):
+        store.append(
+            "nodes/M",
+            spark.range(10)
+            .select(
+                F.concat(F.lit(f"m{i}-"), F.col("id")).alias("_id")
+            )
+            .localCheckpoint(eager=True),  # known-small → shared files
+        )
+        store.commit()
+    files = store.manifest["tables"]["nodes/M"]["files"]
+    shared = [e for e in files if len(e["buckets"]) != 1]
+    assert len(shared) <= 2  # bounded by the threshold
+    assert store.read_table("nodes/M").count() == 40
 
 
 def test_adopt_bulk_table_then_mutate(spark, tmp_path):
@@ -168,9 +233,8 @@ def test_commit_is_atomic_versioned(spark, tmp_path):
     assert m["version"] == v2
     # every referenced file exists on disk
     for key, t in m["tables"].items():
-        for files in t["buckets"].values():
-            for f in files:
-                assert os.path.exists(p / "data" / key / f)
+        for e in t["files"]:
+            assert os.path.exists(p / "data" / key / e["name"])
 
 
 def test_vacuum_removes_orphaned_files(spark, tmp_path):
@@ -209,16 +273,16 @@ def test_replace_buckets_validates_before_mutating(spark, tmp_path):
     ids = [f"id{i}" for i in range(20)]
     store.append("nodes/Y", spark.createDataFrame([(i,) for i in ids], schema))
     store.commit()
-    before = copy.deepcopy(store.manifest["tables"]["nodes/Y"]["buckets"])
+    before = copy.deepcopy(store.manifest["tables"]["nodes/Y"]["files"])
     # pick one real bucket, then feed replace_buckets the FULL table so
     # some rows hash outside the touched set
-    touched = [int(next(iter(before)))]
+    touched = [before[0]["buckets"][0]]
     full = store.read_table("nodes/Y")
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="outside touched"):
         store.replace_buckets("nodes/Y", touched, full)
-    assert store.manifest["tables"]["nodes/Y"]["buckets"] == before
+    assert store.manifest["tables"]["nodes/Y"]["files"] == before
     store.commit()  # committing after the failed call stays consistent
     reopened = DurableTableStore(spark, str(tmp_path / "rb"), n_buckets=4)
     assert sorted(
@@ -266,6 +330,104 @@ def test_hadoop_commit_plane_roundtrip(spark, tmp_path):
     assert rows["h1"] == 101 and rows["h2"] == 102
     assert len(rows) == 10
     assert reopened.vacuum() >= 0  # old files drop cleanly via the plane
+
+
+def test_query_atomicity_failing_clause_rolls_back_earlier_writes(
+    spark, tmp_path
+):
+    """Reference semantics: all statements of one query run in a single
+    transaction with rollback (src/executor.ts:446-456). A failing later
+    clause must leave NO trace of the earlier clauses' writes — neither in
+    the live catalog nor in the durable manifest."""
+    from nicefox_graphdb_spark.cypher.compiler import CypherCompileError
+    from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+    p = tmp_path / "g"
+    eng = _engine(spark, p)
+    eng.query("CREATE (:T {k: 0, q: null})")
+    v_before = eng.store.tables.manifest["version"]
+    # clause 1 CREATEs and executes; clause 3 MERGEs on a key that is null
+    # AT RUNTIME (n.q types as string but holds null) → runtime error after
+    # clause 1's write already staged
+    with pytest.raises(CypherRuntimeError):
+        eng.query(
+            "CREATE (:T {k: 1}) WITH 1 AS one "
+            "MATCH (n:T) MERGE (z:Zz {k: n.q})"
+        )
+    # in-memory state rolled back: the k=1 node is gone, no Zz label
+    assert eng.query("MATCH (n:T) RETURN count(*) AS c") == [{"c": 1}]
+    # durable state: no manifest version was published for the failed query
+    assert eng.store.tables.manifest["version"] == v_before
+    # a compile-time error after an executed clause rolls back the same way
+    with pytest.raises(CypherCompileError):
+        eng.query("CREATE (:T {k: 2}) WITH 1 AS one MERGE (x:T {k: null})")
+    assert eng.query("MATCH (n:T) RETURN count(*) AS c") == [{"c": 1}]
+    assert eng.store.tables.manifest["version"] == v_before
+    # restart agrees
+    e2 = _engine(spark, p)
+    assert e2.query("MATCH (n:T) RETURN count(*) AS c") == [{"c": 1}]
+
+
+def test_multi_write_query_publishes_one_manifest_version(spark, tmp_path):
+    """One durable manifest version per query, however many write clauses
+    it contains (the reference's one-transaction-per-query shape)."""
+    p = tmp_path / "g"
+    eng = _engine(spark, p)
+    v0 = eng.store.tables.manifest["version"]
+    eng.query(
+        "CREATE (a:Q {k: 1}) CREATE (b:Q {k: 2}) "
+        "WITH a, b SET a.v = 10 SET b.v = 20"
+    )
+    assert eng.store.tables.manifest["version"] == v0 + 1
+    assert eng.query(
+        "MATCH (n:Q) RETURN n.k AS k, n.v AS v ORDER BY k"
+    ) == [{"k": 1, "v": 10}, {"k": 2, "v": 20}]
+
+
+def test_mutable_store_query_atomicity(spark):
+    """The in-memory store honors the same rollback contract."""
+    from nicefox_graphdb_spark.cypher.compiler import CypherCompileError
+
+    eng = CypherEngine(spark, GraphCatalog(spark), mutable=True)
+    eng.query("CREATE (:T {k: 0})")
+    with pytest.raises(CypherCompileError):
+        eng.query("CREATE (:T {k: 1}) WITH 1 AS one MERGE (x:T {k: null})")
+    assert eng.query("MATCH (n:T) RETURN count(*) AS c") == [{"c": 1}]
+
+
+def test_pre_v2_manifest_loads(spark, tmp_path):
+    """Back-compat: a manifest in the old bucket→files format (no stats)
+    still reads; first rewrite upgrades the entries."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    # write a table in the NEW store, then rewrite its manifest to the old
+    # format on disk and reopen
+    root = str(tmp_path / "old")
+    store = DurableTableStore(spark, root, n_buckets=2)
+    schema = T.StructType([T.StructField("_id", T.StringType())])
+    store.create_table("nodes/O", {"kind": "node", "label": "O"}, schema)
+    store.append(
+        "nodes/O",
+        spark.createDataFrame([(f"o{i}",) for i in range(6)], schema),
+    )
+    store._compact_shared("nodes/O")  # exclusive files → expressible in v1
+    store.commit()
+    mdir = _os.path.join(root, "_manifest")
+    cur = open(_os.path.join(mdir, "CURRENT")).read().strip()
+    m = _json.loads(open(_os.path.join(mdir, cur)).read())
+    t = m["tables"]["nodes/O"]
+    t["buckets"] = {}
+    for e in t.pop("files"):
+        t["buckets"].setdefault(str(e["buckets"][0]), []).append(e["name"])
+    with open(_os.path.join(mdir, cur), "w") as f:
+        f.write(_json.dumps(m))
+    reopened = DurableTableStore(spark, root, n_buckets=2)
+    assert reopened.read_table("nodes/O").count() == 6
+    entries = reopened.manifest["tables"]["nodes/O"]["files"]
+    assert all(len(e["buckets"]) == 1 for e in entries)
 
 
 def test_load_falls_back_to_newest_version_when_current_missing(

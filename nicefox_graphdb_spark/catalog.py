@@ -117,7 +117,8 @@ class GraphCatalog:
     # -- lookup -----------------------------------------------------------
     @property
     def labels(self) -> list[str]:
-        return sorted(self._nodes)
+        # "" is the sentinel table for unlabeled nodes — not a label
+        return sorted(lbl for lbl in self._nodes if lbl)
 
     @property
     def edge_types(self) -> list[str]:
@@ -211,7 +212,7 @@ class GraphCatalog:
     def labels_of(self, label: str) -> list[str]:
         """All labels that a node of the given primary table carries (here:
         one table per label; multi-label = same _id in several tables)."""
-        return [label]
+        return [label] if label else []
 
     def label_membership(self) -> DataFrame:
         """``(_id, _labels)`` — the full, sorted label set of every node id
@@ -229,5 +230,7 @@ class GraphCatalog:
         for p in parts[1:]:
             u = u.unionByName(p)
         return u.groupBy(ID_COL).agg(
-            F.sort_array(F.collect_set("_label")).alias("_labels")
+            F.array_remove(  # the sentinel "" is membership, not a label
+                F.sort_array(F.collect_set("_label")), ""
+            ).alias("_labels")
         )

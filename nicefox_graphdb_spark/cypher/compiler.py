@@ -1200,25 +1200,42 @@ class CypherToSpark:
                 )
                 if node_var is not None:
                     return st2, ast.Prop(base=ast.Var(node_var), key=e.key)
+            if (
+                isinstance(e, ast.Prop)
+                and isinstance(e.base, ast.Index)
+                and isinstance(e.base.base, ast.Var)
+                and (ixinfo := st.scope.get(e.base.base.name)) is not None
+                and ixinfo.kind == "value"
+                and ixinfo.elem_entity is not None
+            ):
+                # ms[i].prop over an entity-id array: rehydrate the whole
+                # property column first, then index — [x IN ms | x.prop][i]
+                # (works for any index expression, including negatives)
+                fresh = self.gensym("ix")
+                return walk(
+                    st,
+                    ast.Index(
+                        ast.ListComp(
+                            fresh,
+                            e.base.base,
+                            None,
+                            ast.Prop(ast.Var(fresh), e.key),
+                        ),
+                        e.base.index,
+                    ),
+                )
             if isinstance(e, ast.Prop):
                 st, base2 = walk(st, e.base)
                 return st, ast.Prop(base=base2, key=e.key)
             if isinstance(e, (ast.PatternExpr, ast.ExistsExpr)):
                 path = e.path if isinstance(e, ast.PatternExpr) else e.pattern
                 where = e.where if isinstance(e, ast.ExistsExpr) else None
-                lam_refs = [
-                    v
-                    for v in lam_stack
-                    if any(
-                        getattr(el, "var", None) == v for el in path.elements
-                    )
-                ]
-                if lam_refs:
-                    # pattern predicate over a comprehension/quantifier
-                    # variable: membership rewrite (x IN <matching ids>)
-                    return self._lambda_pattern_marker(
-                        st, lam_refs[-1], path, where
-                    )
+                rewritten = self._lambda_pattern_rewrite(
+                    st, lam_stack, path, where
+                )
+                if rewritten is not None:
+                    st, ne = rewritten
+                    return walk(st, ne)
                 return self._exists_marker(st, path, where)
             if isinstance(e, ast.PatternComp):
                 return self._pattern_comp_column(st, e)
@@ -1252,10 +1269,59 @@ class CypherToSpark:
                     lam_stack.pop()
                 return st, ast.Quantifier(e.kind, e.var, ns, nw)
             if isinstance(e, ast.Reduce):
+                if (
+                    self._entity_array_source(st, e.source) is not None
+                    and self._expr_touches_entity(e.body, e.var)
+                ):
+                    # reduce over an entity-id array with property access in
+                    # the body: rehydrate the elements to property structs
+                    # first (struct field access then compiles natively)
+                    fresh = self.gensym("rd")
+                    e = ast.Reduce(
+                        e.acc,
+                        e.init,
+                        e.var,
+                        ast.ListComp(
+                            fresh,
+                            e.source,
+                            None,
+                            ast.FuncCall("properties", [ast.Var(fresh)]),
+                        ),
+                        e.body,
+                    )
                 st, ni = walk(st, e.init)
                 st, ns = walk(st, e.source)
-                st, nb = walk(st, e.body)
+                lam_stack.append(e.var)
+                try:
+                    st, nb = walk(st, e.body)
+                finally:
+                    lam_stack.pop()
                 return st, ast.Reduce(e.acc, ni, e.var, ns, nb)
+            if isinstance(e, ast.Index):
+                st, b2 = walk(st, e.base)
+                st, i2 = walk(st, e.index)
+                return st, ast.Index(b2, i2)
+            if isinstance(e, ast.Slice):
+                st, b2 = walk(st, e.base)
+                s2 = e.start
+                if s2 is not None:
+                    st, s2 = walk(st, s2)
+                e2 = e.end
+                if e2 is not None:
+                    st, e2 = walk(st, e2)
+                return st, ast.Slice(b2, s2, e2)
+            if isinstance(e, ast.ListLit):
+                new_items = []
+                for i_ in e.items:
+                    st, ni = walk(st, i_)
+                    new_items.append(ni)
+                return st, ast.ListLit(new_items)
+            if isinstance(e, ast.MapLit):
+                new_map = []
+                for k, v in e.items:
+                    st, nv = walk(st, v)
+                    new_map.append((k, nv))
+                return st, ast.MapLit(new_map)
             if isinstance(e, ast.Unary):
                 st, inner = walk(st, e.operand)
                 return st, ast.Unary(e.op, inner)
@@ -1350,63 +1416,127 @@ class CypherToSpark:
                 anchors.append(v)
         return anchors
 
-    def _lambda_pattern_marker(
-        self,
-        state: CompileState,
-        lamvar: str,
-        path: ast.PatternPath,
-        where: ast.Expr | None,
-    ) -> tuple[CompileState, ast.Expr]:
-        """Pattern predicate over a list-comprehension / quantifier variable
-        — `[x IN xs WHERE (x)-[:R]->(:B)]` with x ranging over collected
-        node ids. The lambda element can't seed a join, but the predicate
-        only depends on x's identity: precompute the (one-shot, uncorrelated)
-        set of node ids satisfying the pattern with that endpoint free and
-        rewrite the predicate to an id-membership test."""
+    @staticmethod
+    def _refs_vars(expr, names: list[str]) -> bool:
+        """Does the expression tree reference any of the given variables?"""
         import dataclasses
 
-        new_elems: list = []
-        fresh = self.gensym("lx")
-        for el in path.elements:
-            if isinstance(el, ast.NodePattern) and el.var == lamvar:
-                new_elems.append(dataclasses.replace(el, var=fresh))
-            elif getattr(el, "var", None) == lamvar:
+        def w(x) -> bool:
+            if isinstance(x, ast.Var):
+                return x.name in names
+            if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                return any(
+                    w(getattr(x, f_.name)) for f_ in dataclasses.fields(x)
+                )
+            if isinstance(x, (list, tuple)):
+                return any(w(i) for i in x)
+            if isinstance(x, dict):
+                return any(w(i) for i in x.values())
+            return False
+
+        return w(expr)
+
+    def _lambda_pattern_rewrite(
+        self,
+        state: CompileState,
+        lam_stack: list[str],
+        path: ast.PatternPath,
+        where: ast.Expr | None,
+    ) -> tuple[CompileState, ast.Expr] | None:
+        """Pattern predicate depending on comprehension/quantifier/reduce
+        variables — as an ENDPOINT (`[x IN xs WHERE (x)-[:R]->(:B)]`, x over
+        collected node ids) or inside a PROPERTY expression
+        (`ALL(t IN names WHERE (a)-[:R]->({name: t}))`).
+
+        A lambda element can't seed a join, but the predicate only depends
+        on the lambda value itself: hoist the pattern into a PATTERN
+        COMPREHENSION (correlated on every OUTER anchor, computed once per
+        row) that projects the constrained slots — the endpoint's id and
+        each lambda-referencing property's stored value — and rewrite the
+        predicate to a membership test evaluated inside the lambda:
+
+            (a)-[:R]->(:B {name: t})  →  coalesce(t IN [(a)-[:R]->(f:B) | f.name], false)
+            (x)-[:R]->(:B)            →  coalesce(x IN [(f)-[:R]->(:B) | f], false)
+
+        coalesce(.., false) preserves pattern-predicate truth: a null
+        lambda value never matches (it yields null inside IN). Returns None
+        when the pattern has no lambda dependence."""
+        import dataclasses
+
+        if not lam_stack:
+            return None
+        endpoint_refs = [
+            v
+            for v in lam_stack
+            if any(getattr(el, "var", None) == v for el in path.elements)
+        ]
+        prop_refs = any(
+            el.props is not None and self._refs_vars(el.props, lam_stack)
+            for el in path.elements
+        )
+        if not endpoint_refs and not prop_refs:
+            if where is not None and self._refs_vars(where, lam_stack):
                 raise CypherCompileError(
-                    "pattern predicate over a comprehension relationship "
+                    "pattern predicate WHERE referencing a comprehension "
                     "variable is not supported"
                 )
-            else:
-                new_elems.append(el)
-        npath = dataclasses.replace(path, elements=new_elems)
-        if self._pattern_anchors(state, npath):
+            return None
+        if where is not None and self._refs_vars(where, lam_stack):
             raise CypherCompileError(
-                "pattern predicate mixing a comprehension variable with "
-                "outer pattern variables is not supported"
+                "pattern predicate WHERE referencing a comprehension "
+                "variable is not supported"
             )
-        sub = self.compile_match(
-            CompileState(df=None, scope=Scope()),
-            ast.Match(paths=[npath], optional=False, where=where),
+        lhs_exprs: list[ast.Expr] = []
+        rhs_exprs: list[ast.Expr] = []
+        new_elems: list = []
+        for el in path.elements:
+            v = getattr(el, "var", None)
+            if v is not None and v in lam_stack:
+                if not isinstance(el, ast.NodePattern):
+                    raise CypherCompileError(
+                        "pattern predicate over a comprehension relationship "
+                        "variable is not supported"
+                    )
+                fresh = self.gensym("lx")
+                el = dataclasses.replace(el, var=fresh)
+                lhs_exprs.append(ast.Var(v))
+                rhs_exprs.append(ast.Var(fresh))
+            props = getattr(el, "props", None)
+            if props is not None and self._refs_vars(props, lam_stack):
+                var = getattr(el, "var", None)
+                if var is None:
+                    var = self.gensym("lp")
+                    el = dataclasses.replace(el, var=var)
+                keep: list[tuple[str, ast.Expr]] = []
+                for k, vexpr in props.items:
+                    if self._refs_vars(vexpr, lam_stack):
+                        lhs_exprs.append(vexpr)
+                        rhs_exprs.append(ast.Prop(ast.Var(var), k))
+                    else:
+                        keep.append((k, vexpr))
+                el = dataclasses.replace(
+                    el, props=ast.MapLit(items=keep) if keep else None
+                )
+            new_elems.append(el)
+        npath = dataclasses.replace(path, elements=new_elems)
+        lhs = (
+            lhs_exprs[0] if len(lhs_exprs) == 1 else ast.ListLit(lhs_exprs)
         )
-        finfo = sub.scope.get(fresh)
-        assert finfo is not None
-        marker = self.gensym("lm")
-        ids = (
-            sub.require_df()
-            .select(F.col(finfo.id_col()).alias("__lmid"))
-            .distinct()
-            .agg(F.collect_list("__lmid").alias(vcol(marker, "val")))
+        proj = (
+            rhs_exprs[0] if len(rhs_exprs) == 1 else ast.ListLit(rhs_exprs)
         )
-        out = state.require_df().crossJoin(F.broadcast(ids))
-        scope = state.scope.copy()
-        scope.bind(
-            VarInfo(
-                name=marker,
-                kind="value",
-                dtype=T.ArrayType(T.StringType()),
-            )
+        new_expr: ast.Expr = ast.FuncCall(
+            "coalesce",
+            [
+                ast.Binary(
+                    "IN",
+                    lhs,
+                    ast.PatternComp(path=npath, where=where, projection=proj),
+                ),
+                ast.Literal(False, "bool"),
+            ],
         )
-        new_expr = ast.Binary("IN", ast.Var(lamvar), ast.Var(marker))
-        return CompileState(df=out, scope=scope), new_expr
+        return state, new_expr
 
     def _exists_marker(
         self, state: CompileState, path: ast.PatternPath, where: ast.Expr | None
@@ -1455,9 +1585,34 @@ class CypherToSpark:
         df = state.require_df()
         anchors = self._pattern_anchors(state, e.path)
         if not anchors:
-            raise CypherCompileError(
-                "pattern comprehension must reference a bound variable"
+            # unanchored: the comprehension is row-independent — compute it
+            # ONCE (uncorrelated subplan → single collected array) and
+            # broadcast-cross-join the 1-row result onto every row
+            sub = self.compile_match(
+                CompileState(df=None, scope=Scope()),
+                ast.Match(paths=[e.path], optional=False, where=e.where),
             )
+            proj = ExprCompiler(self._ctx(sub)).compile(e.projection)
+            ones = sub.require_df().agg(
+                F.collect_list(proj.col).alias(vcol(out_var, "val"))
+            )
+            coll_type = ones.schema[vcol(out_var, "val")].dataType
+            ones = ones.withColumn(
+                vcol(out_var, "val"),
+                F.coalesce(
+                    F.col(vcol(out_var, "val")), F.array().cast(coll_type)
+                ),
+            )
+            out = df.crossJoin(F.broadcast(ones))
+            scope = state.scope.copy()
+            scope.bind(
+                VarInfo(
+                    name=out_var,
+                    kind="value",
+                    dtype=T.ArrayType(proj.dtype) if proj.dtype else None,
+                )
+            )
+            return CompileState(df=out, scope=scope), ast.Var(out_var)
         anchor_cols: list[str] = []
         seed_scope = Scope()
         for v in anchors:
@@ -1560,6 +1715,24 @@ class CypherToSpark:
                 # a var-length rel variable IS a list of relationships; its
                 # id array is the accumulated path column
                 return ("edge", sinfo.types, vcol(src.name, "path"))
+            if (
+                sinfo is not None
+                and sinfo.kind == "value"
+                and sinfo.elem_entity is not None
+                and isinstance(sinfo.dtype, T.ArrayType)
+                and not isinstance(sinfo.dtype.elementType, T.ArrayType)
+            ):
+                # collect(n) / [a, b] / sliced entity lists: a tagged id
+                # array — rehydrate via the same join machinery (nested
+                # entity lists peel a level via UNWIND first)
+                kind, types = sinfo.elem_entity
+                return (kind, list(types) if kind == "edge" else [], vcol(src.name, "val"))
+        if isinstance(src, ast.Slice):
+            inner = self._entity_array_source(state, src.base)
+            if inner is not None:
+                # a slice of an entity array is still an entity array; the
+                # caller compiles the slice expression itself (ids_col=None)
+                return (inner[0], inner[1], None)
         return None
 
     def _entity_comp_rewrite(
@@ -1624,7 +1797,12 @@ class CypherToSpark:
         # filter — a row whose elements all fail must survive with [])
         collect_cond = F.col("__ec_pos").isNotNull()
         if e.where is not None:
-            w_tc = self._compile_expr(sub, subst(e.where, e.var, iv))
+            # pattern predicates over the (now join-bound) element compile
+            # as ordinary anchored exists markers on the exploded frame
+            sub, w_ast = self._rewrite_pattern_predicates(
+                sub, subst(e.where, e.var, iv)
+            )
+            w_tc = self._compile_expr(sub, w_ast)
             # 3VL: null predicate → element not collected (filter semantics)
             collect_cond = collect_cond & w_tc.col
         proj_ast = (
@@ -1632,6 +1810,7 @@ class CypherToSpark:
             if e.projection is not None
             else ast.Var(iv)
         )
+        sub, proj_ast = self._rewrite_pattern_predicates(sub, proj_ast)
         val_tc = self._compile_expr(sub, proj_ast)
         grouped = sub.require_df().groupBy(key).agg(
             F.array_sort(
@@ -1734,6 +1913,33 @@ class CypherToSpark:
                 )
         state, src_ast = self._rewrite_pattern_predicates(state, u.source)
         tc = self._compile_expr(state, src_ast)
+        if isinstance(tc.dtype, T.ArrayType) and tc.entity is not None:
+            if isinstance(tc.dtype.elementType, T.ArrayType):
+                # nested entity lists (collect of collected lists): one
+                # UNWIND peels one level; the element keeps the tag
+                exploded = F.explode(tc.col).alias(vcol(u.alias, "val"))
+                df = state.require_df()
+                out = (
+                    df.select(*df.columns, exploded)
+                    if df.columns
+                    else df.select(exploded)
+                )
+                scope = state.scope.copy()
+                scope.bind(
+                    VarInfo(
+                        name=u.alias,
+                        kind="value",
+                        dtype=tc.dtype.elementType,
+                        elem_entity=tc.entity,
+                    )
+                )
+                return CompileState(df=out, scope=scope)
+            # UNWIND over an entity-id array (collect(n), [a, b]): bind the
+            # alias as a FULL entity by joining the entity tables on id, so
+            # property access / labels() / patterns over it stay native
+            return self._unwind_entity_ids(
+                state, u.alias, tc.col, tc.entity
+            )
         df = state.require_df()
         src_col = tc.col
         if isinstance(tc.dtype, T.NullType):
@@ -1822,6 +2028,36 @@ class CypherToSpark:
             )
         return CompileState(df=out, scope=scope)
 
+    def _unwind_entity_ids(
+        self, state: CompileState, alias: str, src_col: F.Column, entity: tuple
+    ) -> CompileState:
+        """UNWIND over a tagged entity-id array: explode, then re-bind full
+        entities by joining the union scan on id (same shape as
+        _unwind_path_ids; one hash join, id-only shuffle)."""
+        kind, types = entity
+        df = state.require_df()
+        exploded = df.select(
+            *df.columns, F.explode(src_col).alias("__uw_id")
+        )
+        if kind == "node":
+            ndf, info = self._node_scan(alias, [])
+            out = exploded.join(
+                ndf, exploded["__uw_id"] == ndf[vcol(alias, "id")]
+            ).drop("__uw_id")
+        else:
+            edf, info, _ = self._edge_scan(
+                alias, list(types) or None, "out", None, None
+            )
+            if edf is None:
+                out = exploded.where(F.lit(False)).drop("__uw_id")
+            else:
+                out = exploded.join(
+                    edf, exploded["__uw_id"] == edf[vcol(alias, "eid")]
+                ).drop("__uw_id", "__from", "__to")
+        scope = state.scope.copy()
+        scope.bind(info)
+        return CompileState(df=out, scope=scope)
+
     def _unwind_path_ids(
         self, state: CompileState, alias: str, pinfo, node: bool
     ) -> CompileState:
@@ -1908,7 +2144,94 @@ class CypherToSpark:
             out_df = st.require_df().select(*dict.fromkeys(output_cols), *hidden)
         return CompileState(df=out_df, scope=out_scope)
 
+    def _rehydrate_return_items(
+        self, state: CompileState, proj: ast.Return
+    ) -> ast.Return:
+        """RETURN of an entity-id array (collect(n), [a, b]) renders as an
+        array of property maps — same row format as RETURN n (reference
+        src/types.ts:78-82) — via a rehydrating comprehension."""
+        if state.df is None:
+            return proj
+        items = self._expand_star(state, proj)
+        changed = False
+        new_items: list[ast.ReturnItem] = []
+        for item in items:
+            e = item.expr
+            if isinstance(e, ast.Var):
+                info = state.scope.get(e.name)
+                if (
+                    info is not None
+                    and info.kind == "value"
+                    and info.elem_entity is not None
+                    and isinstance(info.dtype, T.ArrayType)
+                    and not isinstance(info.dtype.elementType, T.ArrayType)
+                ):
+                    fresh = self.gensym("rh")
+                    item = ast.ReturnItem(
+                        expr=ast.ListComp(
+                            fresh,
+                            e,
+                            None,
+                            ast.FuncCall("properties", [ast.Var(fresh)]),
+                        ),
+                        alias=item.alias or e.name,
+                    )
+                    changed = True
+            elif (
+                isinstance(e, ast.ListLit)
+                and e.items
+                and all(
+                    isinstance(i_, ast.Var)
+                    and (vi := state.scope.get(i_.name)) is not None
+                    and vi.kind in ("node", "edge")
+                    for i_ in e.items
+                )
+            ):
+                # RETURN [a, b] of bound entities: render property maps
+                # in place (entities still bound — no rehydration join)
+                item = ast.ReturnItem(
+                    expr=ast.ListLit(
+                        [ast.FuncCall("properties", [i_]) for i_ in e.items]
+                    ),
+                    alias=item.alias or _expr_text(e),
+                )
+                changed = True
+            elif (
+                isinstance(e, ast.FuncCall)
+                and e.name == "collect"
+                and len(e.args) == 1
+                and isinstance(e.args[0], ast.Var)
+                and (ei := state.scope.get(e.args[0].name)) is not None
+                and ei.kind in ("node", "edge")
+            ):
+                # RETURN collect(n): render property maps directly — the
+                # entity is still bound here, so no rehydration join at all.
+                # DISTINCT dedups by IDENTITY first (two prop-identical
+                # nodes stay two list elements), via a marked aggregate.
+                alias = item.alias or _expr_text(e)
+                if e.distinct:
+                    item = ast.ReturnItem(
+                        expr=ast.FuncCall(
+                            "__collect_props_distinct", [e.args[0]]
+                        ),
+                        alias=alias,
+                    )
+                else:
+                    item = ast.ReturnItem(
+                        expr=ast.FuncCall(
+                            "collect",
+                            [ast.FuncCall("properties", [e.args[0]])],
+                        ),
+                        alias=alias,
+                    )
+                changed = True
+            new_items.append(item)
+        if not changed:
+            return proj
+        return replace(proj, star=False, items=new_items)
+
     def compile_return(self, state: CompileState, proj: ast.Return) -> DataFrame:
+        proj = self._rehydrate_return_items(state, proj)
         state, items, out_df, out_scope, output_cols = self._project(state, proj)
         # friendly output names
         renames = []
@@ -1988,6 +2311,20 @@ class CypherToSpark:
             out_df, out_scope, output_cols = self._project_simple(state, items, proj)
         return state, items, out_df, out_scope, output_cols
 
+    @staticmethod
+    def _val_info(alias: str, tc) -> VarInfo:
+        """Bind a value variable, carrying zoned-datetime and entity-array
+        provenance from the compiled expression into the scope."""
+        return VarInfo(
+            name=alias,
+            kind="value",
+            dtype=tc.dtype,
+            tz=tc.tz,
+            elem_entity=(
+                tc.entity if isinstance(tc.dtype, T.ArrayType) else None
+            ),
+        )
+
     def _project_simple(
         self, state: CompileState, items: list[ast.ReturnItem], proj: ast.Projection
     ):
@@ -2017,9 +2354,7 @@ class CypherToSpark:
             tc = self._compile_expr(state, item.expr)
             colname = vcol(alias, "val")
             new_cols[colname] = tc.col
-            out_scope.bind(
-                VarInfo(name=alias, kind="value", dtype=tc.dtype, tz=tc.tz)
-            )
+            out_scope.bind(self._val_info(alias, tc))
             output_cols.append(colname)
         for name, col in new_cols.items():
             df = df.withColumn(name, col)
@@ -2042,13 +2377,21 @@ class CypherToSpark:
         hidden: list[str] = []
         self._last_order = None
         if proj.order_by and not proj.distinct:
-            ctx = ExprCtx(scope=order_scope, params=self.params)
             order_info: list[tuple[str, bool]] = []
+            ost = CompileState(df=df, scope=order_scope)
             for i, oi in enumerate(proj.order_by):
                 name = f"__ord_{i}"
-                df = df.withColumn(name, ExprCompiler(ctx).compile(oi.expr).col)
+                ost, oe = self._rewrite_pattern_predicates(ost, oi.expr)
+                ctx = ExprCtx(scope=ost.scope, params=self.params)
+                ost = CompileState(
+                    df=ost.require_df().withColumn(
+                        name, ExprCompiler(ctx).compile(oe).col
+                    ),
+                    scope=ost.scope,
+                )
                 order_info.append((name, oi.desc))
                 hidden.append(name)
+            df = ost.require_df()
             self._last_order = order_info
         df = df.select(*dict.fromkeys(output_cols), *hidden)
         return df, out_scope, output_cols
@@ -2091,9 +2434,7 @@ class CypherToSpark:
                 colname = vcol(alias, "val")
                 pre_cols[colname] = tc.col
                 group_cols.append(colname)
-                out_scope.bind(
-                VarInfo(name=alias, kind="value", dtype=tc.dtype, tz=tc.tz)
-            )
+                out_scope.bind(self._val_info(alias, tc))
                 output_cols.append(colname)
 
         for name, col in pre_cols.items():
@@ -2125,7 +2466,14 @@ class CypherToSpark:
                 tmp = f"__agg{next(agg_counter)}"
                 col, dtype = compile_agg_call(e)
                 agg_cols.append(col.alias(vcol(tmp, "val")))
-                out_scope_tmp.bind(VarInfo(name=tmp, kind="value", dtype=dtype))
+                out_scope_tmp.bind(
+                    VarInfo(
+                        name=tmp,
+                        kind="value",
+                        dtype=dtype,
+                        elem_entity=getattr(self, "_agg_entity", None),
+                    )
+                )
                 return ast.Var(tmp)
             for attr in ("base", "operand", "left", "right", "source", "init", "body"):
                 child = getattr(e, attr, None)
@@ -2257,9 +2605,7 @@ class CypherToSpark:
             colname = vcol(alias, "val")
             agg_df = agg_df.withColumn(colname, tc.col)
             post_state = CompileState(df=agg_df, scope=post_scope)
-            out_scope.bind(
-                VarInfo(name=alias, kind="value", dtype=tc.dtype, tz=tc.tz)
-            )
+            out_scope.bind(self._val_info(alias, tc))
             output_cols.append(colname)
 
         order_scope = Scope()
@@ -2303,9 +2649,32 @@ class CypherToSpark:
         self, state: CompileState, call: ast.FuncCall
     ) -> tuple[F.Column, T.DataType | None]:
         name = call.name
+        # side-channel (like _agg_order): entity provenance of collect()ed
+        # values, consumed by the caller's VarInfo binding so entity lists
+        # stay rehydratable id arrays
+        self._agg_entity = None
         for a in call.args:
             if not isinstance(a, ast.Star):
                 self._reject_nondeterministic(a)
+        if name == "__collect_props_distinct":
+            # RETURN collect(DISTINCT n): dedup by entity IDENTITY (id),
+            # then strip the id so only the property map renders —
+            # prop-identical but distinct nodes stay separate elements
+            info = state.scope.get(call.args[0].name)  # type: ignore[union-attr]
+            assert info is not None
+            props_tc = self._compile_expr(
+                state, ast.FuncCall("properties", [call.args[0]])
+            )
+            packed = F.collect_set(
+                F.struct(
+                    F.col(info.id_col()).alias("__i"),
+                    props_tc.col.alias("__p"),
+                )
+            )
+            return (
+                F.transform(packed, lambda s: s.getField("__p")),
+                T.ArrayType(props_tc.dtype) if props_tc.dtype else None,
+            )
         if name == "count":
             if call.args and isinstance(call.args[0], ast.Star):
                 return F.count(F.lit(1)), T.LongType()
@@ -2409,6 +2778,11 @@ class CypherToSpark:
                 )
             return col, tc.dtype
         if name == "collect":
+            if tc.entity is not None:
+                # entity provenance survives any nesting depth (collect of
+                # collected lists → array<array<id>>); consumers check the
+                # element dtype to know when they're at the id level
+                self._agg_entity = tc.entity
             if call.distinct:
                 return F.collect_set(tc.col), (
                     T.ArrayType(tc.dtype) if tc.dtype else None
@@ -2549,9 +2923,9 @@ class CypherToSpark:
                     f"variable `{var}` already bound; cannot re-create"
                 )
             return state, var
-        if not np_.labels:
-            raise CypherCompileError(f"CREATE node `{var}` requires a label")
-        label = np_.labels[0]
+        # unlabeled CREATE (n {..}) is legal openCypher: such nodes live in
+        # the sentinel "" table (never listed by db.labels / labels())
+        label = np_.labels[0] if np_.labels else ""
         props = self._compiled_props(state, np_.props)
         df = state.require_df().withColumn(vcol(var, "id"), F.expr("uuid()"))
         prop_types: dict[str, T.DataType] = {}
@@ -2590,10 +2964,7 @@ class CypherToSpark:
         src_info = state.scope.get(src_var)
         dst_info = state.scope.get(dst_var)
         assert src_info is not None and dst_info is not None
-        if not src_info.labels or not dst_info.labels:
-            raise CypherCompileError(
-                "CREATE relationship endpoints must have a known label"
-            )
+        # unlabeled endpoints key their edges under the sentinel "" label
         # multi-label endpoints key the edge table under the PRIMARY label
         # (the reference's json_extract(label,'$[0]') convention); the
         # edge-scan pruning relaxes once multi-label membership exists
@@ -2616,7 +2987,10 @@ class CypherToSpark:
             *[F.col(pcol(rel_var, k)).alias(k) for k in props],
         )
         self.store.append_edges(
-            rel.types[0], src_info.labels[0], dst_info.labels[0], rows
+            rel.types[0],
+            src_info.labels[0] if src_info.labels else "",
+            dst_info.labels[0] if dst_info.labels else "",
+            rows,
         )
         scope = state.scope.copy()
         scope.bind(
@@ -3379,13 +3753,17 @@ class CypherToSpark:
             # correlated per-row match-else-create (reference MERGE
             # interpreters, src/executor.ts:6835-7121)
             return self._merge_rel_one_unbound(state, m)
-        if rel.direction == "both" or len(rel.types) != 1:
+        if len(rel.types) != 1:
+            # Neo4j 3.5 parity: multi-type MERGE is a syntax-level rejection
             raise CypherCompileError(
-                "MERGE relationship requires a single directed type"
+                "A single relationship type must be specified for MERGE"
             )
+        undirected = rel.direction == "both"
+        # undirected MERGE (Neo4j): MATCH either orientation; CREATE
+        # left-to-right when no orientation exists
         src_var, dst_var = (
             (left_np.var, right_np.var)
-            if rel.direction == "out"
+            if rel.direction in ("out", "both")
             else (right_np.var, left_np.var)
         )
         src_info = state.scope.get(src_var)
@@ -3409,6 +3787,15 @@ class CypherToSpark:
                 F.col(vcol(rel_var, "src")).alias("__ms"),
                 F.col(vcol(rel_var, "dst")).alias("__md"),
             ).distinct()
+            if undirected:
+                # either orientation satisfies the pattern — a pair is
+                # missing only if NEITHER direction exists
+                existing_pairs = existing_pairs.unionByName(
+                    existing_pairs.select(
+                        F.col("__md").alias("__ms"),
+                        F.col("__ms").alias("__md"),
+                    )
+                ).distinct()
             missing = pairs.join(existing_pairs, on=["__ms", "__md"], how="left_anti")
         else:
             missing = pairs
@@ -3425,7 +3812,10 @@ class CypherToSpark:
         for k, tc in props.items():
             created = created.withColumn(k, tc.col)
         self.store.append_edges(
-            type_, src_info.labels[0], dst_info.labels[0], created
+            type_,
+            src_info.labels[0] if src_info.labels else "",
+            dst_info.labels[0] if dst_info.labels else "",
+            created,
         )
         # bind the rel var by re-scanning (now complete) edges — restricted
         # to the pattern's props so r binds only full-pattern matches
@@ -3433,11 +3823,28 @@ class CypherToSpark:
         assert edf2 is not None
         if rel.props:
             edf2 = self._inline_prop_filter(edf2, state, rinfo2, rel.props)
-        joined = df.join(
-            edf2,
-            (df[vcol(src_var, "id")] == edf2["__from"])
-            & (df[vcol(dst_var, "id")] == edf2["__to"]),
-        ).drop("__from", "__to")
+        if undirected:
+            # two equi-joins (one per orientation) instead of a disjunctive
+            # join condition — stays a hash join at scale; self-loops only
+            # bind once (second orientation excludes them)
+            j1 = df.join(
+                edf2,
+                (df[vcol(src_var, "id")] == edf2["__from"])
+                & (df[vcol(dst_var, "id")] == edf2["__to"]),
+            )
+            j2 = df.join(
+                edf2,
+                (df[vcol(src_var, "id")] == edf2["__to"])
+                & (df[vcol(dst_var, "id")] == edf2["__from"])
+                & (edf2["__from"] != edf2["__to"]),
+            )
+            joined = j1.unionByName(j2).drop("__from", "__to")
+        else:
+            joined = df.join(
+                edf2,
+                (df[vcol(src_var, "id")] == edf2["__from"])
+                & (df[vcol(dst_var, "id")] == edf2["__to"]),
+            ).drop("__from", "__to")
         scope = state.scope.copy()
         scope.bind(rinfo2)
         new_state = CompileState(df=joined, scope=scope)
@@ -3447,11 +3854,19 @@ class CypherToSpark:
                 new_state, rel_var, created_ids, m.on_create
             )
         if m.on_match and edf is not None:
+            match_pairs = pairs
+            if undirected:
+                match_pairs = pairs.unionByName(
+                    pairs.select(
+                        F.col("__md").alias("__ms"),
+                        F.col("__ms").alias("__md"),
+                    )
+                ).distinct()
             matched_ids = (
                 edf.join(
-                    pairs,
-                    (edf[vcol(rel_var, "src")] == pairs["__ms"])
-                    & (edf[vcol(rel_var, "dst")] == pairs["__md"]),
+                    match_pairs,
+                    (edf[vcol(rel_var, "src")] == match_pairs["__ms"])
+                    & (edf[vcol(rel_var, "dst")] == match_pairs["__md"]),
                     "left_semi",
                 )
                 .select(F.col(vcol(rel_var, "eid")).alias("_id"))
@@ -3465,15 +3880,20 @@ class CypherToSpark:
         self, df: DataFrame, proj: ast.Projection, scope: Scope
     ) -> DataFrame:
         if proj.order_by:
-            ctx = ExprCtx(scope=scope, params=self.params)
             sort_cols = []
+            st = CompileState(df=df, scope=scope)
             for oi in proj.order_by:
-                tc = ExprCompiler(ctx).compile(oi.expr)
+                # pattern predicates / comprehensions in sort expressions
+                # compile via markers like anywhere else
+                st, oe = self._rewrite_pattern_predicates(st, oi.expr)
+                ctx = ExprCtx(scope=st.scope, params=self.params)
+                tc = ExprCompiler(ctx).compile(oe)
                 # Cypher/Neo4j: NULL sorts last ascending, first descending
                 sort_cols.append(
                     tc.col.desc_nulls_first() if oi.desc else tc.col.asc_nulls_last()
                 )
-            df = df.orderBy(*sort_cols)
+            orig_cols = df.columns
+            df = st.require_df().orderBy(*sort_cols).select(*orig_cols)
         if proj.skip is not None:
             df = df.offset(int(self._static_eval(proj.skip)))  # type: ignore[arg-type]
         if proj.limit is not None:

@@ -41,6 +41,12 @@ class TypedCol:
     # reference stores it inside its ISO strings, src/translator.ts:69-130)
     # so component accessors read wall-clock values in that zone.
     tz: Optional[str] = None
+    # entity provenance: ("node"|"edge", (labels_or_types...)) when this
+    # value holds an entity ID (scalar) or an array of entity IDs (array
+    # dtype). Lists of entities travel as id arrays — property access over
+    # them rehydrates by joining the entity tables (compiler
+    # _entity_comp_rewrite), and RETURN renders them as property maps.
+    entity: Optional[tuple] = None
 
 
 _NUMERIC_INT = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -202,7 +208,11 @@ _DUR_KEYS = {
     "years",
     "months",
     "monthsofyear",
+    "quarters",
+    "quartersofyear",
+    "weeks",
     "days",
+    "daysofweek",
     "hours",
     "minutes",
     "minutesofhour",
@@ -524,9 +534,21 @@ class ExprCompiler:
                     T.ArrayType(_TAGGED_T),
                 )
             elem = next((tc.dtype for tc in items if tc.dtype is not None), None)
+            ent = None
+            kinds = {tc.entity[0] for tc in items if tc.entity is not None}
+            if len(kinds) == 1 and all(tc.entity is not None for tc in items):
+                # a literal list of same-kind entities stays an id array
+                # (rehydrated on property access / RETURN, see TypedCol)
+                ent = (
+                    next(iter(kinds)),
+                    tuple(
+                        sorted({t for tc in items for t in tc.entity[1]})
+                    ),
+                )
             return TypedCol(
                 F.array(*[tc.col for tc in items]),
                 T.ArrayType(elem) if elem else None,
+                entity=ent,
             )
         if isinstance(expr, ast.MapLit):
             tcs = [(k, self.compile(v)) for k, v in expr.items]
@@ -593,12 +615,23 @@ class ExprCompiler:
             raise CypherCompileError(f"variable `{name}` not defined")
         if info.kind == "value":
             return TypedCol(
-                F.col(vcol(name, "val")), info.dtype, tz=getattr(info, "tz", None)
+                F.col(vcol(name, "val")),
+                info.dtype,
+                tz=getattr(info, "tz", None),
+                entity=getattr(info, "elem_entity", None),
             )
         if info.kind in ("node", "edge"):
             # generic value position: the entity's identity (id equality is
             # Cypher node/edge equality — reference src/translator.ts:4739)
-            return TypedCol(F.col(info.id_col()), T.StringType())
+            return TypedCol(
+                F.col(info.id_col()),
+                T.StringType(),
+                entity=(
+                    (info.kind, tuple(info.labels or []))
+                    if info.kind == "node"
+                    else (info.kind, tuple(info.types or []))
+                ),
+            )
         if info.kind == "path":
             return TypedCol(
                 F.struct(
@@ -671,7 +704,11 @@ class ExprCompiler:
                 "years": lambda: tdiv(mo, 12),
                 "months": lambda: mo,
                 "monthsofyear": lambda: mo % 12,
+                "quarters": lambda: tdiv(mo, 3),
+                "quartersofyear": lambda: tdiv(mo % 12, 3),
+                "weeks": lambda: tdiv(dd, 7),
                 "days": lambda: dd,
+                "daysofweek": lambda: dd - tdiv(dd, 7) * 7,
                 "hours": lambda: tdiv(us, 3_600_000_000),
                 "minutes": lambda: tdiv(us, 60_000_000),
                 "minutesofhour": lambda: tdiv(us, 60_000_000)
@@ -705,10 +742,17 @@ class ExprCompiler:
                     "years": lambda: part("YEAR"),
                     "months": lambda: part("YEAR") * 12 + part("MONTH"),
                     "monthsofyear": lambda: part("MONTH"),
+                    "quarters": lambda: (
+                        (part("YEAR") * 12 + part("MONTH")) / 3
+                    ).cast("long"),
+                    "quartersofyear": lambda: (part("MONTH") / 3).cast("long"),
                 }.get(key, zero if key in _DUR_KEYS else None)
             else:
                 col = {
+                    "weeks": lambda: (part("DAY") / 7).cast("long"),
                     "days": lambda: part("DAY"),
+                    "daysofweek": lambda: part("DAY")
+                    - (part("DAY") / 7).cast("long") * 7,
                     "hours": lambda: part("HOUR"),
                     "minutes": lambda: part("HOUR") * 60 + part("MINUTE"),
                     "minutesofhour": lambda: part("MINUTE"),
@@ -868,7 +912,7 @@ class ExprCompiler:
         if null_guards:
             # a null slice bound nulls the whole slice (openCypher)
             out = F.when(_any_cond(null_guards), F.lit(None)).otherwise(out)
-        return TypedCol(out, base.dtype)
+        return TypedCol(out, base.dtype, entity=base.entity)
 
     def _unary(self, e: ast.Unary) -> TypedCol:
         if (
@@ -1010,6 +1054,27 @@ class ExprCompiler:
             )
         if op in ("STARTSWITH", "ENDSWITH", "CONTAINS", "REGEX"):
             left, right = self.compile(e.left), self.compile(e.right)
+            # tagged-variant operand (element of a heterogeneous list):
+            # the predicate is defined only for the string kind — other
+            # kinds decode to null, giving Cypher's cross-type null
+            fixed = []
+            for tc in (left, right):
+                if _is_tagged(tc.dtype):
+                    tc = TypedCol(
+                        F.when(
+                            tc.col.getField("__ck") == "s",
+                            tc.col.getField("__ct"),
+                        ),
+                        T.StringType(),
+                    )
+                elif tc.dtype is not None and not isinstance(
+                    tc.dtype, (T.StringType, T.NullType)
+                ):
+                    # concretely non-string operand: Spark would CAST and
+                    # compare text; Cypher says the predicate is null
+                    return TypedCol(F.lit(None), T.BooleanType())
+                fixed.append(tc)
+            left, right = fixed
             if op == "STARTSWITH":
                 return TypedCol(left.col.startswith(right.col), T.BooleanType())
             if op == "ENDSWITH":
@@ -1372,37 +1437,6 @@ class ExprCompiler:
                             return True
         return False
 
-    @staticmethod
-    def _subst_var(expr, old: str, new: str):
-        """Replace free occurrences of variable `old` with `new` in an
-        expression tree (lambda-shadowing aware)."""
-        if not (is_dataclass(expr) and not isinstance(expr, type)):
-            return expr
-        if isinstance(expr, ast.Var):
-            return ast.Var(new) if expr.name == old else expr
-        # shadowing: only the source (evaluated in the outer scope) is
-        # substituted when the inner lambda rebinds the same name
-        if isinstance(expr, (ast.ListComp, ast.Quantifier)) and expr.var == old:
-            return replace(expr, source=ExprCompiler._subst_var(expr.source, old, new))
-        if isinstance(expr, ast.Reduce) and old in (expr.acc, expr.var):
-            return replace(
-                expr,
-                init=ExprCompiler._subst_var(expr.init, old, new),
-                source=ExprCompiler._subst_var(expr.source, old, new),
-            )
-
-        def walk(v):
-            if isinstance(v, list):
-                return [walk(x) for x in v]
-            if isinstance(v, tuple):
-                return tuple(walk(x) for x in v)
-            return ExprCompiler._subst_var(v, old, new)
-
-        return replace(
-            expr,
-            **{f.name: walk(getattr(expr, f.name)) for f in dc_fields(expr)},
-        )
-
     def _try_unify_structs(
         self, items: list[TypedCol]
     ) -> Optional[list[TypedCol]]:
@@ -1617,17 +1651,31 @@ class ExprCompiler:
             if isinstance(o, ast.Var):
                 return ast.Var(new) if o.name == old else o
             if isinstance(o, (ast.ListComp, ast.Quantifier)) and o.var == old:
-                return o  # inner binding shadows
+                # inner binding shadows the body/where, but the SOURCE is
+                # evaluated in the outer scope — substitute it
+                return dataclasses.replace(o, source=walk(o.source))
             if isinstance(o, ast.Reduce) and old in (o.var, o.acc):
-                return o
-            if dataclasses.is_dataclass(o) and not isinstance(o, type):
                 return dataclasses.replace(
+                    o, init=walk(o.init), source=walk(o.source)
+                )
+            if dataclasses.is_dataclass(o) and not isinstance(o, type):
+                out = dataclasses.replace(
                     o,
                     **{
                         f_.name: walk(getattr(o, f_.name))
                         for f_ in dataclasses.fields(o)
                     },
                 )
+                # pattern elements reference variables by NAME STRING, not
+                # ast.Var — a pattern predicate anchored on the substituted
+                # variable must re-anchor on the new name
+                # ((n)-[:L]->() inside [x IN ms ...])
+                if (
+                    isinstance(out, (ast.NodePattern, ast.RelPattern))
+                    and out.var == old
+                ):
+                    out = dataclasses.replace(out, var=new)
+                return out
             if isinstance(o, list):
                 return [walk(x) for x in o]
             if isinstance(o, tuple):
@@ -1712,6 +1760,37 @@ class ExprCompiler:
             base = self.compile(e.args[0])
             return self._method_call(base, name[1:], e.args[1:])
         if "." in name:
+            # static truncate form: datetime.truncate(unit, v) /
+            # date.truncate(unit, v) / localdatetime.truncate(unit, v) —
+            # the canonical Neo4j spelling (reference truncateFunctions,
+            # src/translator.ts:9224-9232). Only when the head is not a
+            # user variable (a variable named `date` wins, as in Neo4j).
+            head, _, meth = name.partition(".")
+            if (
+                meth == "truncate"
+                and head in ("date", "datetime", "localdatetime")
+                and self.ctx.scope.get(head) is None
+                and head not in self.ctx.lambdas
+                and len(e.args) == 2
+            ):
+                value = self.compile(e.args[1])
+                out = self._method_call(value, "truncate", [e.args[0]])
+                if head == "date":
+                    # local calendar date of the truncated instant
+                    local = (
+                        F.from_utc_timestamp(out.col, out.tz)
+                        if out.tz
+                        else out.col
+                    )
+                    return TypedCol(local.cast("date"), T.DateType())
+                if head == "localdatetime":
+                    local = (
+                        F.from_utc_timestamp(out.col, out.tz)
+                        if out.tz
+                        else out.col
+                    )
+                    return TypedCol(local, T.TimestampType())
+                return out
             # method-call syntax: x.truncate(unit) — the receiver is the
             # dotted prefix (reference translateTemporalTruncate,
             # src/translator.ts:14424-15234)
@@ -1865,7 +1944,8 @@ def _fn_labels(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     info = _entity_info(comp, args, "labels")
     null_guard = F.col(info.id_col()).isNull()  # unmatched OPTIONAL entity
     if info.has_label_col:
-        arr = F.array(F.col(vcol(info.name, "label")))
+        # "" display label = unlabeled sentinel → empty label set
+        arr = F.array_remove(F.array(F.col(vcol(info.name, "label"))), "")
     else:
         arr = F.array(*[F.lit(lbl) for lbl in info.labels])
     return TypedCol(
@@ -2499,6 +2579,9 @@ AGGREGATE_FUNCTIONS = {
     # sketch aggregates (beyond-reference, for corpus-scale profiling):
     "approxcountdistinct",  # HyperLogLog++
     "approxpercentile",  # GK quantile sketch
+    # internal: RETURN collect(DISTINCT n) — identity-distinct entity
+    # collect rendered as property maps (compiler _rehydrate_return_items)
+    "__collect_props_distinct",
 }
 
 

@@ -61,6 +61,11 @@ class VarInfo:
     # tables (catalog src/dst label metadata) — lets the compiler elide a
     # label-implied node-table join for structurally-used endpoints
     far_labels: list[str] | None = None
+    # value vars holding an ARRAY OF ENTITY IDS (collect(n), [a, b],
+    # sliced entity lists): ("node"|"edge", (labels_or_types...)).
+    # Property access / UNWIND / RETURN over such arrays rehydrate by
+    # joining the entity tables (compiler _entity_comp_rewrite et al.)
+    elem_entity: tuple | None = None
 
     def id_col(self) -> str:
         return vcol(self.name, "id" if self.kind == "node" else "eid")

@@ -72,8 +72,10 @@ from nicefox_graphdb_spark.graph_store import MutableGraph
 
 
 def _q(s: str) -> str:
-    """Filesystem-safe table-key component."""
-    return quote(s, safe="")
+    """Filesystem-safe table-key component. The empty string (the catalog's
+    sentinel label for unlabeled nodes) maps to "%00" — a NUL escape no
+    real label can quote to, so it cannot collide."""
+    return quote(s, safe="") if s else "%00"
 
 
 def node_key(label: str) -> str:

@@ -140,6 +140,17 @@ class CypherEngine:
         # (rand/uuid/current_timestamp) re-evaluate per action regardless.
         self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._plan_cache_cap = 100
+        # Why the key includes param VALUES (deliberate divergence from the
+        # reference's by-text prepared statements, src/db.ts:580-625): SQLite
+        # evaluates bound params at run time, so one plan serves all values.
+        # Spark is the opposite trade — inlining the value as a literal is
+        # what lets Catalyst push `l_quantity < $q` into the parquet scan
+        # (row-group skipping, partition pruning, constant folding). A
+        # literal-free "prepared" plan would re-read full files at 100 TB to
+        # save ~100 ms of driver-side recompile (parse itself is ~0.4 ms).
+        # So varying-value calls recompile by design; repeat values reuse
+        # the plan. cache_stats exposes hits/misses for tests and tuning.
+        self.cache_stats = {"plan_hits": 0, "misses": 0}
 
     @property
     def catalog(self) -> GraphCatalog:
@@ -166,7 +177,9 @@ class CypherEngine:
                 key = None  # unhashable param value: skip the cache
             if key is not None and key in self._plan_cache:
                 self._plan_cache.move_to_end(key)
+                self.cache_stats["plan_hits"] += 1
                 return self._plan_cache[key]
+        self.cache_stats["misses"] += 1
         compiler = CypherToSpark(
             self.spark,
             self.catalog,

@@ -150,9 +150,28 @@ class IvfIndex:
     query scans only its probed clusters, never re-trains or re-assigns
     (training per query was the round-1 anti-pattern)."""
 
-    def __init__(self, centroids: list[list[float]], assigned: DataFrame):
+    def __init__(
+        self,
+        centroids: list[list[float]],
+        assigned: DataFrame,
+        path: str | None = None,
+    ):
         self.centroids = centroids
-        self.assigned = assigned  # id, v, nrm, cluster (persisted)
+        self.assigned = assigned  # id, v, nrm, cluster (persisted or on disk)
+        self.path = path  # non-None: assigned is a cluster-partitioned scan
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        """Reopen a deployed index: centroids from the tiny json sidecar,
+        corpus from the cluster-partitioned parquet — probe queries prune
+        cluster= directories at the file listing, so a 4-probe query over a
+        64-cluster corpus touches ~1/16 of the files on disk."""
+        import json
+
+        row = spark.read.text(f"{path}/centroids").collect()[0]
+        centroids = json.loads(row["value"])
+        assigned = spark.read.parquet(f"{path}/assigned")
+        return cls(centroids, assigned, path=path)
 
     def query(
         self,
@@ -194,20 +213,39 @@ def build_ivf_index(
     dim: int,
     n_clusters: int = 16,
     n_iter: int = 5,
+    path: str | None = None,
 ) -> IvfIndex:
     """Train the coarse quantizer and persist cluster assignments + norms.
-    Deterministic: same data → same centroids → same index. At cluster
-    scale the assigned frame would be written out partitioned by
-    `cluster` so probes prune partitions; here `.persist()` plays that role.
+    Deterministic: same data → same centroids → same index.
+
+    ``path=None`` keeps the assigned frame in executor memory (iterating /
+    single session). With ``path`` the index is DEPLOYED: the assigned
+    frame is written partitioned by ``cluster`` so every probe query prunes
+    cluster= directories at the parquet file listing (no full-corpus scan,
+    no cache warm-up), and ``IvfIndex.load`` reopens it in any session.
     """
+    import json
+
     centroids = _kmeans_centroids(df, id_col, vec_col, dim, n_clusters, n_iter)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    assigned = (
-        base.join(_assign_clusters(base, centroids), on="id")
-        .withColumn("nrm", norm(F.col("v")))
-        .persist()
+    assigned = base.join(_assign_clusters(base, centroids), on="id").withColumn(
+        "nrm", norm(F.col("v"))
     )
-    return IvfIndex(centroids, assigned)
+    if path is not None:
+        spark = df.sparkSession
+        (
+            assigned.repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{path}/assigned")
+        )
+        # centroids sidecar rides the same filesystem as the data (works on
+        # object stores too — no driver-local fs assumption)
+        spark.createDataFrame(
+            [(json.dumps(centroids),)], "value string"
+        ).coalesce(1).write.mode("overwrite").text(f"{path}/centroids")
+        return IvfIndex.load(spark, path)
+    return IvfIndex(centroids, assigned.persist(), path=None)
 
 
 def ivf_topk(

@@ -321,3 +321,54 @@ def test_extract_features_real_decode_path(spark):
     )
     row = mm.extract_features(media, fake=False).collect()[0]
     assert abs(row["feat_mean"] - float(img.mean())) < 1e-4
+
+
+def test_ivf_index_deploy_partition_pruned(spark, tables, tmp_path):
+    """Deployed IVF index (path=): the assigned frame lands partitioned by
+    cluster, IvfIndex.load reopens it, and a probe query prunes cluster=
+    directories at the parquet scan — the 100 TB serve path (VERDICT r5 #8)."""
+    emb = tables["embeddings"]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    built = sim.build_ivf_index(
+        emb, "vec_id", "embedding", dim=64, n_clusters=8, path=path
+    )
+    # on-disk layout is cluster-partitioned
+    import os
+
+    part_dirs = [d for d in os.listdir(path + "/assigned") if d.startswith("cluster=")]
+    assert len(part_dirs) >= 4
+
+    loaded = sim.IvfIndex.load(spark, path)
+    assert loaded.centroids == built.centroids
+    out = loaded.query(qv, k=10, n_probe=2, exclude_id=0)
+    rows = out.collect()
+    assert len(rows) == 10
+    # the scan must prune partitions: n_probe=2 of >=4 cluster dirs
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    # physical evidence: executed scan read fewer files than exist on disk
+    total_files = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(path + "/assigned")
+    )
+    leaves = out._jdf.queryExecution().executedPlan().collectLeaves()
+    num_files = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            num_files = m.apply("numFiles").value()
+            break
+    assert num_files is not None and 0 < num_files < total_files
+    # recall parity with the in-memory index
+    mem = sim.ivf_topk(
+        emb, "vec_id", "embedding", qv, dim=64, k=10,
+        n_clusters=8, n_probe=2, exclude_id=0,
+    )
+    assert [r["id"] for r in rows] == [r["id"] for r in mem.collect()]

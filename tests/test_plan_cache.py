@@ -56,6 +56,22 @@ def test_compile_cost_amortized(engine):
     assert warm_each < cold / 5  # cache hit ≫ cheaper than a compile
 
 
+def test_cache_stats_and_varying_param_correctness(spark):
+    """Per-VALUE keying is deliberate (engine.py rationale: literal inlining
+    buys parquet pushdown; the reference's by-text prepared statements,
+    src/db.ts:580-625, fit SQLite's run-time binding instead). This pins
+    the contract: repeat values hit, new values recompile correctly."""
+    eng = CypherEngine(spark, GraphCatalog(spark), mutable=True)
+    eng.query("CREATE (:P {v: 1}), (:P {v: 2}), (:P {v: 3})")
+    q = "MATCH (n:P) WHERE n.v >= $k RETURN count(*) AS c"
+    assert eng.query(q, {"k": 2}) == [{"c": 2}]
+    base = dict(eng.cache_stats)
+    assert eng.query(q, {"k": 2}) == [{"c": 2}]  # same values → hit
+    assert eng.cache_stats["plan_hits"] == base["plan_hits"] + 1
+    assert eng.query(q, {"k": 3}) == [{"c": 1}]  # new value → recompile
+    assert eng.cache_stats["misses"] == base["misses"] + 1
+
+
 def test_unhashable_params_skip_cache(engine):
     # list params are hashable via freezing; ensure no crash + correct reuse
     q = "RETURN size($xs) AS n"

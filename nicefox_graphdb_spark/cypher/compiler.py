@@ -2955,6 +2955,10 @@ class CypherToSpark:
     ) -> CompileState:
         if rel.direction == "both":
             raise CypherCompileError("CREATE requires a directed relationship")
+        if rel.var_length:
+            raise CypherCompileError(
+                "variable length relationships cannot be used in CREATE"
+            )
         if len(rel.types) != 1:
             raise CypherCompileError("CREATE requires exactly one relationship type")
         rel_var = rel.var or self.gensym("cr")
@@ -3144,11 +3148,78 @@ class CypherToSpark:
     def compile_merge(self, state: CompileState, m: ast.Merge) -> CompileState:
         state = self._ensure_df(state)
         elements = m.path.elements
+        if any(
+            isinstance(el, ast.RelPattern) and el.var_length for el in elements
+        ):
+            raise CypherCompileError(
+                "variable length relationships cannot be used in MERGE"
+            )
         if len(elements) == 1:
             return self._merge_node(state, elements[0], m.on_create, m.on_match)
         if len(elements) == 3:
             return self._merge_relationship(state, m)
-        raise CypherCompileError("MERGE supports single-node or single-hop patterns")
+        return self._merge_multi_hop(state, m)
+
+    def _merge_multi_hop(self, state: CompileState, m: ast.Merge) -> CompileState:
+        """`MERGE (a)-[:X]->(b)-[:Y]->(c)...` — openCypher full-pattern
+        atomicity: match the ENTIRE chain; if absent, create the ENTIRE
+        chain (never a half-created path). Supported shapes: no pattern
+        variable pre-bound, no property referencing an outer variable —
+        the merge is then row-independent, so it runs ONCE globally and
+        binds to every incoming row (Neo4j's sequential per-row semantics
+        reach the same state: the first row creates, the rest match).
+        The correlated form (reference interpreters,
+        src/executor.ts:6835-7121) stays hop-decomposable by the user.
+        """
+        elements = m.path.elements
+        for el in elements:
+            if el.var and el.var in state.scope:
+                raise CypherCompileError(
+                    "multi-hop MERGE with a pre-bound variable is not "
+                    "supported; MERGE each hop separately"
+                )
+            if el.props and self._refs_vars(el.props, list(state.scope.vars)):
+                raise CypherCompileError(
+                    "multi-hop MERGE with properties referencing outer "
+                    "variables is not supported; MERGE each hop separately"
+                )
+        if not state.scope.vars:
+            return self._merge_standalone_path(state, m)
+        # uncorrelated under bound rows: one global match-else-create,
+        # cross-joined onto every row. ON CREATE applies to the created
+        # instance; ON MATCH to pre-existing matches.
+        match_state = self.compile_match(
+            CompileState(df=None, scope=Scope()),
+            ast.Match(paths=[m.path]),
+        )
+        matched = match_state.require_df()
+        if matched.isEmpty():
+            one = self._ensure_df(CompileState(df=None, scope=Scope()))
+            st = self.compile_create(one, ast.Create(paths=[m.path]))
+            if m.on_create:
+                st = self.compile_set(st, ast.SetClause(items=m.on_create))
+            bound = st.require_df().select(
+                *[
+                    c
+                    for c in st.require_df().columns
+                    if c.startswith(("__v_", "__p_"))
+                ]
+            )
+            out = state.require_df().crossJoin(bound)
+            scope = state.scope.copy()
+            for info in st.scope.vars.values():
+                scope.bind(info)
+            return CompileState(df=out, scope=scope)
+        out = state.require_df().crossJoin(matched)
+        scope = state.scope.copy()
+        for info in match_state.scope.vars.values():
+            scope.bind(info)
+        new_state = CompileState(df=out, scope=scope)
+        if m.on_match:
+            new_state = self.compile_set(
+                new_state, ast.SetClause(items=m.on_match)
+            )
+        return new_state
 
     def _merge_node(
         self,

@@ -3172,17 +3172,13 @@ class CypherToSpark:
         src/executor.ts:6835-7121) stays hop-decomposable by the user.
         """
         elements = m.path.elements
-        for el in elements:
-            if el.var and el.var in state.scope:
-                raise CypherCompileError(
-                    "multi-hop MERGE with a pre-bound variable is not "
-                    "supported; MERGE each hop separately"
-                )
-            if el.props and self._refs_vars(el.props, list(state.scope.vars)):
-                raise CypherCompileError(
-                    "multi-hop MERGE with properties referencing outer "
-                    "variables is not supported; MERGE each hop separately"
-                )
+        correlated = any(
+            (el.var and el.var in state.scope)
+            or (el.props and self._refs_vars(el.props, list(state.scope.vars)))
+            for el in elements
+        )
+        if correlated:
+            return self._merge_chain_correlated(state, m)
         if not state.scope.vars:
             return self._merge_standalone_path(state, m)
         # uncorrelated under bound rows: one global match-else-create,
@@ -3218,6 +3214,257 @@ class CypherToSpark:
         if m.on_match:
             new_state = self.compile_set(
                 new_state, ast.SetClause(items=m.on_match)
+            )
+        return new_state
+
+    def _merge_chain_correlated(
+        self, state: CompileState, m: ast.Merge
+    ) -> CompileState:
+        """Correlated multi-hop MERGE: `MATCH (a) MERGE (a)-[:X]->(b:B
+        {k: a.k})-[:Y]->(c:C)` — any mix of pre-bound (bare) node variables
+        and unbound nodes; properties may reference outer variables
+        (reference merge interpreters, src/executor.ts:6835-7121).
+
+        Vectorized like the single-hop correlated paths: distinct (bound
+        ids, computed key values) tuples → anti-join against existing
+        FULL-chain matches (relationship-isomorphic) → one fresh
+        node-per-unbound/edge-per-hop set per missing tuple. Full-pattern
+        atomicity: a partially-existing chain is never extended — the whole
+        chain is created.
+        """
+        elements = m.path.elements
+        nodes = [el for el in elements[0::2]]
+        rels = [el for el in elements[1::2]]
+        for r in rels:
+            assert isinstance(r, ast.RelPattern)
+            if r.direction == "both" or len(r.types) != 1:
+                raise CypherCompileError(
+                    "correlated multi-hop MERGE requires single directed "
+                    "relationship types"
+                )
+            if r.var and r.var in state.scope:
+                raise CypherCompileError(
+                    f"relationship variable `{r.var}` already bound"
+                )
+        rel_vars = [r.var or self.gensym("mr") for r in rels]
+        bound = []
+        node_vars = []
+        node_labels: list[str] = []
+        seen_unbound: set[str] = set()
+        for np_ in nodes:
+            is_bound = np_.var is not None and np_.var in state.scope
+            if is_bound:
+                if np_.labels or np_.props:
+                    raise CypherCompileError(
+                        "MERGE bound endpoint must be a bare variable"
+                    )
+                info = state.scope.get(np_.var)
+                if info is None or info.kind != "node":
+                    raise CypherCompileError(
+                        "MERGE endpoint must be a node variable"
+                    )
+                var = np_.var
+                label = info.labels[0] if info.labels else ""
+            else:
+                var = np_.var or self.gensym("mn")
+                if var in seen_unbound:
+                    raise CypherCompileError(
+                        "correlated MERGE with a repeated unbound variable "
+                        "is not supported"
+                    )
+                seen_unbound.add(var)
+                label = self._single_label(np_, var)
+                self.store.ensure_label(label)
+            bound.append(is_bound)
+            node_vars.append(var)
+            node_labels.append(label)
+
+        df = state.require_df()
+        # per-element computed key columns (may reference outer variables)
+        node_keys: list[dict[str, str]] = []
+        rel_keys: list[dict[str, str]] = []
+        for i, np_ in enumerate(nodes):
+            key: dict[str, str] = {}
+            for k, tc in self._compiled_props(state, np_.props).items():
+                tmp = f"__nk{i}_{k}"
+                df = df.withColumn(tmp, tc.col)
+                key[k] = tmp
+            node_keys.append(key)
+        for j, r in enumerate(rels):
+            key = {}
+            for k, tc in self._compiled_props(state, r.props).items():
+                tmp = f"__ek{j}_{k}"
+                df = df.withColumn(tmp, tc.col)
+                key[k] = tmp
+            rel_keys.append(key)
+        df = df.localCheckpoint(eager=True)
+        tmp_cols = [
+            *(t for key in node_keys for t in key.values()),
+            *(t for key in rel_keys for t in key.values()),
+        ]
+        bound_id_cols = sorted(
+            {vcol(node_vars[i], "id") for i in range(len(nodes)) if bound[i]}
+        )
+        group_cols = bound_id_cols + tmp_cols
+
+        def _left_col(j: int) -> str:
+            # hop j's endpoint at nodes[j] / nodes[j+1], honoring direction
+            return vcol(rel_vars[j], "src" if rels[j].direction == "out" else "dst")
+
+        def _right_col(j: int) -> str:
+            return vcol(rel_vars[j], "dst" if rels[j].direction == "out" else "src")
+
+        def _pattern(base):
+            """base rows joined to every existing relationship-isomorphic
+            full-chain match whose element properties equal the row's
+            computed key values. Returns (joined|None, infos_to_bind)."""
+            pat = base
+            infos = []
+            dead = False
+            cond_false = F.lit(False)
+            for j, r in enumerate(rels):
+                edf, rinfo, _ = self._edge_scan(
+                    rel_vars[j], [r.types[0]], "out", None, None
+                )
+                if edf is None:
+                    return None, []
+                edf = edf.drop("__from", "__to")
+                conds = []
+                # chain to the previous hop through an unbound middle node
+                if j > 0 and not bound[j]:
+                    conds.append(F.col(_right_col(j - 1)) == F.col(_left_col(j)))
+                # bound endpoints tie directly to the base row
+                if bound[j]:
+                    conds.append(
+                        F.col(_left_col(j)) == F.col(vcol(node_vars[j], "id"))
+                    )
+                if bound[j + 1]:
+                    conds.append(
+                        F.col(_right_col(j)) == F.col(vcol(node_vars[j + 1], "id"))
+                    )
+                # relationship isomorphism vs every earlier hop
+                for j2 in range(j):
+                    conds.append(
+                        F.col(vcol(rel_vars[j], "eid"))
+                        != F.col(vcol(rel_vars[j2], "eid"))
+                    )
+                # edge property keys
+                for k, tmp in rel_keys[j].items():
+                    if k in rinfo.props:
+                        conds.append(F.col(pcol(rel_vars[j], k)) == F.col(tmp))
+                    else:
+                        dead = True
+                cond = None
+                for c_ in conds:
+                    cond = c_ if cond is None else cond & c_
+                pat = (
+                    pat.join(edf, cond) if cond is not None else pat.crossJoin(edf)
+                )
+                infos.append(rinfo)
+            for i, np_ in enumerate(nodes):
+                if bound[i]:
+                    continue
+                nscan, ninfo = self._node_scan(node_vars[i], [node_labels[i]])
+                conds = []
+                # id equality with ONE adjacent edge endpoint (edges are
+                # already chained to each other / to base)
+                if i > 0:
+                    conds.append(
+                        F.col(_right_col(i - 1)) == F.col(vcol(node_vars[i], "id"))
+                    )
+                else:
+                    conds.append(
+                        F.col(_left_col(0)) == F.col(vcol(node_vars[i], "id"))
+                    )
+                for k, tmp in node_keys[i].items():
+                    if k in ninfo.props:
+                        conds.append(F.col(pcol(node_vars[i], k)) == F.col(tmp))
+                    else:
+                        dead = True
+                cond = None
+                for c_ in conds:
+                    cond = c_ if cond is None else cond & c_
+                pat = pat.join(nscan, cond)
+                infos.append(ninfo)
+            if dead:
+                pat = pat.where(cond_false)
+            return pat, infos
+
+        all_tuples = df.select(*group_cols).distinct()
+        matched, _ = _pattern(all_tuples)
+        if matched is not None:
+            have = matched.select(*group_cols).distinct()
+            missing = all_tuples.join(have, on=group_cols, how="left_anti")
+            matched_eids = matched.select(
+                F.col(vcol(rel_vars[0], "eid")).alias("_id")
+            ).distinct()
+        else:
+            missing = all_tuples
+            matched_eids = None
+        created = missing
+        new_node_cols: dict[int, str] = {}
+        for i in range(len(nodes)):
+            if not bound[i]:
+                new_node_cols[i] = f"__nu_{i}"
+                created = created.withColumn(f"__nu_{i}", F.expr("uuid()"))
+        new_edge_cols = [f"__eu_{j}" for j in range(len(rels))]
+        for cname in new_edge_cols:
+            created = created.withColumn(cname, F.expr("uuid()"))
+        created = created.localCheckpoint(eager=True)  # freeze the uuids
+        created_empty = self._probe_created(
+            created, group_cols, "Cannot merge using null property value"
+        )
+        if not created_empty:
+            for i in range(len(nodes)):
+                if bound[i]:
+                    continue
+                self.store.append_nodes(
+                    node_labels[i],
+                    created.select(
+                        F.col(new_node_cols[i]).alias("_id"),
+                        *[
+                            F.col(tmp).alias(k)
+                            for k, tmp in node_keys[i].items()
+                        ],
+                    ),
+                )
+            for j, r in enumerate(rels):
+                li, ri = (j, j + 1) if r.direction == "out" else (j + 1, j)
+                src_col = (
+                    vcol(node_vars[li], "id") if bound[li] else new_node_cols[li]
+                )
+                dst_col = (
+                    vcol(node_vars[ri], "id") if bound[ri] else new_node_cols[ri]
+                )
+                self.store.append_edges(
+                    r.types[0],
+                    node_labels[li],
+                    node_labels[ri],
+                    created.select(
+                        F.col(new_edge_cols[j]).alias("_id"),
+                        F.col(src_col).alias("_src"),
+                        F.col(dst_col).alias("_dst"),
+                        *[F.col(tmp).alias(k) for k, tmp in rel_keys[j].items()],
+                    ),
+                )
+        # re-bind every row against the now-complete tables
+        joined, infos = _pattern(df)
+        assert joined is not None
+        joined = joined.drop(*tmp_cols)
+        scope = state.scope.copy()
+        for info in infos:
+            scope.bind(info)
+        new_state = CompileState(df=joined, scope=scope)
+        if m.on_create and not created_empty:
+            new_state = self._apply_merge_sets(
+                new_state,
+                rel_vars[0],
+                created.select(F.col(new_edge_cols[0]).alias("_id")),
+                m.on_create,
+            )
+        if m.on_match and matched_eids is not None:
+            new_state = self._apply_merge_sets(
+                new_state, rel_vars[0], matched_eids, m.on_match
             )
         return new_state
 

@@ -174,27 +174,146 @@ Feature: Multi-hop MERGE — full-pattern atomicity over chains
       | ak | bk | ck |
       | 1  | 2  | 3  |
 
-  Scenario: pre-bound variable in a multi-hop MERGE is rejected
+  Scenario: correlated multi-hop MERGE from a bound endpoint creates per row
     Given an empty graph
     And having executed:
       """
-      CREATE (:A {k: 1})
+      CREATE (:A {k: 1}), (:A {k: 2})
+      """
+    And having executed:
+      """
+      MATCH (a:A)
+      MERGE (a)-[:X]->(b:B {k: a.k})-[:Y]->(c:C)
+      """
+    When executing query:
+      """
+      MATCH (a:A)-[:X]->(b:B)-[:Y]->(:C)
+      RETURN a.k AS ak, b.k AS bk ORDER BY ak
+      """
+    Then the result should be, in order:
+      | ak | bk |
+      | 1  | 1  |
+      | 2  | 2  |
+
+  Scenario: correlated multi-hop MERGE is idempotent per key tuple
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {k: 1}), (:A {k: 2})
+      """
+    And having executed:
+      """
+      MATCH (a:A) MERGE (a)-[:X]->(b:B {k: a.k})-[:Y]->(c:C)
+      """
+    And having executed:
+      """
+      MATCH (a:A) MERGE (a)-[:X]->(b:B {k: a.k})-[:Y]->(c:C)
+      """
+    When executing query:
+      """
+      MATCH (n) WITH count(n) AS nodes
+      MATCH ()-[r]->() RETURN nodes, count(r) AS rels
+      """
+    Then the result should be, in any order:
+      | nodes | rels |
+      | 6     | 4    |
+
+  Scenario: outer-variable property multi-hop MERGE creates one chain per value
+    Given an empty graph
+    And having executed:
+      """
+      UNWIND [1, 2, 1] AS i
+      MERGE (:A {k: i})-[:X]->(:B {k: i * 10})-[:Y]->(:C)
+      """
+    When executing query:
+      """
+      MATCH (a:A)-[:X]->(b:B)-[:Y]->(:C)
+      RETURN a.k AS ak, b.k AS bk ORDER BY ak
+      """
+    Then the result should be, in order:
+      | ak | bk |
+      | 1  | 10 |
+      | 2  | 20 |
+
+  Scenario: correlated multi-hop MERGE with both end nodes bound
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:S {k: 1}), (:T {k: 9})
+      """
+    And having executed:
+      """
+      MATCH (s:S), (t:T)
+      MERGE (s)-[:X]->(m:M)-[:Y]->(t)
+      """
+    When executing query:
+      """
+      MATCH (s:S)-[:X]->(m:M)-[:Y]->(t:T)
+      RETURN s.k AS sk, t.k AS tk
+      """
+    Then the result should be, in any order:
+      | sk | tk |
+      | 1  | 9  |
+
+  Scenario: correlated multi-hop MERGE never extends a partial chain
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:A {k: 1})-[:X]->(:B {k: 1})
+      """
+    And having executed:
+      """
+      MATCH (a:A)
+      MERGE (a)-[:X]->(b:B {k: a.k})-[:Y]->(c:C)
+      """
+    When executing query:
+      """
+      MATCH (n) WITH count(n) AS nodes
+      MATCH ()-[r]->() RETURN nodes, count(r) AS rels
+      """
+    Then the result should be, in any order:
+      | nodes | rels |
+      | 4     | 3    |
+
+  Scenario: correlated multi-hop MERGE ON CREATE and ON MATCH
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {k: 1}), (:A {k: 2})
+      """
+    And having executed:
+      """
+      MATCH (a:A) WHERE a.k = 1
+      MERGE (a)-[:X]->(:B {k: a.k})-[:Y]->(:C)
       """
     When executing query:
       """
       MATCH (a:A)
-      MERGE (a)-[:X]->(:B)-[:Y]->(:C)
+      MERGE (a)-[x:X]->(:B {k: a.k})-[:Y]->(:C)
+      ON CREATE SET x.made = true
+      ON MATCH SET x.seen = true
+      RETURN a.k AS ak, x.made AS made, x.seen AS seen ORDER BY ak
       """
-    Then an error should be raised
+    Then the result should be, in order:
+      | ak | made | seen |
+      | 1  | null | true |
+      | 2  | true | null |
 
-  Scenario: outer-variable property in a multi-hop MERGE is rejected
+  Scenario: correlated multi-hop MERGE rebinds matching chains for all rows
     Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {k: 7})
+      """
     When executing query:
       """
-      UNWIND [1, 2] AS i
-      MERGE (:A {k: i})-[:X]->(:B)-[:Y]->(:C)
+      MATCH (a:A)
+      MERGE (a)-[:X]->(b:B {k: a.k})-[:Y]->(c:C {tag: 'end'})
+      RETURN a.k AS ak, b.k AS bk, c.tag AS tag
       """
-    Then an error should be raised
+    Then the result should be, in any order:
+      | ak | bk | tag  |
+      | 7  | 7  | 'end' |
 
   Scenario: variable length relationship in MERGE is rejected
     Given an empty graph

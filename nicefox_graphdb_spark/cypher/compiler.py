@@ -3744,10 +3744,12 @@ class CypherToSpark:
         """
         left_np, rel, right_np = m.path.elements
         assert isinstance(rel, ast.RelPattern)
-        if rel.direction == "both" or len(rel.types) != 1:
+        if len(rel.types) != 1:
             raise CypherCompileError(
-                "MERGE relationship requires a single directed type"
+                "A single relationship type must be specified for MERGE"
             )
+        # undirected: MATCH either orientation; CREATE bound-to-unbound
+        undirected = rel.direction == "both"
         type_ = rel.types[0]
         left_bound = left_np.var is not None and left_np.var in state.scope
         bound_np, unb_np = (
@@ -3762,17 +3764,18 @@ class CypherToSpark:
         if bound_info is None or bound_info.kind != "node":
             raise CypherCompileError("MERGE endpoint must be a node variable")
         if len(bound_info.labels or []) != 1:
-            raise CypherCompileError(
-                "MERGE with an unbound endpoint requires the bound endpoint "
-                "to have a single known label"
-            )
+            # unlabeled / multi-label bound endpoint: the general chain
+            # machinery handles it (edge scan across all label tables)
+            return self._merge_chain_correlated(state, m)
         unb_var = unb_np.var or self.gensym("mn")
         if unb_np.var is not None and unb_np.var in state.scope:
             raise CypherCompileError(f"MERGE variable `{unb_var}` already bound")
         label = self._single_label(unb_np, unb_var)
         rel_var = rel.var or self.gensym("mr")
         self.store.ensure_label(label)
-        bound_is_src = left_bound == (rel.direction == "out")
+        bound_is_src = (
+            left_bound if undirected else left_bound == (rel.direction == "out")
+        )
 
         df = state.require_df()
         # per-row key values (correlated: may reference any outer variable)
@@ -3799,9 +3802,16 @@ class CypherToSpark:
             else (vcol(rel_var, "dst"), vcol(rel_var, "src"))
         )
 
-        def _pattern_join(base, e, escope_info, ns, nsinfo):
-            cand = base.join(e, base[bid] == e[e_bound])
-            cand = cand.join(ns, F.col(e_far) == ns[vcol(unb_var, "id")])
+        def _pattern_join_oriented(base, e, escope_info, ns, nsinfo, flip):
+            eb, ef = (e_far, e_bound) if flip else (e_bound, e_far)
+            cand = base.join(e, base[bid] == e[eb])
+            if flip:
+                # second orientation of an undirected match; self-loops
+                # already bound in the first orientation
+                cand = cand.where(
+                    F.col(vcol(rel_var, "src")) != F.col(vcol(rel_var, "dst"))
+                )
+            cand = cand.join(ns, F.col(ef) == ns[vcol(unb_var, "id")])
             for k, tmp in ukey.items():
                 if k in nsinfo.props:
                     cand = cand.where(F.col(pcol(unb_var, k)) == F.col(tmp))
@@ -3813,6 +3823,16 @@ class CypherToSpark:
                 else:
                     cand = cand.where(F.lit(False))
             return cand
+
+        def _pattern_join(base, e, escope_info, ns, nsinfo):
+            out = _pattern_join_oriented(base, e, escope_info, ns, nsinfo, False)
+            if not undirected:
+                return out
+            # either orientation satisfies an undirected pattern — two
+            # equi-joins (hash joins at scale), not a disjunctive condition
+            return out.unionByName(
+                _pattern_join_oriented(base, e, escope_info, ns, nsinfo, True)
+            )
 
         group_cols = [bid, *ukey.values(), *rkey.values()]
         all_pairs = df.select(*group_cols).distinct()

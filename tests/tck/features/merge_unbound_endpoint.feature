@@ -250,3 +250,63 @@ Feature: Correlated MERGE with one unbound endpoint (per-row match-else-create)
     Then the result should be, in any order:
       | k | t    |
       | 7 | true |
+
+  Scenario: unlabeled bound endpoint merges an unbound node per row
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {k: 1}), (:B {k: 2})
+      """
+    And having executed:
+      """
+      MATCH (n) MERGE (n)-[:OWNS]->(c:Cart {of: n.k})
+      """
+    When executing query:
+      """
+      MATCH (n)-[:OWNS]->(c:Cart)
+      RETURN n.k AS k, c.of AS of ORDER BY k
+      """
+    Then the result should be, in order:
+      | k | of |
+      | 1 | 1  |
+      | 2 | 2  |
+
+  Scenario: unlabeled bound endpoint MERGE is idempotent
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {k: 1}), (:B {k: 2})
+      """
+    And having executed:
+      """
+      MATCH (n) WHERE n.k IS NOT NULL MERGE (n)-[:OWNS]->(c:Cart {of: n.k})
+      """
+    And having executed:
+      """
+      MATCH (n) WHERE n.k IS NOT NULL MERGE (n)-[:OWNS]->(c:Cart {of: n.k})
+      """
+    When executing query:
+      """
+      MATCH (c:Cart) RETURN count(c) AS carts
+      """
+    Then the result should be, in any order:
+      | carts |
+      | 2     |
+
+  Scenario: multi-label bound endpoint merges an unbound node
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (n:A:V {k: 5})
+      """
+    And having executed:
+      """
+      MATCH (a:A:V) MERGE (a)-[:R]->(b:B {k: a.k})
+      """
+    When executing query:
+      """
+      MATCH (:A)-[:R]->(b:B) RETURN b.k AS k
+      """
+    Then the result should be, in any order:
+      | k |
+      | 5 |

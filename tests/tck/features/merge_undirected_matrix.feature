@@ -205,3 +205,80 @@ Feature: Undirected MERGE relationship (match either orientation, create left-to
     Then the result should be, in any order:
       | n |
       | 4 |
+
+  Scenario: undirected MERGE with an unbound endpoint matches either orientation
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:B {k: 1})-[:R]->(:A {k: 1})
+      """
+    And having executed:
+      """
+      MATCH (a:A) MERGE (a)-[:R]-(b:B {k: a.k})
+      """
+    When executing query:
+      """
+      MATCH (n) RETURN count(n) AS nodes
+      """
+    Then the result should be, in any order:
+      | nodes |
+      | 2     |
+
+  Scenario: undirected MERGE with an unbound endpoint creates bound-to-unbound
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {k: 2})
+      """
+    And having executed:
+      """
+      MATCH (a:A) MERGE (a)-[:R]-(b:B {k: a.k})
+      """
+    When executing query:
+      """
+      MATCH (a:A)-[:R]->(b:B)
+      RETURN a.k AS ak, b.k AS bk
+      """
+    Then the result should be, in order:
+      | ak | bk |
+      | 2  | 2  |
+
+  Scenario: undirected unbound-endpoint MERGE is idempotent across orientations
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {k: 3})
+      """
+    And having executed:
+      """
+      MATCH (a:A) MERGE (a)-[:R]-(b:B {k: a.k})
+      """
+    And having executed:
+      """
+      MATCH (a:A) MERGE (a)-[:R]-(b:B {k: a.k})
+      """
+    When executing query:
+      """
+      MATCH (n) RETURN count(n) AS nodes
+      """
+    Then the result should be, in any order:
+      | nodes |
+      | 2     |
+
+  Scenario: undirected unbound-endpoint MERGE ON MATCH against a reverse edge
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:B {k: 4})-[:R {w: 1}]->(:A {k: 4})
+      """
+    When executing query:
+      """
+      MATCH (a:A)
+      MERGE (a)-[r:R]-(b:B {k: a.k})
+      ON MATCH SET r.seen = true
+      ON CREATE SET r.made = true
+      RETURN r.w AS w, r.seen AS seen, r.made AS made
+      """
+    Then the result should be, in any order:
+      | w | seen | made |
+      | 1 | true | null |

@@ -33,7 +33,52 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Single-pass cosine: ONE fold accumulates (a·b, a·a, b·b) — the dot
+    and both squared norms ride the same sequential left fold, so each sum
+    is bit-identical to the dot()/norm() composition (DuckDB
+    list_inner_product parity preserved) at a third of the higher-order-
+    function evaluation cost. The division happens in the aggregate's
+    finish lambda: one expression, one evaluation — extracting struct
+    fields outside would inline a full copy of the fold per field."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.struct(
+                x.cast("double").alias("x"), y.cast("double").alias("y")
+            ),
+        ),
+        F.struct(
+            F.lit(0.0).alias("xy"), F.lit(0.0).alias("xx"), F.lit(0.0).alias("yy")
+        ),
+        lambda s, v: F.struct(
+            (s["xy"] + v["x"] * v["y"]).alias("xy"),
+            (s["xx"] + v["x"] * v["x"]).alias("xx"),
+            (s["yy"] + v["y"] * v["y"]).alias("yy"),
+        ),
+        lambda s: s["xy"] / (F.sqrt(s["xx"]) * F.sqrt(s["yy"])),
+    )
+
+
+def cosine_prenormed(a: Column, b: Column, b_norm: Column) -> Column:
+    """Cosine when b's norm is already known (query vectors, IVF rows):
+    one fold accumulates (a·b, a·a) in the same sequential order; the
+    finish lambda captures the outer b_norm column."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.struct(
+                x.cast("double").alias("x"), y.cast("double").alias("y")
+            ),
+        ),
+        F.struct(F.lit(0.0).alias("xy"), F.lit(0.0).alias("xx")),
+        lambda s, v: F.struct(
+            (s["xy"] + v["x"] * v["y"]).alias("xy"),
+            (s["xx"] + v["x"] * v["x"]).alias("xx"),
+        ),
+        lambda s: s["xy"] / (F.sqrt(s["xx"]) * b_norm),
+    )
 
 
 def topk_cosine(
@@ -50,6 +95,7 @@ def topk_cosine(
     """
     out = df.select(
         F.col(id_col).alias("id"),
+        # fused single-fold cosine (dot + both norms share the pass)
         F.round(cosine(F.col(vec_col), query_vec), 6).alias("cosine"),
     )
     if exclude_id is not None:

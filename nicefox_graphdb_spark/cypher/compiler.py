@@ -3191,7 +3191,9 @@ class CypherToSpark:
         matched = match_state.require_df()
         if matched.isEmpty():
             one = self._ensure_df(CompileState(df=None, scope=Scope()))
-            st = self.compile_create(one, ast.Create(paths=[m.path]))
+            st = self.compile_create(
+                one, ast.Create(paths=[self._path_directed_for_create(m.path)])
+            )
             if m.on_create:
                 st = self.compile_set(st, ast.SetClause(items=m.on_create))
             bound = st.require_df().select(
@@ -3705,6 +3707,20 @@ class CypherToSpark:
         scope.bind(updated_info)
         return CompileState(df=joined, scope=scope)
 
+    @staticmethod
+    def _path_directed_for_create(path: ast.PatternPath) -> ast.PatternPath:
+        """MERGE-driven creation of an undirected pattern goes left-to-right
+        (Neo4j): coerce `both` hops to `out` for the CREATE branch only."""
+        import dataclasses
+
+        els = [
+            dataclasses.replace(el, direction="out")
+            if isinstance(el, ast.RelPattern) and el.direction == "both"
+            else el
+            for el in path.elements
+        ]
+        return dataclasses.replace(path, elements=els)
+
     def _merge_standalone_path(
         self, state: CompileState, m: ast.Merge
     ) -> CompileState:
@@ -3714,7 +3730,9 @@ class CypherToSpark:
         )
         matched = match_state.require_df()
         if matched.isEmpty():
-            st = self.compile_create(state, ast.Create(paths=[m.path]))
+            st = self.compile_create(
+                state, ast.Create(paths=[self._path_directed_for_create(m.path)])
+            )
             if m.on_create:
                 st = self.compile_set(st, ast.SetClause(items=m.on_create))
             return st
@@ -3916,13 +3934,15 @@ class CypherToSpark:
         """
         left_np, rel, right_np = m.path.elements
         assert isinstance(rel, ast.RelPattern)
-        if rel.direction == "both" or len(rel.types) != 1:
+        if len(rel.types) != 1:
             raise CypherCompileError(
-                "MERGE relationship requires a single directed type"
+                "A single relationship type must be specified for MERGE"
             )
+        # undirected: MATCH either orientation; CREATE left-to-right
+        undirected = rel.direction == "both"
         type_ = rel.types[0]
         src_np, dst_np = (
-            (left_np, right_np) if rel.direction == "out" else (right_np, left_np)
+            (left_np, right_np) if rel.direction in ("out", "both") else (right_np, left_np)
         )
         src_var = src_np.var or self.gensym("mn")
         dst_var = dst_np.var or self.gensym("mn")
@@ -3966,6 +3986,27 @@ class CypherToSpark:
             ).join(
                 dscan, F.col(vcol(rel_var, "dst")) == dscan[vcol(dst_var, "id")]
             )
+            if undirected:
+                # either orientation satisfies the pattern — a second
+                # equi-join pair, unioned (hash joins at scale); self-loops
+                # already bound by the first orientation
+                pat2 = (
+                    edf.join(
+                        sscan,
+                        F.col(vcol(rel_var, "dst"))
+                        == sscan[vcol(src_var, "id")],
+                    )
+                    .join(
+                        dscan,
+                        F.col(vcol(rel_var, "src"))
+                        == dscan[vcol(dst_var, "id")],
+                    )
+                    .where(
+                        F.col(vcol(rel_var, "src"))
+                        != F.col(vcol(rel_var, "dst"))
+                    )
+                )
+                pat = pat.unionByName(pat2)
             cond = None
             dead = False
             for var, key, info in (

@@ -282,3 +282,56 @@ Feature: Undirected MERGE relationship (match either orientation, create left-to
     Then the result should be, in any order:
       | w | seen | made |
       | 1 | true | null |
+
+  Scenario: standalone undirected MERGE with both endpoints unbound creates left-to-right
+    Given an empty graph
+    And having executed:
+      """
+      MERGE (a:A {k: 1})-[:R]-(b:B {k: 2})
+      """
+    When executing query:
+      """
+      MATCH (a:A)-[:R]->(b:B) RETURN a.k AS ak, b.k AS bk
+      """
+    Then the result should be, in any order:
+      | ak | bk |
+      | 1  | 2  |
+
+  Scenario: standalone undirected both-unbound MERGE matches a reverse edge
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:B {k: 2})-[:R]->(:A {k: 1})
+      """
+    And having executed:
+      """
+      MERGE (a:A {k: 1})-[:R]-(b:B {k: 2})
+      """
+    When executing query:
+      """
+      MATCH (n) RETURN count(n) AS nodes
+      """
+    Then the result should be, in any order:
+      | nodes |
+      | 2     |
+
+  Scenario: correlated undirected both-unbound MERGE matches either orientation
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:B {k: 9})-[:R]->(:A {k: 9})
+      """
+    And having executed:
+      """
+      UNWIND [9, 5] AS i
+      MERGE (a:A {k: i})-[:R]-(b:B {k: i})
+      """
+    When executing query:
+      """
+      MATCH (a:A)-[r:R]-(b:B)
+      RETURN a.k AS k, count(r) AS c ORDER BY k
+      """
+    Then the result should be, in order:
+      | k | c |
+      | 5 | 1 |
+      | 9 | 1 |

@@ -3677,34 +3677,47 @@ class CypherToSpark:
         # would cost a Spark job in the common non-empty case
         sub = CompileState(df=marked.where(F.col(flag)).drop(flag), scope=state.scope)
         sub = self.compile_set(sub, ast.SetClause(items=items))
-        # merge updated prop columns back into the full binding table
+        # merge updated prop columns back into the full binding table for
+        # EVERY variable the SET items touch — not just the marker var
+        # (`MERGE (a)-[r]->(b) ON CREATE SET b.x = 1 RETURN b.x` must see
+        # the fresh value, Neo4j parity)
+        target_vars = {var}
+        for it in items:
+            t = it.target
+            if isinstance(t, ast.Prop) and isinstance(t.base, ast.Var):
+                target_vars.add(t.base.name)
+            elif isinstance(t, ast.Var):
+                target_vars.add(t.name)
+        updates: list[tuple[str, VarInfo]] = []
+        for v in sorted(target_vars):
+            uinfo = sub.scope.get(v)
+            if uinfo is not None and state.scope.get(v) is not None:
+                updates.append((v, uinfo))
         full = marked
-        updated_info = sub.scope.get(var)
-        assert updated_info is not None
-        for k in updated_info.props:
-            colname = pcol(var, k)
-            if colname not in full.columns:
-                full = full.withColumn(colname, F.lit(None))
+        for v, uinfo in updates:
+            for k in uinfo.props:
+                colname = pcol(v, k)
+                if colname not in full.columns:
+                    full = full.withColumn(colname, F.lit(None))
+        upd_cols = [
+            (v, k, f"__mu_{v}_{k}") for v, uinfo in updates for k in uinfo.props
+        ]
         sub_sel = sub.df.select(
             F.col(idc).alias("__mid"),
-            *[
-                F.col(pcol(var, k)).alias(f"__mu_{k}")
-                for k in updated_info.props
-            ],
+            *[F.col(pcol(v, k)).alias(tmp) for v, k, tmp in upd_cols],
         ).dropDuplicates(["__mid"])
         joined = full.join(
             sub_sel, full[idc] == sub_sel["__mid"], "left"
         )
-        for k in updated_info.props:
+        for v, k, tmp in upd_cols:
             joined = joined.withColumn(
-                pcol(var, k),
-                F.when(F.col(flag), F.col(f"__mu_{k}")).otherwise(
-                    F.col(pcol(var, k))
-                ),
+                pcol(v, k),
+                F.when(F.col(flag), F.col(tmp)).otherwise(F.col(pcol(v, k))),
             )
-        joined = joined.drop(flag, "__mid", *[f"__mu_{k}" for k in updated_info.props])
+        joined = joined.drop(flag, "__mid", *[tmp for _, _, tmp in upd_cols])
         scope = state.scope.copy()
-        scope.bind(updated_info)
+        for _v, uinfo in updates:
+            scope.bind(uinfo)
         return CompileState(df=joined, scope=scope)
 
     @staticmethod

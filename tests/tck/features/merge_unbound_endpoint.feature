@@ -310,3 +310,37 @@ Feature: Correlated MERGE with one unbound endpoint (per-row match-else-create)
     Then the result should be, in any order:
       | k |
       | 5 |
+
+  Scenario: ON CREATE SET on the unbound node is visible to RETURN
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {k: 1})
+      """
+    When executing query:
+      """
+      MATCH (a:A)
+      MERGE (a)-[r:R]->(b:B {k: a.k})
+      ON CREATE SET b.made = true, r.w = 5
+      RETURN b.k AS k, b.made AS made, r.w AS w
+      """
+    Then the result should be, in any order:
+      | k | made | w |
+      | 1 | true | 5 |
+
+  Scenario: ON MATCH SET on the far node reads outer variables and rebinds
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:A {k: 3})-[:R {w: 1}]->(:B {k: 3})
+      """
+    When executing query:
+      """
+      MATCH (a:A)
+      MERGE (a)-[r:R]->(b:B)
+      ON MATCH SET b.seen = a.k
+      RETURN r.w AS w, b.seen AS seen
+      """
+    Then the result should be, in any order:
+      | w | seen |
+      | 1 | 3    |

@@ -93,6 +93,12 @@ class CypherToSpark:
         # node vars used purely structurally (computed per query in
         # _compile_single): their node-table joins may be elided
         self._structural_only: set[str] = set()
+        # output columns that render entity property maps (RETURN n,
+        # collect(n), paths): the driver-side formatter drops null-valued
+        # keys there — a null stored property is an ABSENT property
+        # (reference rejects null property values, src/property-value.ts:1-25),
+        # so union-schema scans must not leak `k: null` into results
+        self.render_entity_cols: set[str] = set()
 
     def gensym(self, prefix: str) -> str:
         return f"_{prefix}{next(self._sym)}"
@@ -1474,18 +1480,9 @@ class CypherToSpark:
             el.props is not None and self._refs_vars(el.props, lam_stack)
             for el in path.elements
         )
-        if not endpoint_refs and not prop_refs:
-            if where is not None and self._refs_vars(where, lam_stack):
-                raise CypherCompileError(
-                    "pattern predicate WHERE referencing a comprehension "
-                    "variable is not supported"
-                )
+        where_dep = where is not None and self._refs_vars(where, lam_stack)
+        if not endpoint_refs and not prop_refs and not where_dep:
             return None
-        if where is not None and self._refs_vars(where, lam_stack):
-            raise CypherCompileError(
-                "pattern predicate WHERE referencing a comprehension "
-                "variable is not supported"
-            )
         lhs_exprs: list[ast.Expr] = []
         rhs_exprs: list[ast.Expr] = []
         new_elems: list = []
@@ -1519,24 +1516,112 @@ class CypherToSpark:
                 )
             new_elems.append(el)
         npath = dataclasses.replace(path, elements=new_elems)
-        lhs = (
-            lhs_exprs[0] if len(lhs_exprs) == 1 else ast.ListLit(lhs_exprs)
+        if not where_dep:
+            lhs = (
+                lhs_exprs[0] if len(lhs_exprs) == 1 else ast.ListLit(lhs_exprs)
+            )
+            proj = (
+                rhs_exprs[0] if len(rhs_exprs) == 1 else ast.ListLit(rhs_exprs)
+            )
+            new_expr: ast.Expr = ast.FuncCall(
+                "coalesce",
+                [
+                    ast.Binary(
+                        "IN",
+                        lhs,
+                        ast.PatternComp(
+                            path=npath, where=where, projection=proj
+                        ),
+                    ),
+                    ast.Literal(False, "bool"),
+                ],
+            )
+            return state, new_expr
+        # The predicate WHERE references a lambda variable (reference
+        # correlates these in-SQL, src/translator.ts:12251-12340). The
+        # lambda value isn't a column inside the hoisted comprehension, so:
+        # hoist every maximal pattern-local subexpression of the dependent
+        # conjuncts into the comprehension's PROJECTION (struct slots), keep
+        # lambda-independent conjuncts as the comprehension's WHERE, and
+        # evaluate the residual predicate inside an ANY quantifier over the
+        # collected array:
+        #   all(x IN xs WHERE (a)-[:R]->(m) WHERE m.v = x)
+        #   → all(x IN xs WHERE coalesce(
+        #         any(_s IN [(a)-[:R]->(m) | {w0: m.v}] WHERE _s.w0 = x),
+        #         false))
+        # Endpoint/prop lambda refs become equality conjuncts on `m{i}`
+        # slots instead of the IN-tuple form.
+        pattern_locals = [
+            v
+            for el in new_elems
+            if (v := getattr(el, "var", None)) and v not in state.scope
+        ]
+        indep: list[ast.Expr] = []
+        dep: list[ast.Expr] = []
+
+        def split(e: ast.Expr) -> None:
+            if isinstance(e, ast.Binary) and e.op == "AND":
+                split(e.left)
+                split(e.right)
+            elif self._refs_vars(e, lam_stack):
+                dep.append(e)
+            else:
+                indep.append(e)
+
+        split(where)
+        sname = self.gensym("ls")
+        slots: list[tuple[str, ast.Expr]] = []
+
+        def hoist(e: ast.Expr) -> ast.Expr:
+            refs_lam = self._refs_vars(e, lam_stack)
+            refs_pat = self._refs_vars(e, pattern_locals)
+            if refs_pat and not refs_lam:
+                key = f"w{len(slots)}"
+                slots.append((key, e))
+                return ast.Prop(ast.Var(sname), key)
+            if not refs_pat:
+                return e
+            kwargs = {}
+            for f_ in dataclasses.fields(e):
+                v = getattr(e, f_.name)
+                if isinstance(v, ast.Expr):
+                    v = hoist(v)
+                elif isinstance(v, list):
+                    v = [
+                        hoist(i) if isinstance(i, ast.Expr) else i for i in v
+                    ]
+                elif isinstance(v, tuple):
+                    v = tuple(
+                        hoist(i) if isinstance(i, ast.Expr) else i for i in v
+                    )
+                kwargs[f_.name] = v
+            return type(e)(**kwargs)
+
+        residual: list[ast.Expr] = [hoist(e) for e in dep]
+        proj_items: list[tuple[str, ast.Expr]] = []
+        for i, (l_, r_) in enumerate(zip(lhs_exprs, rhs_exprs)):
+            key = f"m{i}"
+            proj_items.append((key, r_))
+            residual.append(
+                ast.Binary("=", l_, ast.Prop(ast.Var(sname), key))
+            )
+        proj_items.extend(slots)
+        inner = residual[0]
+        for e in residual[1:]:
+            inner = ast.Binary("AND", inner, e)
+        iw: ast.Expr | None = None
+        for e in indep:
+            iw = e if iw is None else ast.Binary("AND", iw, e)
+        comp = ast.PatternComp(
+            path=npath, where=iw, projection=ast.MapLit(items=proj_items)
         )
-        proj = (
-            rhs_exprs[0] if len(rhs_exprs) == 1 else ast.ListLit(rhs_exprs)
-        )
-        new_expr: ast.Expr = ast.FuncCall(
+        return state, ast.FuncCall(
             "coalesce",
             [
-                ast.Binary(
-                    "IN",
-                    lhs,
-                    ast.PatternComp(path=npath, where=where, projection=proj),
-                ),
+                ast.Quantifier("any", sname, comp, inner),
                 ast.Literal(False, "bool"),
             ],
         )
-        return state, new_expr
 
     def _exists_marker(
         self, state: CompileState, path: ast.PatternPath, where: ast.Expr | None
@@ -2176,6 +2261,7 @@ class CypherToSpark:
                         ),
                         alias=item.alias or e.name,
                     )
+                    self.render_entity_cols.add(item.alias)
                     changed = True
             elif (
                 isinstance(e, ast.ListLit)
@@ -2195,6 +2281,7 @@ class CypherToSpark:
                     ),
                     alias=item.alias or _expr_text(e),
                 )
+                self.render_entity_cols.add(item.alias)
                 changed = True
             elif (
                 isinstance(e, ast.FuncCall)
@@ -2209,6 +2296,7 @@ class CypherToSpark:
                 # DISTINCT dedups by IDENTITY first (two prop-identical
                 # nodes stay two list elements), via a marked aggregate.
                 alias = item.alias or _expr_text(e)
+                self.render_entity_cols.add(alias)
                 if e.distinct:
                     item = ast.ReturnItem(
                         expr=ast.FuncCall(
@@ -2267,6 +2355,7 @@ class CypherToSpark:
                     .otherwise(struct_col)
                     .alias(nice)
                 )
+                self.render_entity_cols.add(nice)
             elif info is not None and info.kind == "path":
                 # an unmatched OPTIONAL MATCH path is null, not a struct of
                 # null arrays
@@ -2282,6 +2371,7 @@ class CypherToSpark:
                     )
                     .alias(nice)
                 )
+                self.render_entity_cols.add(nice)
             else:
                 renames.append(F.col(vcol(target, "val")).alias(nice))
         return out_df.select(*renames)
@@ -2665,10 +2755,16 @@ class CypherToSpark:
             props_tc = self._compile_expr(
                 state, ast.FuncCall("properties", [call.args[0]])
             )
+            # unmatched OPTIONAL entities (id IS NULL) must be skipped, like
+            # collect_list skips NULLs — when() nulls the struct so
+            # collect_set drops it instead of keeping struct(null, null)
             packed = F.collect_set(
-                F.struct(
-                    F.col(info.id_col()).alias("__i"),
-                    props_tc.col.alias("__p"),
+                F.when(
+                    F.col(info.id_col()).isNotNull(),
+                    F.struct(
+                        F.col(info.id_col()).alias("__i"),
+                        props_tc.col.alias("__p"),
+                    ),
                 )
             )
             return (
@@ -3190,6 +3286,15 @@ class CypherToSpark:
         )
         matched = match_state.require_df()
         if matched.isEmpty():
+            if state.require_df().isEmpty():
+                # Neo4j runs MERGE once per input row: zero input rows
+                # means zero executions — create NOTHING, return zero rows
+                # (with the pattern variables bound for downstream schema)
+                out = state.require_df().crossJoin(matched)
+                scope = state.scope.copy()
+                for info in match_state.scope.vars.values():
+                    scope.bind(info)
+                return CompileState(df=out, scope=scope)
             one = self._ensure_df(CompileState(df=None, scope=Scope()))
             st = self.compile_create(
                 one, ast.Create(paths=[self._path_directed_for_create(m.path)])

@@ -105,6 +105,18 @@ def _decode_cell(v):
     return v
 
 
+def _prune_null_props(v):
+    """Drop null-valued keys from rendered entity property maps (and from
+    entity maps inside collected lists / path structs). Stored properties
+    can never BE null (reference rejects them, src/property-value.ts:1-25),
+    so a null here is a union-schema artifact meaning "absent"."""
+    if isinstance(v, dict):
+        return {k: _prune_null_props(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_prune_null_props(x) for x in v]
+    return v
+
+
 class CypherEngine:
     def __init__(
         self,
@@ -201,6 +213,12 @@ class CypherEngine:
             self.store.commit_query()
         else:
             df = compiler.compile_query(q)
+        # ride the entity-rendering metadata on the plan object (it's a
+        # plain Python wrapper): query() prunes null-valued keys from these
+        # columns' property maps — a null stored property is ABSENT
+        # (reference src/property-value.ts:1-25), so union-schema scans
+        # must not leak `k: null` into results
+        df._nf_entity_cols = frozenset(compiler.render_entity_cols)
         if key is not None:
             self._plan_cache[key] = df
             while len(self._plan_cache) > self._plan_cache_cap:
@@ -210,9 +228,18 @@ class CypherEngine:
     # reference-parity convenience API
     def query(self, cypher: str, params: dict | None = None) -> list[dict]:
         """Execute and return rows as dicts (reference result format)."""
+        df = self.dataframe(cypher, params)
+        entity_cols = getattr(df, "_nf_entity_cols", frozenset())
         return [
-            {k: _decode_cell(v) for k, v in r.asDict(recursive=True).items()}
-            for r in self.dataframe(cypher, params).collect()
+            {
+                k: (
+                    _prune_null_props(_decode_cell(v))
+                    if k in entity_cols
+                    else _decode_cell(v)
+                )
+                for k, v in r.asDict(recursive=True).items()
+            }
+            for r in df.collect()
         ]
 
     execute = query  # reference client API alias (src/types.ts:92-167)

@@ -36,6 +36,17 @@ from nicefox_graphdb_spark.catalog import GraphCatalog
 _VERSION_RE = re.compile(r"^v(\d{6})_\d{8}T\d{6}$")
 
 
+def _table_fname(label: str) -> str:
+    """Filesystem-safe table name. The unlabeled-node sentinel table has
+    label ``""`` — an empty (or ``.``/``_``-prefixed) name would be
+    invisible to Spark's file reader, so escape via URL-quoting and map
+    empty to a token quote() can never produce (``%`` always escapes to
+    ``%25``)."""
+    from urllib.parse import quote
+
+    return quote(label, safe="") or "%empty%"
+
+
 @dataclass
 class SnapshotResult:
     """Mirror of the reference's BackupResult (src/backup.ts:12-20)."""
@@ -89,14 +100,19 @@ def snapshot_graph(
         tmp = out + ".inprogress"
         manifest: dict = {"version": version, "nodes": [], "edges": []}
         n_tables = 0
-        for label in catalog.labels:
-            catalog.node(label).df.write.mode("overwrite").parquet(
-                os.path.join(tmp, "nodes", f"{label}.parquet")
+        # raw table keys, NOT catalog.labels — labels excludes the ""
+        # sentinel table for unlabeled nodes, which must be backed up too
+        for label in sorted(catalog._nodes):
+            catalog._nodes[label].df.write.mode("overwrite").parquet(
+                os.path.join(tmp, "nodes", f"{_table_fname(label)}.parquet")
             )
             manifest["nodes"].append({"label": label})
             n_tables += 1
         for et in catalog.edge_tables(None):
-            fname = f"{et.type}__{et.src_label}__{et.dst_label}.parquet"
+            fname = (
+                f"{_table_fname(et.type)}__{_table_fname(et.src_label)}"
+                f"__{_table_fname(et.dst_label)}.parquet"
+            )
             et.df.write.mode("overwrite").parquet(
                 os.path.join(tmp, "edges", fname)
             )
@@ -164,14 +180,18 @@ def load_snapshot(
         manifest = json.load(f)
     cat = GraphCatalog(spark)
     for n in manifest["nodes"]:
-        cat.register_node(
-            n["label"],
-            spark.read.parquet(
-                os.path.join(base, "nodes", f"{n['label']}.parquet")
-            ),
-        )
+        path = os.path.join(base, "nodes", f"{_table_fname(n['label'])}.parquet")
+        if not os.path.exists(path):
+            # pre-round-7 snapshots wrote unescaped label names
+            path = os.path.join(base, "nodes", f"{n['label']}.parquet")
+        cat.register_node(n["label"], spark.read.parquet(path))
     for e in manifest["edges"]:
-        fname = f"{e['type']}__{e['src']}__{e['dst']}.parquet"
+        fname = (
+            f"{_table_fname(e['type'])}__{_table_fname(e['src'])}"
+            f"__{_table_fname(e['dst'])}.parquet"
+        )
+        if not os.path.exists(os.path.join(base, "edges", fname)):
+            fname = f"{e['type']}__{e['src']}__{e['dst']}.parquet"
         cat.register_edge(
             e["type"],
             e["src"],

@@ -215,3 +215,106 @@ def test_zoned_subday_arithmetic_in_fallback_hour(g):
         "RETURN toString(dt + duration('P1D')) AS s"
     )
     assert rows2 == [{"s": "2021-11-07T12:00:00-05:00[America/New_York]"}]
+
+
+# -- round-6 ADVICE fixes -------------------------------------------------
+
+
+def test_snapshot_includes_unlabeled_nodes(g, tmp_path):
+    """ADVICE r6 #1: the "" sentinel table (unlabeled nodes) must be part
+    of a snapshot; restore must not lose data."""
+    from nicefox_graphdb_spark.sources.snapshot import (
+        load_snapshot,
+        snapshot_graph,
+    )
+
+    g.query("CREATE (:Person {name: 'labeled'})")
+    g.query("CREATE ({name: 'bare'})")
+    res = snapshot_graph(g.catalog, str(tmp_path / "bk"))
+    assert res.success, res.error
+    cat2 = load_snapshot(g.spark, str(tmp_path / "bk"))
+    from nicefox_graphdb_spark import CypherEngine
+
+    g2 = CypherEngine(g.spark, cat2)
+    rows = g2.query("MATCH (n) RETURN n.name AS name ORDER BY name")
+    assert rows == [{"name": "bare"}, {"name": "labeled"}]
+    rows_bare = g2.query(
+        "MATCH (n) WHERE size(labels(n)) = 0 RETURN n.name AS name"
+    )
+    assert rows_bare == [{"name": "bare"}]
+
+
+def test_uncorrelated_multihop_merge_zero_input_rows(g):
+    """ADVICE r6 #2: MERGE runs per input row — a preceding MATCH with
+    zero rows must create NOTHING and return zero rows."""
+    g.query("CREATE (:Seed {k: 1})")
+    rows = g.query(
+        "MATCH (s:Nope) MERGE (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN a, b, c"
+    )
+    assert rows == []
+    assert g.query("MATCH (n:A) RETURN count(*) AS c") == [{"c": 0}]
+    assert g.query("MATCH ()-[r:X]->() RETURN count(*) AS c") == [{"c": 0}]
+    # sanity: with one input row the same MERGE creates the chain once
+    g.query("MATCH (s:Seed) MERGE (a:A)-[:X]->(b:B)-[:Y]->(c:C)")
+    assert g.query("MATCH (n:A) RETURN count(*) AS c") == [{"c": 1}]
+
+
+def test_collect_distinct_skips_unmatched_optional(g):
+    """ADVICE r6 #3: collect(DISTINCT n) after an OPTIONAL MATCH miss is
+    [], not [null] — same null-skipping as plain collect."""
+    g.query("CREATE (:P {name: 'p'})")
+    rows = g.query(
+        "MATCH (p:P) OPTIONAL MATCH (p)-[:NOPE]->(m) "
+        "RETURN collect(DISTINCT m) AS xs"
+    )
+    assert rows == [{"xs": []}]
+    rows2 = g.query(
+        "MATCH (p:P) OPTIONAL MATCH (p)-[:NOPE]->(m) "
+        "RETURN collect(m) AS xs"
+    )
+    assert rows2 == [{"xs": []}]
+    # and a real match still collects the entity once
+    g.query("MATCH (p:P) CREATE (p)-[:R]->(:Q {v: 1})")
+    rows3 = g.query(
+        "MATCH (p:P) OPTIONAL MATCH (p)-[:R]->(m) "
+        "RETURN collect(DISTINCT m) AS xs"
+    )
+    assert rows3 == [{"xs": [{"v": 1}]}]
+
+
+def test_pattern_predicate_where_references_lambda_var(g):
+    """VERDICT r6 ask #2: EXISTS pattern WHERE referencing a
+    comprehension/quantifier variable (reference correlates these,
+    src/translator.ts:12251-12340)."""
+    g.query("CREATE (a:LA {v: 1}), (b:LA {v: 2}), (m:LM {v: 1}), (n:LM {v: 3})")
+    g.query("MATCH (a:LA {v:1}), (m:LM {v:1}) CREATE (a)-[:LR]->(m)")
+    g.query("MATCH (a:LA {v:2}), (n:LM {v:3}) CREATE (a)-[:LR]->(n)")
+    rows = g.query(
+        "MATCH (a:LA) RETURN a.v AS v, "
+        "all(x IN [a.v] WHERE EXISTS { (a)-[:LR]->(m) WHERE m.v = x }) AS ok "
+        "ORDER BY v"
+    )
+    assert rows == [{"v": 1, "ok": True}, {"v": 2, "ok": False}]
+    rows2 = g.query(
+        "MATCH (a:LA) WITH a ORDER BY a.v "
+        "RETURN [x IN [1,2,3] WHERE EXISTS { (a)-[:LR]->(m) WHERE m.v = x }] AS xs"
+    )
+    assert rows2 == [{"xs": [1]}, {"xs": [3]}]
+    # mixed: lambda-dependent prop + independent conjunct + dependent WHERE
+    rows3 = g.query(
+        "MATCH (a:LA {v:1}) RETURN all(x IN [1] WHERE "
+        "EXISTS { (a)-[:LR]->(m {v: x}) WHERE m.v > 0 AND m.v = x }) AS ok"
+    )
+    assert rows3 == [{"ok": True}]
+    # null lambda value never matches
+    rows4 = g.query(
+        "MATCH (a:LA {v:1}) RETURN "
+        "[x IN [1, null] WHERE EXISTS { (a)-[:LR]->(m) WHERE m.v = x }] AS xs"
+    )
+    assert rows4 == [{"xs": [1]}]
+    # independent conjunct stays inside the hoisted comprehension
+    rows5 = g.query(
+        "MATCH (a:LA) RETURN a.v AS v, any(x IN [1,3] WHERE "
+        "EXISTS { (a)-[:LR]->(m) WHERE m.v > 2 AND m.v = x }) AS ok ORDER BY v"
+    )
+    assert rows5 == [{"v": 1, "ok": False}, {"v": 2, "ok": True}]

@@ -345,6 +345,22 @@ class CypherToSpark:
             return ops[expr.op](left, right)
         raise CypherCompileError("expression must be compile-time constant")
 
+    def _skip_limit_count(self, which: str, expr: ast.Expr) -> int:
+        """SKIP/LIMIT operand: a compile-time non-negative integer
+        (Neo4j 3.5 raises SyntaxError for negatives and non-integers)."""
+        v = self._static_eval(expr)
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise CypherCompileError(
+                f"{which}: Invalid input. '{v}' is not a valid value, "
+                "must be a non-negative integer."
+            )
+        if v < 0:
+            raise CypherCompileError(
+                f"{which}: Invalid input. '{v}' is not a valid value, "
+                "must be a non-negative integer."
+            )
+        return v
+
     def _empty_nodes(self, var: str) -> tuple[DataFrame, VarInfo]:
         schema = T.StructType([T.StructField(vcol(var, "id"), T.StringType())])
         return (
@@ -1965,6 +1981,11 @@ class CypherToSpark:
 
     # -- UNWIND ---------------------------------------------------------------
     def compile_unwind(self, state: CompileState, u: ast.Unwind) -> CompileState:
+        if state.scope.get(u.alias) is not None:
+            # Neo4j: UNWIND may not shadow a bound variable
+            raise CypherCompileError(
+                f"variable `{u.alias}` already declared"
+            )
         if state.df is None:
             state = CompileState(
                 df=self.spark.range(0, 1, 1, 1).select(), scope=state.scope
@@ -2382,6 +2403,18 @@ class CypherToSpark:
         items = self._expand_star(state, proj)
         if not items:
             raise CypherCompileError("empty projection")
+        # Neo4j 3.5: duplicate output column names are a SyntaxError
+        # ("Multiple result columns with the same name are not supported"),
+        # both in RETURN and WITH
+        out_names: set[str] = set()
+        for it in items:
+            name = it.alias or _bare_var_name(it) or _expr_text(it.expr)
+            if name in out_names:
+                raise CypherCompileError(
+                    "Multiple result columns with the same name are not "
+                    f"supported (`{name}`)"
+                )
+            out_names.add(name)
         if state.df is None:
             state = CompileState(df=self.spark.range(0, 1, 1, 1).select(), scope=state.scope)
         # rewrite pattern predicates / comprehensions inside items
@@ -2976,6 +3009,41 @@ class CypherToSpark:
                 "or a list of primitives"
             )
 
+    def _validate_storable_static(self, key: str, expr: ast.Expr) -> None:
+        """Statically-evaluable slice of the property-value domain the dtype
+        check can't see: list ELEMENTS must be non-null finite primitives
+        (reference validates literal/parameter elements,
+        src/property-value.ts:8-16, src/translator.ts:1077-1108)."""
+        import math
+
+        def bad_elem(x: object) -> bool:
+            return (
+                x is None
+                or isinstance(x, (list, tuple, dict))
+                or (isinstance(x, float) and not math.isfinite(x))
+            )
+
+        def raise_bad() -> None:
+            raise CypherCompileError(
+                f"InvalidPropertyType: property `{key}` must be a primitive "
+                "or a list of primitives"
+            )
+
+        if isinstance(expr, ast.ListLit):
+            for it in expr.items:
+                if isinstance(it, ast.Literal) and it.value is None:
+                    raise_bad()
+                if isinstance(it, ast.Param) and bad_elem(
+                    self.params.get(it.name)
+                ):
+                    raise_bad()
+        elif isinstance(expr, ast.Param):
+            v = self.params.get(expr.name)
+            if isinstance(v, (list, tuple)) and any(bad_elem(x) for x in v):
+                raise_bad()
+            if isinstance(v, float) and not math.isfinite(v):
+                raise_bad()
+
     def _compiled_props(
         self, state: CompileState, props: ast.MapLit | None
     ) -> dict[str, TypedCol]:
@@ -2986,6 +3054,7 @@ class CypherToSpark:
         for k, v in props.items:
             tc = comp.compile(v)
             self._validate_storable(k, tc)
+            self._validate_storable_static(k, v)
             out[k] = tc
         return out
 
@@ -3124,6 +3193,7 @@ class CypherToSpark:
             )
             var = item.target.base.name
             key = item.target.key
+            self._validate_storable_static(key, item.value)
             updates = {key: ExprCompiler(self._ctx(state)).compile(item.value)}
             return self._push_prop_updates(state, var, updates, replace_all=False)
         # var_replace / var_merge with a map value
@@ -3132,6 +3202,8 @@ class CypherToSpark:
         if not isinstance(item.value, ast.MapLit):
             raise CypherCompileError("SET n = / += requires a map literal")
         comp = ExprCompiler(self._ctx(state))
+        for k, v in item.value.items:
+            self._validate_storable_static(k, v)
         updates = {k: comp.compile(v) for k, v in item.value.items}
         return self._push_prop_updates(
             state, var, updates, replace_all=(item.kind == "var_replace")
@@ -3250,6 +3322,30 @@ class CypherToSpark:
             raise CypherCompileError(
                 "variable length relationships cannot be used in MERGE"
             )
+        # statically-null MERGE key props (literal null or null-valued
+        # parameter) error for EVERY element — node or relationship
+        # (reference MERGE-null rules, src/translator.ts:829-842; runtime
+        # nulls are caught by the created-row probes)
+        for el in elements:
+            props = getattr(el, "props", None)
+            if props is None:
+                continue
+            kind = (
+                "relationship" if isinstance(el, ast.RelPattern) else "node"
+            )
+            for k, v in props.items:
+                is_null = (
+                    isinstance(v, ast.Literal) and v.value is None
+                ) or (
+                    isinstance(v, ast.Param)
+                    and v.name in self.params
+                    and self.params[v.name] is None
+                )
+                if is_null:
+                    raise CypherCompileError(
+                        f"Cannot merge {kind} using null property value "
+                        f"for `{k}`"
+                    )
         if len(elements) == 1:
             return self._merge_node(state, elements[0], m.on_create, m.on_match)
         if len(elements) == 3:
@@ -4392,9 +4488,9 @@ class CypherToSpark:
             orig_cols = df.columns
             df = st.require_df().orderBy(*sort_cols).select(*orig_cols)
         if proj.skip is not None:
-            df = df.offset(int(self._static_eval(proj.skip)))  # type: ignore[arg-type]
+            df = df.offset(self._skip_limit_count("SKIP", proj.skip))
         if proj.limit is not None:
-            df = df.limit(int(self._static_eval(proj.limit)))  # type: ignore[arg-type]
+            df = df.limit(self._skip_limit_count("LIMIT", proj.limit))
         return df
 
 

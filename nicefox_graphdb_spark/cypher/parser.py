@@ -362,6 +362,16 @@ class Parser:
             self.advance()
             limit = self.parse_expr()
         if is_with:
+            # Neo4j 3.5: every non-variable expression in WITH must be
+            # aliased — `WITH n.p` is a SyntaxError, `WITH n.p AS p` is not
+            for it in items:
+                if it.alias is None and not isinstance(it.expr, ast.Var):
+                    t = self.peek()
+                    raise CypherSyntaxError(
+                        "Expression in WITH must be aliased (use AS)",
+                        t.line,
+                        t.col,
+                    )
             where = None
             if self.at_kw("WHERE"):
                 self.advance()
@@ -493,6 +503,15 @@ class Parser:
                     ast.RemoveItem(kind="labels", target=ast.Var(name), labels=labels)
                 )
             else:
+                if not self.at_op("."):
+                    # `REMOVE n` is invalid — REMOVE takes n.prop or n:Label
+                    t = self.peek()
+                    raise CypherSyntaxError(
+                        "Invalid REMOVE target: expected a property "
+                        "(n.prop) or a label (n:Label)",
+                        t.line,
+                        t.col,
+                    )
                 expr: ast.Expr = ast.Var(name)
                 while self.at_op("."):
                     self.advance()

@@ -685,7 +685,9 @@ def _p_stream_hourly(spark, sf_dir):
 
     src = st.stage_events_as_stream_source(spark, sf_dir, n_chunks=4)
     stream = st.event_stream_from_dir(spark, src, max_files_per_trigger=2)
-    return st.run_to_memory(st.hourly_rollup(stream), output_mode="complete").orderBy(
+    return st.run_to_memory(
+        st.hourly_rollup(stream), output_mode="complete", state_partitions=8
+    ).orderBy(
         "window_start", "event_type"
     )
 
@@ -697,7 +699,11 @@ def _p_stream_sessions(spark, sf_dir):
     src = st.stage_events_as_stream_source(spark, sf_dir, n_chunks=4)
     stream = st.event_stream_from_dir(spark, src)
     return (
-        st.run_to_memory(st.sessionize(stream, gap="30 minutes"), output_mode="complete")
+        st.run_to_memory(
+            st.sessionize(stream, gap="30 minutes"),
+            output_mode="complete",
+            state_partitions=8,
+        )
         .select("session_start", "user_id", "n_events", "total")
         .orderBy("user_id", "session_start")
     )

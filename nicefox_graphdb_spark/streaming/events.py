@@ -184,23 +184,56 @@ def user_running_stats(stream: DataFrame) -> DataFrame:
 
 
 # -- execution helper ------------------------------------------------------
+_MEM_VIEWS: list[str] = []
+
+
 def run_to_memory(
     result: DataFrame,
     output_mode: str = "complete",
     timeout: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into an
-    in-memory table; returns the final table as a batch DataFrame."""
-    name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout)
+    in-memory table; returns the final table as a batch DataFrame.
+
+    Resource bounds for repeated runs (a bench loop, a notebook): each
+    call drops the in-memory tables of PREVIOUS calls (memory-sink views
+    are never dropped by Spark itself) and deletes its checkpoint dir on
+    termination — without this, every run leaks a temp view + a
+    checkpoint directory and a long session grows without bound.
+
+    ``state_partitions`` sizes the streaming STATE STORE partition count
+    (captured from ``spark.sql.shuffle.partitions`` at query start, then
+    pinned in the checkpoint forever): per-micro-batch fixed cost is
+    proportional to it, so small rollups want far fewer than a batch
+    shuffle would use, while a 100 TB ingest sizes it to executor count.
+    """
     spark = result.sparkSession
+    # older calls' results are consumed by now — free them (keep a small
+    # tail so recently-returned DataFrames stay readable by callers that
+    # batch up several streaming results before collecting)
+    while len(_MEM_VIEWS) > 8:
+        spark.catalog.dropTempView(_MEM_VIEWS.pop(0))
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="nicefox_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    _MEM_VIEWS.append(name)
     return spark.table(name)
 
 

@@ -3613,8 +3613,7 @@ class CypherToSpark:
         new_edge_cols = [f"__eu_{j}" for j in range(len(rels))]
         for cname in new_edge_cols:
             created = created.withColumn(cname, F.expr("uuid()"))
-        created = created.localCheckpoint(eager=True)  # freeze the uuids
-        created_empty = self._probe_created(
+        created, created_empty = self._checkpoint_created(
             created, group_cols, "Cannot merge using null property value"
         )
         if not created_empty:
@@ -3709,15 +3708,10 @@ class CypherToSpark:
             if all(k in table.columns for k in key_names)
             else keys
         )
-        created = missing_keys.withColumn("_id", F.expr("uuid()")).localCheckpoint(
-            eager=True
-        )
-        # one probe returns emptiness AND the runtime null-key check: a null
-        # key never equals a stored key, so it always lands in the created
-        # (missing) set — detect it there before anything is appended
-        # (reference MERGE-null rules, src/translator.ts:829-842)
-        created_empty = self._probe_created(
-            created, list(key_tmp), "Cannot merge node using null property value"
+        created, created_empty = self._checkpoint_created(
+            missing_keys.withColumn("_id", F.expr("uuid()")),
+            list(key_tmp),
+            "Cannot merge node using null property value",
         )
         key_types = {k: tc.dtype for k, tc in props.items()}
         folded = (
@@ -3830,27 +3824,32 @@ class CypherToSpark:
             *[F.col(pcol(var, k)).alias(k) for k in prop_types],
         )
 
-    def _probe_created(
-        self, created: DataFrame, key_cols: list[str], err: str
-    ) -> bool:
-        """ONE Spark job over the (checkpointed) created set: returns
-        emptiness and raises on null key values (which always land in the
-        created set, since null never equals a stored key)."""
+    def _checkpoint_created(
+        self, frame: DataFrame, key_cols: list[str], err: str
+    ) -> tuple[DataFrame, bool]:
+        """Checkpoint the created set (freezing generated uuids) and ride
+        the emptiness + null-key probe on the SAME job via ``observe`` —
+        zero follow-up probe jobs (the pattern durable_store._write_files
+        uses for write stats). Null key values always land in the created
+        set, since null never equals a stored key — raising here is the
+        runtime MERGE-null check (reference src/translator.ts:829-842)."""
+        from pyspark.sql import Observation
+
         from nicefox_graphdb_spark.graph_store import CypherRuntimeError
 
-        if not key_cols:
-            return created.isEmpty()
-        anynull = None
-        for k in key_cols:
-            c = F.col(k).isNull()
-            anynull = c if anynull is None else anynull | c
-        row = created.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.max(anynull).alias("__has_null"),
-        ).first()
-        if row["__has_null"]:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        if key_cols:
+            anynull = None
+            for k in key_cols:
+                c = F.col(k).isNull()
+                anynull = c if anynull is None else anynull | c
+            aggs.append(F.max(anynull).alias("__has_null"))
+        obs = Observation()
+        created = frame.observe(obs, *aggs).localCheckpoint(eager=True)
+        row = obs.get
+        if key_cols and row.get("__has_null"):
             raise CypherRuntimeError(err)
-        return row["__n"] == 0
+        return created, row["__n"] == 0
 
     def _apply_merge_sets(
         self,
@@ -4078,15 +4077,10 @@ class CypherToSpark:
         else:
             missing = all_pairs
             matched_eids = None
-        created = (
-            missing.withColumn("__new_nid", F.expr("uuid()"))
-            .withColumn("__new_eid", F.expr("uuid()"))
-            .localCheckpoint(eager=True)  # freeze the generated uuids
-        )
-        # null keys never pattern-match, so they always land in the created
-        # set — the emptiness probe doubles as the runtime null-key check
-        created_empty = self._probe_created(
-            created,
+        created, created_empty = self._checkpoint_created(
+            missing.withColumn("__new_nid", F.expr("uuid()")).withColumn(
+                "__new_eid", F.expr("uuid()")
+            ),
             [*ukey.values(), *rkey.values()],
             "Cannot merge using null property value",
         )
@@ -4266,16 +4260,12 @@ class CypherToSpark:
         else:
             missing = all_tuples
             matched_eids = None
-        created = (
+        created, created_empty = self._checkpoint_created(
             missing.withColumn("__new_sid", F.expr("uuid()"))
             .withColumn("__new_did", F.expr("uuid()"))
-            .withColumn("__new_eid", F.expr("uuid()"))
-            .localCheckpoint(eager=True)  # freeze the generated uuids
-        )
-        # null keys never pattern-match, so they always land in the created
-        # set — the emptiness probe doubles as the runtime null-key check
-        created_empty = self._probe_created(
-            created, tmp_cols, "Cannot merge using null property value"
+            .withColumn("__new_eid", F.expr("uuid()")),
+            tmp_cols,
+            "Cannot merge using null property value",
         )
         if not created_empty:
             self.store.append_nodes(

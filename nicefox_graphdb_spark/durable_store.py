@@ -110,14 +110,25 @@ class DurableTableStore:
     small_write_bytes = 32 * 1024 * 1024
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16,
-                 compact_threshold: int = 8, fs=None):
+                 compact_threshold: int = 8, fs=None,
+                 retain_versions: int = 10, vacuum_every: int = 8):
         """``fs`` is the commit plane (see commit_plane.py): every
         small-file metadata operation — manifest IO, CURRENT swing, staged
         parquet moves, vacuum deletes — routes through it. Default is the
         driver-local filesystem; pass ``HadoopCommitPlane(spark, root)``
-        for hdfs://-style roots."""
+        for hdfs://-style roots.
+
+        ``retain_versions`` bounds storage growth: every ``vacuum_every``
+        commits, manifest versions older than the newest N are deleted and
+        data files referenced by NO retained version are vacuumed (Delta's
+        log-retention + VACUUM, wired into the commit cadence instead of a
+        cron). Time-travel (``read_table_at``) stays valid for the
+        retained window. ``retain_versions=None`` disables (grow forever,
+        vacuum manually)."""
         self.spark = spark
         self.root = root
+        self.retain_versions = retain_versions
+        self.vacuum_every = vacuum_every
         self.fs = fs if fs is not None else LocalCommitPlane()
         self._mdir = os.path.join(root, "_manifest")
         self.fs.makedirs(self._mdir)
@@ -168,6 +179,77 @@ class DurableTableStore:
             os.path.join(self._mdir, name), json.dumps(self.manifest)
         )
         self.fs.write_text_atomic(os.path.join(self._mdir, "CURRENT"), name)
+        if (
+            self.retain_versions is not None
+            and self.manifest["version"] % self.vacuum_every == 0
+        ):
+            self.apply_retention()
+
+    def _manifest_at(self, version: int) -> dict:
+        path = os.path.join(self._mdir, f"v{version:012d}.json")
+        if not self.fs.exists(path):
+            raise FileNotFoundError(
+                f"manifest version {version} not retained (floor is "
+                f"{self.manifest['version'] - (self.retain_versions or 0) + 1})"
+            )
+        return json.loads(self.fs.read_text(path))
+
+    def read_table_at(self, key: str, version: int) -> DataFrame:
+        """Time-travel read: the table as of a retained manifest version."""
+        m = self._manifest_at(version)
+        t = m["tables"][key]
+        ddir = os.path.join(self.root, "data", key)
+        paths = [os.path.join(ddir, e["name"]) for e in t["files"]]
+        schema = T.StructType.fromJson(t["schema"])
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def apply_retention(self) -> tuple[int, int]:
+        """Drop manifest versions beyond the retained window and vacuum
+        data files referenced by NO retained version. Returns
+        (manifests_deleted, files_deleted)."""
+        cur = self.manifest["version"]
+        floor = max(1, cur - (self.retain_versions or cur) + 1)
+        dropped = 0
+        retained: list[dict] = []
+        for fn in sorted(self.fs.listdir(self._mdir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            v = int(fn[1:13])
+            if v < floor:
+                self.fs.remove(os.path.join(self._mdir, fn))
+                dropped += 1
+            else:
+                retained.append(
+                    json.loads(self.fs.read_text(os.path.join(self._mdir, fn)))
+                )
+        live: dict[str, set] = {}
+        for m in [*retained, self.manifest]:
+            for key, t in m.get("tables", {}).items():
+                live.setdefault(key, set()).update(
+                    e["name"] for e in t["files"]
+                )
+        removed = 0
+        data_root = os.path.join(self.root, "data")
+        # table keys are paths (nodes/<label>, edges/<t>__<s>__<d>) — walk
+        # the tree; any dir holding parquet files is a table dir whose key
+        # is its path relative to data/
+        stack = [""]
+        while stack:
+            rel = stack.pop()
+            d = os.path.join(data_root, rel) if rel else data_root
+            if not self.fs.isdir(d):
+                continue
+            keep = live.get(rel, set())
+            for fn in self.fs.listdir(d):
+                p = os.path.join(d, fn)
+                if self.fs.isdir(p):
+                    stack.append(os.path.join(rel, fn) if rel else fn)
+                elif fn.endswith(".parquet") and fn not in keep:
+                    self.fs.remove(p)
+                    removed += 1
+        return dropped, removed
 
     # -- schema / bucket helpers -----------------------------------------
     def bucket_col(self, id_col: F.Column) -> F.Column:

@@ -450,3 +450,45 @@ def test_load_falls_back_to_newest_version_when_current_missing(
     _os.remove(_os.path.join(root, "_manifest", "CURRENT"))
     reopened = DurableTableStore(spark, root)
     assert reopened.read_table("nodes/C").count() == 2
+
+
+def test_retention_bounds_files_and_time_travel_reads(spark, tmp_path):
+    """VERDICT r6 ask #4: a SET/DELETE loop must leave manifest + data
+    file counts bounded (auto-vacuum on the commit cadence) while
+    time-travel to the retained window still reads consistently."""
+    path = str(tmp_path / "g")
+    eng = _engine(spark, path)
+    store = eng.store.tables
+    store.retain_versions = 4
+    store.vacuum_every = 2
+    eng.query("CREATE (:N {k: 1, v: 0})")
+    for i in range(1, 13):
+        eng.query(f"MATCH (n:N {{k: 1}}) SET n.v = {i}")
+    mdir = os.path.join(path, "_manifest")
+    manifests = [f for f in os.listdir(mdir) if f.endswith(".json")]
+    # retained window only — never the full 13-version history
+    assert len(manifests) <= store.retain_versions + store.vacuum_every
+    ddir = os.path.join(path, "data", node_key("N"))
+    files = [f for f in os.listdir(ddir) if f.endswith(".parquet")]
+    # every retained version references at most 1 small file for this table
+    assert len(files) <= store.retain_versions + store.vacuum_every
+    # time travel: each retained version reads the value as-of then
+    cur = store.manifest["version"]
+    floor = cur - store.retain_versions + 1
+    vals = {}
+    for v in range(max(floor, 1), cur + 1):
+        rows = store.read_table_at(node_key("N"), v).select("v").collect()
+        vals[v] = rows[0]["v"] if rows else None
+    # versions are montonically increasing SET values
+    got = [vals[v] for v in sorted(vals)]
+    assert got == sorted(got) and len(set(got)) == len(got)
+    # versions older than the last retention run's floor are gone, loudly
+    # (retention fires every vacuum_every commits, so the deletable
+    # horizon lags the current version by at most that much)
+    old = cur - store.retain_versions - store.vacuum_every
+    if old >= 1:
+        with pytest.raises(FileNotFoundError):
+            store.read_table_at(node_key("N"), old)
+    # current state survives a restart after vacuum
+    eng2 = _engine(spark, path)
+    assert eng2.query("MATCH (n:N) RETURN n.v AS v") == [{"v": 12}]

@@ -2993,6 +2993,36 @@ class CypherToSpark:
             )
         return np_.labels[0]
 
+    def _merge_labels(self, np_: ast.NodePattern, var: str) -> list[str]:
+        """Unbound MERGE node labels: one or more. Multi-label `:A:B`
+        matches nodes carrying EVERY label; creation inserts under the
+        primary (first) label plus membership in each extra label table —
+        the same normalization CREATE (:A:B) uses (reference stores the
+        full label array per node and matches on membership)."""
+        if not np_.labels:
+            raise CypherCompileError(
+                f"MERGE node `{var}` requires at least one label"
+            )
+        return list(np_.labels)
+
+    def _merge_existing_filter(self, labels: list[str], df: DataFrame) -> DataFrame:
+        """Restrict a primary-label node table to ids that ALSO belong to
+        every extra label table (multi-label MERGE intersection)."""
+        for extra in labels[1:]:
+            if not self.store.catalog.has_label(extra):
+                return df.limit(0)
+            df = df.join(
+                self.store.catalog.node(extra).df.select("_id"),
+                on="_id",
+                how="left_semi",
+            )
+        return df
+
+    def _merge_add_extra_labels(self, labels: list[str], ids: DataFrame) -> None:
+        """Created multi-label MERGE nodes join each extra label table."""
+        for extra in labels[1:]:
+            self.store.add_label_to_nodes(labels[0], ids, extra)
+
     @staticmethod
     def _validate_storable(key: str, tc: TypedCol) -> None:
         """Reference property-value domain (src/property-value.ts:1-25):
@@ -3440,10 +3470,11 @@ class CypherToSpark:
         rels = [el for el in elements[1::2]]
         for r in rels:
             assert isinstance(r, ast.RelPattern)
-            if r.direction == "both" or len(r.types) != 1:
+            if len(r.types) != 1:
+                # Neo4j 3.5 parity: multi-type MERGE is a syntax-level
+                # rejection (same message as the single-hop paths)
                 raise CypherCompileError(
-                    "correlated multi-hop MERGE requires single directed "
-                    "relationship types"
+                    "A single relationship type must be specified for MERGE"
                 )
             if r.var and r.var in state.scope:
                 raise CypherCompileError(
@@ -3452,14 +3483,18 @@ class CypherToSpark:
         rel_vars = [r.var or self.gensym("mr") for r in rels]
         bound = []
         node_vars = []
-        node_labels: list[str] = []
-        seen_unbound: set[str] = set()
-        for np_ in nodes:
+        node_labels: list[list[str]] = []
+        first_pos: dict[str, int] = {}  # unbound var -> first position
+        canon: list[int] = []  # position -> first position of its variable
+        for i, np_ in enumerate(nodes):
             is_bound = np_.var is not None and np_.var in state.scope
             if is_bound:
                 if np_.labels or np_.props:
+                    # Neo4j 3.5 / reference parity (src/translator.ts:
+                    # 305-333): a bound pattern variable cannot take new
+                    # label/property predicates in MERGE
                     raise CypherCompileError(
-                        "MERGE bound endpoint must be a bare variable"
+                        f"Variable `{np_.var}` already declared"
                     )
                 info = state.scope.get(np_.var)
                 if info is None or info.kind != "node":
@@ -3467,20 +3502,28 @@ class CypherToSpark:
                         "MERGE endpoint must be a node variable"
                     )
                 var = np_.var
-                label = info.labels[0] if info.labels else ""
+                labels = [info.labels[0]] if info.labels else [""]
+                canon.append(i)
             else:
                 var = np_.var or self.gensym("mn")
-                if var in seen_unbound:
-                    raise CypherCompileError(
-                        "correlated MERGE with a repeated unbound variable "
-                        "is not supported"
-                    )
-                seen_unbound.add(var)
-                label = self._single_label(np_, var)
-                self.store.ensure_label(label)
+                if var in first_pos:
+                    # repeated unbound variable: ONE node occupies every
+                    # occurrence; later occurrences must be bare (Neo4j
+                    # rejects re-stated labels/props on a pattern variable)
+                    if np_.labels or np_.props:
+                        raise CypherCompileError(
+                            f"Variable `{var}` already declared"
+                        )
+                    canon.append(first_pos[var])
+                    labels = node_labels[first_pos[var]]
+                else:
+                    first_pos[var] = i
+                    canon.append(i)
+                    labels = self._merge_labels(np_, var)
+                    self.store.ensure_label(labels[0])
             bound.append(is_bound)
             node_vars.append(var)
-            node_labels.append(label)
+            node_labels.append(labels)
 
         df = state.require_df()
         # per-element computed key columns (may reference outer variables)
@@ -3509,13 +3552,31 @@ class CypherToSpark:
             {vcol(node_vars[i], "id") for i in range(len(nodes)) if bound[i]}
         )
         group_cols = bound_id_cols + tmp_cols
+        if not group_cols:
+            # nothing bound and no key props: one global match-else-create
+            # tuple (constant grouping key keeps the anti-join machinery)
+            df = df.withColumn("__mg", F.lit(1))
+            tmp_cols = ["__mg"]
+            group_cols = ["__mg"]
 
         def _left_col(j: int) -> str:
-            # hop j's endpoint at nodes[j] / nodes[j+1], honoring direction
+            # hop j's endpoint at nodes[j] / nodes[j+1], honoring direction;
+            # undirected hops read the orientation-expanded pl/pr columns
+            if rels[j].direction == "both":
+                return vcol(rel_vars[j], "pl")
             return vcol(rel_vars[j], "src" if rels[j].direction == "out" else "dst")
 
         def _right_col(j: int) -> str:
+            if rels[j].direction == "both":
+                return vcol(rel_vars[j], "pr")
             return vcol(rel_vars[j], "dst" if rels[j].direction == "out" else "src")
+
+        orient_cols = [
+            vcol(rel_vars[j], side)
+            for j, r in enumerate(rels)
+            if r.direction == "both"
+            for side in ("pl", "pr")
+        ]
 
         def _pattern(base):
             """base rows joined to every existing relationship-isomorphic
@@ -3532,6 +3593,20 @@ class CypherToSpark:
                 if edf is None:
                     return None, []
                 edf = edf.drop("__from", "__to")
+                if r.direction == "both":
+                    # undirected hop: expand to both orientations behind
+                    # canonical pl/pr endpoint columns (two hash-joinable
+                    # branches, not a disjunctive join condition);
+                    # self-loops match once (second orientation excluded)
+                    s, d = vcol(rel_vars[j], "src"), vcol(rel_vars[j], "dst")
+                    pl, pr = _left_col(j), _right_col(j)
+                    fwd = edf.withColumn(pl, F.col(s)).withColumn(pr, F.col(d))
+                    rev = (
+                        edf.withColumn(pl, F.col(d))
+                        .withColumn(pr, F.col(s))
+                        .where(F.col(s) != F.col(d))
+                    )
+                    edf = fwd.unionByName(rev)
                 conds = []
                 # chain to the previous hop through an unbound middle node
                 if j > 0 and not bound[j]:
@@ -3567,18 +3642,20 @@ class CypherToSpark:
             for i, np_ in enumerate(nodes):
                 if bound[i]:
                     continue
-                nscan, ninfo = self._node_scan(node_vars[i], [node_labels[i]])
+                adj = _right_col(i - 1) if i > 0 else _left_col(0)
+                if canon[i] != i:
+                    # repeated unbound variable: its scan is already joined
+                    # at the first occurrence — this occurrence only pins
+                    # the adjacent edge endpoint to the SAME node id
+                    pat = pat.where(
+                        F.col(adj) == F.col(vcol(node_vars[i], "id"))
+                    )
+                    continue
+                nscan, ninfo = self._node_scan(node_vars[i], node_labels[i])
                 conds = []
                 # id equality with ONE adjacent edge endpoint (edges are
                 # already chained to each other / to base)
-                if i > 0:
-                    conds.append(
-                        F.col(_right_col(i - 1)) == F.col(vcol(node_vars[i], "id"))
-                    )
-                else:
-                    conds.append(
-                        F.col(_left_col(0)) == F.col(vcol(node_vars[i], "id"))
-                    )
+                conds.append(F.col(adj) == F.col(vcol(node_vars[i], "id")))
                 for k, tmp in node_keys[i].items():
                     if k in ninfo.props:
                         conds.append(F.col(pcol(node_vars[i], k)) == F.col(tmp))
@@ -3607,7 +3684,7 @@ class CypherToSpark:
         created = missing
         new_node_cols: dict[int, str] = {}
         for i in range(len(nodes)):
-            if not bound[i]:
+            if not bound[i] and canon[i] == i:
                 new_node_cols[i] = f"__nu_{i}"
                 created = created.withColumn(f"__nu_{i}", F.expr("uuid()"))
         new_edge_cols = [f"__eu_{j}" for j in range(len(rels))]
@@ -3618,10 +3695,10 @@ class CypherToSpark:
         )
         if not created_empty:
             for i in range(len(nodes)):
-                if bound[i]:
+                if bound[i] or canon[i] != i:
                     continue
                 self.store.append_nodes(
-                    node_labels[i],
+                    node_labels[i][0],
                     created.select(
                         F.col(new_node_cols[i]).alias("_id"),
                         *[
@@ -3630,18 +3707,27 @@ class CypherToSpark:
                         ],
                     ),
                 )
+                self._merge_add_extra_labels(
+                    node_labels[i],
+                    created.select(F.col(new_node_cols[i]).alias("_id")),
+                )
             for j, r in enumerate(rels):
-                li, ri = (j, j + 1) if r.direction == "out" else (j + 1, j)
+                # undirected hops create left-to-right (Neo4j)
+                li, ri = (j + 1, j) if r.direction == "in" else (j, j + 1)
                 src_col = (
-                    vcol(node_vars[li], "id") if bound[li] else new_node_cols[li]
+                    vcol(node_vars[li], "id")
+                    if bound[li]
+                    else new_node_cols[canon[li]]
                 )
                 dst_col = (
-                    vcol(node_vars[ri], "id") if bound[ri] else new_node_cols[ri]
+                    vcol(node_vars[ri], "id")
+                    if bound[ri]
+                    else new_node_cols[canon[ri]]
                 )
                 self.store.append_edges(
                     r.types[0],
-                    node_labels[li],
-                    node_labels[ri],
+                    node_labels[li][0],
+                    node_labels[ri][0],
                     created.select(
                         F.col(new_edge_cols[j]).alias("_id"),
                         F.col(src_col).alias("_src"),
@@ -3652,7 +3738,7 @@ class CypherToSpark:
         # re-bind every row against the now-complete tables
         joined, infos = _pattern(df)
         assert joined is not None
-        joined = joined.drop(*tmp_cols)
+        joined = joined.drop(*tmp_cols, *orient_cols)
         scope = state.scope.copy()
         for info in infos:
             scope.bind(info)
@@ -3680,7 +3766,8 @@ class CypherToSpark:
         var = np_.var or self.gensym("mn")
         if var in state.scope:
             raise CypherCompileError(f"MERGE variable `{var}` already bound")
-        label = self._single_label(np_, var)
+        labels = self._merge_labels(np_, var)
+        label = labels[0]
         if not np_.props:
             raise CypherCompileError("MERGE node requires key properties")
         self.store.ensure_label(label)
@@ -3701,7 +3788,9 @@ class CypherToSpark:
         keys = df.select(
             *[F.col(tmp).alias(k) for k, tmp in key_tmp.items()]
         ).distinct()
-        table = self.store.catalog.node(label).df
+        table = self._merge_existing_filter(
+            labels, self.store.catalog.node(label).df
+        )
         key_names = list(props)
         missing_keys = (
             keys.join(table, on=key_names, how="left_anti")
@@ -3724,7 +3813,10 @@ class CypherToSpark:
             # of append + per-row rewrite (the dominant job count of a MERGE
             # upsert storm); empty create sets skip the write entirely
             self.store.append_nodes(label, folded if folded is not None else created)
-        matched_or_created = self.store.catalog.node(label).df
+            self._merge_add_extra_labels(labels, created.select("_id"))
+        matched_or_created = self._merge_existing_filter(
+            labels, self.store.catalog.node(label).df
+        )
         # ON CREATE / ON MATCH SET on the two disjoint id sets
         created_ids = created.select("_id")
         matched_ids = (
@@ -3754,7 +3846,7 @@ class CypherToSpark:
             if f.name != "_id"
         }
         scope = state.scope.copy()
-        scope.bind(VarInfo(name=var, kind="node", labels=[label], props=prop_types))
+        scope.bind(VarInfo(name=var, kind="node", labels=labels, props=prop_types))
         new_state = CompileState(df=out, scope=scope)
         if on_create and folded is None and not created_empty:
             new_state = self._apply_merge_sets(new_state, var, created_ids, on_create)
@@ -3987,8 +4079,11 @@ class CypherToSpark:
             (left_np, right_np) if left_bound else (right_np, left_np)
         )
         if bound_np.labels or bound_np.props:
+            # Neo4j 3.5 / reference parity (src/translator.ts:305-333): a
+            # bound pattern variable cannot take new label/property
+            # predicates in MERGE
             raise CypherCompileError(
-                "MERGE bound endpoint must be a bare variable"
+                f"Variable `{bound_np.var}` already declared"
             )
         bound_var = bound_np.var
         bound_info = state.scope.get(bound_var)
@@ -4001,7 +4096,11 @@ class CypherToSpark:
         unb_var = unb_np.var or self.gensym("mn")
         if unb_np.var is not None and unb_np.var in state.scope:
             raise CypherCompileError(f"MERGE variable `{unb_var}` already bound")
-        label = self._single_label(unb_np, unb_var)
+        if len(unb_np.labels) != 1:
+            # multi-label unbound endpoint: the general chain machinery
+            # handles intersection-match + multi-table create
+            return self._merge_chain_correlated(state, m)
+        label = unb_np.labels[0]
         rel_var = rel.var or self.gensym("mr")
         self.store.ensure_label(label)
         bound_is_src = (
@@ -4154,14 +4253,17 @@ class CypherToSpark:
         )
         src_var = src_np.var or self.gensym("mn")
         dst_var = dst_np.var or self.gensym("mn")
-        if src_var == dst_var:
-            raise CypherCompileError(
-                "correlated MERGE with the same unbound variable at both "
-                "endpoints is not supported"
-            )
+        if (
+            src_var == dst_var
+            or len(src_np.labels) != 1
+            or len(dst_np.labels) != 1
+        ):
+            # repeated unbound variable (self-loop merge) and multi-label
+            # endpoints: the general chain machinery handles both
+            return self._merge_chain_correlated(state, m)
         rel_var = rel.var or self.gensym("mr")
-        src_label = self._single_label(src_np, src_var)
-        dst_label = self._single_label(dst_np, dst_var)
+        src_label = src_np.labels[0]
+        dst_label = dst_np.labels[0]
         self.store.ensure_label(src_label)
         self.store.ensure_label(dst_label)
 

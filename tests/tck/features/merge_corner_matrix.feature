@@ -288,3 +288,92 @@ Feature: MERGE corner matrix — repeated variables, undirected chains, multi-la
       MATCH (x:Seed) MERGE (x)-[:A|B]->(b:W {k: 1})-[:C]->(c:W2 {k: 1})
       """
     Then an error should be raised
+
+  # ---- additional corner interactions ------------------------------------
+
+  Scenario: both-unbound correlated MERGE with a multi-label endpoint
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Seed {k: 1}), (:Seed {k: 2})
+      """
+    And having executed:
+      """
+      MATCH (x:Seed) WITH x.k AS kk MERGE (a:MA:MB {k: kk})-[:T2]->(b:W {k: kk})
+      """
+    And having executed:
+      """
+      MATCH (x:Seed) WITH x.k AS kk MERGE (a:MA:MB {k: kk})-[:T2]->(b:W {k: kk})
+      """
+    When executing query:
+      """
+      MATCH (a:MA:MB)-[:T2]->(b:W) RETURN count(*) AS c
+      """
+    Then the result should be, in any order:
+      | c |
+      | 2 |
+
+  Scenario: ON MATCH fires when an undirected chain re-merges
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Seed {k: 1})
+      """
+    And having executed:
+      """
+      MATCH (x:Seed) MERGE (x)-[r:UX]-(b:U {k: x.k})-[:UY]->(c:V {k: x.k})
+      ON CREATE SET r.src = 'create'
+      """
+    And having executed:
+      """
+      MATCH (x:Seed) MERGE (x)-[r:UX]-(b:U {k: x.k})-[:UY]->(c:V {k: x.k})
+      ON MATCH SET r.src = 'match'
+      """
+    When executing query:
+      """
+      MATCH ()-[r:UX]-() RETURN DISTINCT r.src AS src
+      """
+    Then the result should be, in any order:
+      | src     |
+      | 'match' |
+
+  Scenario: repeated bound variable closes a chain onto itself
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Seed {k: 1}), (:Seed {k: 2})
+      """
+    And having executed:
+      """
+      MATCH (x:Seed) MERGE (x)-[:RB1]->(m:RBM {k: x.k})-[:RB2]->(x)
+      """
+    And having executed:
+      """
+      MATCH (x:Seed) MERGE (x)-[:RB1]->(m:RBM {k: x.k})-[:RB2]->(x)
+      """
+    When executing query:
+      """
+      MATCH (x:Seed)-[:RB1]->(m:RBM)-[:RB2]->(y:Seed)
+      RETURN count(*) AS paths, count(CASE WHEN id(x) = id(y) THEN 1 END) AS closed
+      """
+    Then the result should be, in any order:
+      | paths | closed |
+      | 2     | 2      |
+
+  Scenario: standalone undirected multi-hop MERGE creates left-to-right once
+    Given an empty graph
+    And having executed:
+      """
+      MERGE (a:SA {k: 1})-[:SX]-(b:SB {k: 2})-[:SY]-(c:SC {k: 3})
+      """
+    And having executed:
+      """
+      MERGE (a:SA {k: 1})-[:SX]-(b:SB {k: 2})-[:SY]-(c:SC {k: 3})
+      """
+    When executing query:
+      """
+      MATCH (a:SA)-[:SX]->(b:SB)-[:SY]->(c:SC) RETURN count(*) AS c
+      """
+    Then the result should be, in any order:
+      | c |
+      | 1 |

@@ -1,0 +1,130 @@
+"""Scale-cliff validation run (VERDICT r6 ask #6): run the expensive gates
+once at sf0.1 and once at a ~10x dataset (scripts/gen_scale_data.py), and
+record wall-clock ratios. Sub-quadratic scaling = ratio <= ~12x at 10x rows.
+
+Writes BENCH_scale_r{N}.json at the repo root.
+
+Usage: python scripts/bench_scale.py [round_number]
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = "/root/testdata/sf0.1"
+SCALE_SF = os.path.join(REPO, ".scale", "sf1")
+ROUND = sys.argv[1] if len(sys.argv) > 1 else "07"
+
+GATES = [
+    "q_ngram_jaccard",
+    "q_connected_components",
+    "q_stream_hourly",
+    "q_var_length",
+    "q_ann_search",  # the corpus-scale tier of embedding near-dup
+]
+
+
+def _write_bench(spark, n_rows: int) -> None:
+    """The q_write_bench workload at a parameterized row count (the gate
+    itself is fixed at 1k rows; the scale run drives 10x through the same
+    durable-store paths: batch CREATE, MERGE upsert storm, pruned SET,
+    pruned DELETE)."""
+    import shutil
+    import tempfile
+
+    from nicefox_graphdb_spark import CypherEngine
+    from nicefox_graphdb_spark.catalog import GraphCatalog
+
+    path = tempfile.mkdtemp(prefix="nicefox_scale_write_")
+    try:
+        eng = CypherEngine(spark, GraphCatalog(spark), data_path=path, n_buckets=32)
+        hi = n_rows - 1
+        eng.query(f"UNWIND range(0, {hi}) AS i CREATE (:Doc {{k: i, v: i % 10}})")
+        eng.query(
+            f"UNWIND range({n_rows // 2}, {n_rows + n_rows // 2 - 1}) AS i "
+            "MERGE (d:Doc {k: i}) ON MATCH SET d.m = 1 ON CREATE SET d.c = 1"
+        )
+        eng.query(f"MATCH (d:Doc) WHERE d.k < {n_rows // 10} SET d.v = d.v + 100")
+        eng.query(f"MATCH (d:Doc) WHERE d.k >= {n_rows + n_rows // 2 - 100} DELETE d")
+        eng.query("MATCH (d:Doc) RETURN count(*) AS n")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def main() -> None:
+    if not os.path.isdir(SCALE_SF):
+        raise SystemExit(f"{SCALE_SF} missing - run scripts/gen_scale_data.py first")
+
+    from nicefox_graphdb_spark import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    qs = entry.queries()
+    results: dict = {}
+
+    # warmup: absorb session/JIT startup on a tiny gate
+    qs["q_node_scan"](spark, "/root/testdata/sf0.001").count()
+
+    for name in GATES:
+        row = {}
+        for tag, sf in (("base", BASE_SF), ("x10", SCALE_SF)):
+            t0 = time.monotonic()
+            n = qs[name](spark, sf).count()
+            row[tag] = round(time.monotonic() - t0, 3)
+            row[f"{tag}_rows"] = n
+        row["ratio"] = round(row["x10"] / row["base"], 2) if row["base"] else None
+        # when the TRUE result set grows faster than the input (e.g. the
+        # near-dup gate at a low threshold: ~0.2% of ALL pairs of random
+        # 64-dim vectors pass cosine>=0.35, so output is inherently
+        # quadratic in corpus size), wall-clock alone conflates engine
+        # scaling with output size — normalize to 10x output
+        out_ratio = (
+            row["x10_rows"] / row["base_rows"] if row["base_rows"] else None
+        )
+        row["output_ratio"] = round(out_ratio, 1) if out_ratio else None
+        row["ratio_per_10x_output"] = (
+            round(row["ratio"] * 10 / out_ratio, 2)
+            if out_ratio and out_ratio > 10
+            else row["ratio"]
+        )
+        results[name] = row
+        print(name, row, flush=True)
+
+    # write path: 1k rows vs 10k rows through the same durable-store ops
+    row = {}
+    for tag, n in (("base", 1000), ("x10", 10000)):
+        t0 = time.monotonic()
+        _write_bench(spark, n)
+        row[tag] = round(time.monotonic() - t0, 3)
+    row["ratio"] = round(row["x10"] / row["base"], 2)
+    row["ratio_per_10x_output"] = row["ratio"]
+    results["q_write_bench"] = row
+    print("q_write_bench", row, flush=True)
+
+    out = {
+        "metric": "scale_cliff_x10",
+        "unit": "sec",
+        "base_sf_dir": BASE_SF,
+        "scale_sf_dir": SCALE_SF,
+        "scale_factor": 10,
+        "queries": results,
+        "max_ratio": max(r["ratio"] for r in results.values()),
+        "max_ratio_per_10x_output": max(
+            r["ratio_per_10x_output"] for r in results.values()
+        ),
+    }
+    path = os.path.join(REPO, f"BENCH_scale_r{ROUND}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

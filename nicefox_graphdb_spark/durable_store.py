@@ -265,6 +265,22 @@ class DurableTableStore:
         )
         return sorted(r["b"] for r in rows)
 
+    def checkpoint_with_buckets(
+        self, keys: DataFrame, id_col: str = "_id"
+    ) -> tuple[DataFrame, list[int]]:
+        """Materialize an update/delete row set ONCE (localCheckpoint) and
+        collect its distinct bucket ids on the SAME job via ``observe`` —
+        the pruning metadata rides the materialization instead of
+        re-executing the (often join-heavy) source plan once for the
+        bucket probe and again for every downstream read/rewrite."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ck = keys.observe(
+            obs, F.collect_set(self.bucket_col(F.col(id_col))).alias("b")
+        ).localCheckpoint(eager=True)
+        return ck, sorted(obs.get["b"])
+
     def schema_of(self, key: str) -> T.StructType:
         return T.StructType.fromJson(self.manifest["tables"][key]["schema"])
 
@@ -749,7 +765,7 @@ class DurableGraph(MutableGraph):
     ) -> None:
         if not self.catalog.has_label(label):
             return
-        touched = self.tables.touched_buckets(updates)
+        updates, touched = self.tables.checkpoint_with_buckets(updates)
         if touched:
             self._adopt_node(label)
             key = node_key(label)
@@ -771,7 +787,7 @@ class DurableGraph(MutableGraph):
         if not self.catalog.has_label(label):
             return
         idcol = ids.select(F.col(ids.columns[0]).alias("_id"))
-        touched = self.tables.touched_buckets(idcol)
+        idcol, touched = self.tables.checkpoint_with_buckets(idcol)
         if touched:
             self._adopt_node(label)
             key = node_key(label)
@@ -783,7 +799,12 @@ class DurableGraph(MutableGraph):
         self._bump()
 
     def delete_nodes(self, ids: DataFrame, detach: bool = False) -> None:
-        idcol = ids.select(F.col(ids.columns[0]).alias("_id"))
+        # checkpoint FIRST: the dangling check, per-label membership
+        # probes, anti-joins, and detach scans all reuse the materialized
+        # id set instead of re-running its source plan per action
+        idcol, touched = self.tables.checkpoint_with_buckets(
+            ids.select(F.col(ids.columns[0]).alias("_id"))
+        )
         if not detach:
             endpoint_parts = [
                 et.df.select(F.col(side).alias("_id"))
@@ -803,7 +824,6 @@ class DurableGraph(MutableGraph):
                         "Cannot delete node because it still has relationships"
                         " (use DETACH DELETE)"
                     )
-        touched = self.tables.touched_buckets(idcol)
         # same hash ring for every table → the deleted ids' buckets are the
         # only buckets that can contain them, in every label table
         labels = list(self.catalog._nodes)
@@ -876,7 +896,7 @@ class DurableGraph(MutableGraph):
         self._bump()
 
     def update_edge_props(self, eids: DataFrame, updates: DataFrame) -> None:
-        touched = self.tables.touched_buckets(updates)
+        updates, touched = self.tables.checkpoint_with_buckets(updates)
         if touched:
             for i in range(len(self.catalog._edges)):
                 et = self.catalog._edges[i]
@@ -894,8 +914,9 @@ class DurableGraph(MutableGraph):
         self._bump()
 
     def delete_edges(self, eids: DataFrame) -> None:
-        idcol = eids.select(F.col(eids.columns[0]).alias("_id"))
-        touched = self.tables.touched_buckets(idcol)
+        idcol, touched = self.tables.checkpoint_with_buckets(
+            eids.select(F.col(eids.columns[0]).alias("_id"))
+        )
         if touched:
             for i in range(len(self.catalog._edges)):
                 et = self.catalog._edges[i]

@@ -3212,8 +3212,19 @@ class CypherToSpark:
             if info is None or info.kind != "node":
                 raise CypherCompileError("SET :Label requires a bound node")
             ids = df.select(F.col(info.id_col()).alias("_id")).distinct()
+            if info.has_label_col:
+                # untyped scan: the ids live across EVERY label table
+                # (incl. the "" sentinel) — copy membership from each
+                # source table the ids actually occupy, not just the
+                # first scan-time label
+                src_labels = list(self.store.catalog.labels)
+                if self.store.catalog.has_label(""):
+                    src_labels.append("")
+            else:
+                src_labels = info.labels[:1] or [""]
             for lbl in item.labels:
-                self.store.add_label_to_nodes(info.labels[0], ids, lbl)
+                for src in src_labels:
+                    self.store.add_label_to_nodes(src, ids, lbl)
             scope = state.scope.copy()
             scope.bind(replace(info, labels=info.labels + [lbl for lbl in item.labels if lbl not in info.labels]))
             return CompileState(df=df, scope=scope)
@@ -3264,7 +3275,20 @@ class CypherToSpark:
             *[F.col(tmp).alias(k) for k, tmp in tmp_cols.items()],
         ).dropDuplicates(["_id"])
         if info.kind == "node":
-            for lbl in info.labels:
+            if info.has_label_col:
+                # untyped scan: update every CURRENT label table (the
+                # VarInfo's label list is scan-time) INCLUDING the ""
+                # sentinel — `MATCH (n) SET n.x = 1` must reach unlabeled
+                # nodes too (each update prunes to id-matching buckets)
+                labels = list(self.store.catalog.labels)
+                if self.store.catalog.has_label(""):
+                    labels.append("")
+            else:
+                # an unlabeled binding (CREATE (n {..})) lives in the ""
+                # sentinel table — an empty label list must not skip the
+                # store update
+                labels = info.labels or [""]
+            for lbl in labels:
                 self.store.update_node_props(lbl, upd_rows, replace_all=replace_all)
         else:
             self.store.update_edge_props(

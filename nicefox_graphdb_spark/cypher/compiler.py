@@ -805,12 +805,23 @@ class CypherToSpark:
         rel_var = rel.var or self.gensym("r")
         left_info = state.scope.get(left_var)
         assert left_info is not None
-        left_labels = left_info.labels if left_info.labels else None
+        # an untyped binding's label list is informational (every proper
+        # label at scan time), NOT a constraint — using it to prune would
+        # drop ""-keyed edge tables whose endpoints are unlabeled nodes
+        left_labels = (
+            left_info.labels
+            if left_info.labels and not left_info.has_label_col
+            else None
+        )
         right_existing = (
             state.scope.get(right_np.var) if right_np.var else None
         )
         right_labels: list[str] | None = right_np.labels or None
-        if right_labels is None and right_existing is not None:
+        if (
+            right_labels is None
+            and right_existing is not None
+            and not right_existing.has_label_col
+        ):
             right_labels = right_existing.labels or None
 
         if rel.var_length:
@@ -3023,6 +3034,25 @@ class CypherToSpark:
         for extra in labels[1:]:
             self.store.add_label_to_nodes(labels[0], ids, extra)
 
+    def _merge_node_table(self, labels: list[str]) -> DataFrame:
+        """_id + property columns of every node carrying ALL given labels —
+        every node in the graph for an unlabeled MERGE (Neo4j: MERGE
+        (a {k: 1}) matches ANY node with k=1 regardless of label)."""
+        if labels:
+            return self._merge_existing_filter(
+                labels, self.store.catalog.node(labels[0]).df
+            )
+        if not self.store.catalog._nodes:
+            return self.spark.createDataFrame(
+                [], T.StructType([T.StructField("_id", T.StringType())])
+            )
+        mv = self.gensym("mm")
+        scan, sinfo = self._node_scan(mv, [])
+        return scan.select(
+            F.col(vcol(mv, "id")).alias("_id"),
+            *[F.col(pcol(mv, k)).alias(k) for k in sinfo.props],
+        )
+
     @staticmethod
     def _validate_storable(key: str, tc: TypedCol) -> None:
         """Reference property-value domain (src/property-value.ts:1-25):
@@ -3543,8 +3573,9 @@ class CypherToSpark:
                 else:
                     first_pos[var] = i
                     canon.append(i)
-                    labels = self._merge_labels(np_, var)
-                    self.store.ensure_label(labels[0])
+                    labels = list(np_.labels)  # [] = unlabeled endpoint
+                    if labels:
+                        self.store.ensure_label(labels[0])
             bound.append(is_bound)
             node_vars.append(var)
             node_labels.append(labels)
@@ -3722,7 +3753,7 @@ class CypherToSpark:
                 if bound[i] or canon[i] != i:
                     continue
                 self.store.append_nodes(
-                    node_labels[i][0],
+                    node_labels[i][0] if node_labels[i] else "",
                     created.select(
                         F.col(new_node_cols[i]).alias("_id"),
                         *[
@@ -3750,8 +3781,8 @@ class CypherToSpark:
                 )
                 self.store.append_edges(
                     r.types[0],
-                    node_labels[li][0],
-                    node_labels[ri][0],
+                    node_labels[li][0] if node_labels[li] else "",
+                    node_labels[ri][0] if node_labels[ri] else "",
                     created.select(
                         F.col(new_edge_cols[j]).alias("_id"),
                         F.col(src_col).alias("_src"),
@@ -3790,11 +3821,10 @@ class CypherToSpark:
         var = np_.var or self.gensym("mn")
         if var in state.scope:
             raise CypherCompileError(f"MERGE variable `{var}` already bound")
-        labels = self._merge_labels(np_, var)
-        label = labels[0]
-        if not np_.props:
-            raise CypherCompileError("MERGE node requires key properties")
-        self.store.ensure_label(label)
+        labels = list(np_.labels)  # [] = unlabeled: match ANY node
+        label = labels[0] if labels else ""
+        if labels:
+            self.store.ensure_label(label)
         props = self._compiled_props(state, np_.props)
         for k, tc in props.items():
             if isinstance(tc.dtype, T.NullType):
@@ -3808,24 +3838,42 @@ class CypherToSpark:
             tmp = f"__mk_{k}"
             df = df.withColumn(tmp, tc.col)
             key_tmp[k] = tmp
-        df = df.localCheckpoint(eager=True)
-        keys = df.select(
-            *[F.col(tmp).alias(k) for k, tmp in key_tmp.items()]
-        ).distinct()
-        table = self._merge_existing_filter(
-            labels, self.store.catalog.node(label).df
-        )
+        if key_tmp:
+            df = df.localCheckpoint(eager=True)
+        table = self._merge_node_table(labels)
         key_names = list(props)
-        missing_keys = (
-            keys.join(table, on=key_names, how="left_anti")
-            if all(k in table.columns for k in key_names)
-            else keys
-        )
-        created, created_empty = self._checkpoint_created(
-            missing_keys.withColumn("_id", F.expr("uuid()")),
-            list(key_tmp),
-            "Cannot merge node using null property value",
-        )
+        if key_tmp:
+            keys = df.select(
+                *[F.col(tmp).alias(k) for k, tmp in key_tmp.items()]
+            ).distinct()
+            missing_keys = (
+                keys.join(table, on=key_names, how="left_anti")
+                if all(k in table.columns for k in key_names)
+                else keys
+            )
+            created, created_empty = self._checkpoint_created(
+                missing_keys.withColumn("_id", F.expr("uuid()")),
+                list(key_tmp),
+                "Cannot merge node using null property value",
+            )
+        else:
+            # keyless MERGE (a) / (a:L): one global match-else-create —
+            # create ONE bare node iff no node matches the label set
+            # (openCypher Merge1; rows all bind the same created node)
+            keys = None
+            match_empty = table.select("_id").limit(1).isEmpty()
+            if match_empty and not df.isEmpty():
+                created = (
+                    self.spark.range(1)
+                    .select(F.expr("uuid()").alias("_id"))
+                    .localCheckpoint(eager=True)
+                )
+                created_empty = False
+            else:
+                created = self.spark.createDataFrame(
+                    [], T.StructType([T.StructField("_id", T.StringType())])
+                )
+                created_empty = True
         key_types = {k: tc.dtype for k, tc in props.items()}
         folded = (
             self._fold_on_create(var, label, created, key_types, on_create)
@@ -3838,39 +3886,60 @@ class CypherToSpark:
             # upsert storm); empty create sets skip the write entirely
             self.store.append_nodes(label, folded if folded is not None else created)
             self._merge_add_extra_labels(labels, created.select("_id"))
-        matched_or_created = self._merge_existing_filter(
-            labels, self.store.catalog.node(label).df
-        )
         # ON CREATE / ON MATCH SET on the two disjoint id sets
         created_ids = created.select("_id")
-        matched_ids = (
-            table.join(keys, on=key_names, how="left_semi").select("_id")
-            if all(k in table.columns for k in key_names)
-            else self.spark.createDataFrame(
+        if keys is None:
+            matched_ids = table.select("_id")
+        elif all(k in table.columns for k in key_names):
+            matched_ids = table.join(
+                keys, on=key_names, how="left_semi"
+            ).select("_id")
+        else:
+            matched_ids = self.spark.createDataFrame(
                 [], T.StructType([T.StructField("_id", T.StringType())])
             )
-        )
-        # bind var: join binding rows to the (now complete) table by keys
-        node_scan = matched_or_created.select(
-            F.col("_id").alias(vcol(var, "id")),
-            *[
-                F.col(c).alias(pcol(var, c))
-                for c in matched_or_created.columns
-                if c != "_id"
-            ],
-        )
+        # bind var: join binding rows to the (now complete) table by keys.
+        # Unlabeled MERGE binds through the untyped scan (label column +
+        # spans-every-table VarInfo) so downstream SET/REMOVE reach the
+        # right label tables.
+        if labels:
+            matched_or_created = self._merge_node_table(labels)
+            node_scan = matched_or_created.select(
+                F.col("_id").alias(vcol(var, "id")),
+                *[
+                    F.col(c).alias(pcol(var, c))
+                    for c in matched_or_created.columns
+                    if c != "_id"
+                ],
+            )
+            prop_types = {
+                f.name: f.dataType
+                for f in matched_or_created.schema.fields
+                if f.name != "_id"
+            }
+            info = VarInfo(
+                name=var, kind="node", labels=labels, props=prop_types
+            )
+        else:
+            node_scan, info = self._node_scan(var, [])
+            prop_types = info.props
         cond = None
+        dead = False
         for k, tmp in key_tmp.items():
+            if pcol(var, k) not in node_scan.columns:
+                dead = True  # key prop exists nowhere: nothing can bind
+                continue
             c = df[tmp] == node_scan[pcol(var, k)]
             cond = c if cond is None else cond & c
-        out = df.join(node_scan, cond).drop(*key_tmp.values())
-        prop_types = {
-            f.name: f.dataType
-            for f in matched_or_created.schema.fields
-            if f.name != "_id"
-        }
+        out = (
+            df.join(node_scan, cond)
+            if cond is not None
+            else df.crossJoin(node_scan)
+        ).drop(*key_tmp.values())
+        if dead:
+            out = out.where(F.lit(False))
         scope = state.scope.copy()
-        scope.bind(VarInfo(name=var, kind="node", labels=labels, props=prop_types))
+        scope.bind(info)
         new_state = CompileState(df=out, scope=scope)
         if on_create and folded is None and not created_empty:
             new_state = self._apply_merge_sets(new_state, var, created_ids, on_create)

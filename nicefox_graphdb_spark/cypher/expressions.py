@@ -1947,7 +1947,9 @@ def _fn_labels(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
         # "" display label = unlabeled sentinel → empty label set
         arr = F.array_remove(F.array(F.col(vcol(info.name, "label"))), "")
     else:
-        arr = F.array(*[F.lit(lbl) for lbl in info.labels])
+        # the "" sentinel (unlabeled nodes, e.g. a fused far-node bound
+        # off a ""-keyed edge table) is membership, not a label
+        arr = F.array(*[F.lit(lbl) for lbl in info.labels if lbl])
     return TypedCol(
         F.when(null_guard, F.lit(None)).otherwise(arr),
         T.ArrayType(T.StringType()),

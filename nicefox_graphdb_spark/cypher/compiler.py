@@ -1516,11 +1516,10 @@ class CypherToSpark:
         for el in path.elements:
             v = getattr(el, "var", None)
             if v is not None and v in lam_stack:
-                if not isinstance(el, ast.NodePattern):
-                    raise CypherCompileError(
-                        "pattern predicate over a comprehension relationship "
-                        "variable is not supported"
-                    )
+                # node OR relationship lambda element: both rewrite to
+                # entity membership over the hoisted comprehension
+                # (entities compare by identity; reference correlates
+                # these in-SQL, src/translator.ts:12251-12340)
                 fresh = self.gensym("lx")
                 el = dataclasses.replace(el, var=fresh)
                 lhs_exprs.append(ast.Var(v))

@@ -3003,18 +3003,6 @@ class CypherToSpark:
             )
         return np_.labels[0]
 
-    def _merge_labels(self, np_: ast.NodePattern, var: str) -> list[str]:
-        """Unbound MERGE node labels: one or more. Multi-label `:A:B`
-        matches nodes carrying EVERY label; creation inserts under the
-        primary (first) label plus membership in each extra label table —
-        the same normalization CREATE (:A:B) uses (reference stores the
-        full label array per node and matches on membership)."""
-        if not np_.labels:
-            raise CypherCompileError(
-                f"MERGE node `{var}` requires at least one label"
-            )
-        return list(np_.labels)
-
     def _merge_existing_filter(self, labels: list[str], df: DataFrame) -> DataFrame:
         """Restrict a primary-label node table to ids that ALSO belong to
         every extra label table (multi-label MERGE intersection)."""
@@ -3242,13 +3230,11 @@ class CypherToSpark:
                 raise CypherCompileError("SET :Label requires a bound node")
             ids = df.select(F.col(info.id_col()).alias("_id")).distinct()
             if info.has_label_col:
-                # untyped scan: the ids live across EVERY label table
-                # (incl. the "" sentinel) — copy membership from each
-                # source table the ids actually occupy, not just the
-                # first scan-time label
-                src_labels = list(self.store.catalog.labels)
-                if self.store.catalog.has_label(""):
-                    src_labels.append("")
+                # untyped scan: copy membership from each source table the
+                # ids ACTUALLY occupy (one membership-probe job) — not from
+                # every label table, which would rewrite id-hash buckets in
+                # all of them on the durable store
+                src_labels = self.store.node_tables_containing(ids)
             else:
                 src_labels = info.labels[:1] or [""]
             for lbl in item.labels:
@@ -3305,13 +3291,14 @@ class CypherToSpark:
         ).dropDuplicates(["_id"])
         if info.kind == "node":
             if info.has_label_col:
-                # untyped scan: update every CURRENT label table (the
-                # VarInfo's label list is scan-time) INCLUDING the ""
-                # sentinel — `MATCH (n) SET n.x = 1` must reach unlabeled
-                # nodes too (each update prunes to id-matching buckets)
-                labels = list(self.store.catalog.labels)
-                if self.store.catalog.has_label(""):
-                    labels.append("")
+                # untyped scan: update only the tables that actually contain
+                # some of the updated ids (one membership-probe job), incl.
+                # the "" sentinel — `MATCH (n) SET n.x = 1` reaches unlabeled
+                # nodes, but a 10-id SET no longer rewrites touched buckets
+                # in every label table
+                labels = self.store.node_tables_containing(
+                    upd_rows.select("_id")
+                )
             else:
                 # an unlabeled binding (CREATE (n {..})) lives in the ""
                 # sentinel table — an empty label list must not skip the

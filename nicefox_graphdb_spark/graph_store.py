@@ -107,6 +107,32 @@ class MutableGraph:
             cols.setdefault(f.name, f.dataType)
         return cols
 
+    def node_tables_containing(self, ids: DataFrame) -> list[str]:
+        """Which node tables (incl. the ``""`` unlabeled sentinel) contain at
+        least one of the given ids — ONE membership-probe job over id columns
+        only (parquet column-pruned, update-id side broadcastable). Lets
+        untyped-binding writes (``MATCH (n) SET n.x = 1`` bound to ids from a
+        WHERE) touch only the tables the ids actually occupy instead of
+        rewriting id-hash buckets in every label table."""
+        tables = list(self.catalog._nodes.items())
+        if not tables:
+            return []
+        idcol = ids.select(F.col(ids.columns[0]).alias("_id")).distinct()
+        parts = [
+            t.df.select(F.col("_id"), F.lit(lbl).alias("_label"))
+            for lbl, t in tables
+        ]
+        allids = parts[0]
+        for p in parts[1:]:
+            allids = allids.unionByName(p)
+        hit = (
+            allids.join(idcol, on="_id", how="left_semi")
+            .select("_label")
+            .distinct()
+            .collect()
+        )
+        return sorted(r["_label"] for r in hit)
+
     # -- nodes ------------------------------------------------------------
     def ensure_label(self, label: str) -> None:
         if not self.catalog.has_label(label):

@@ -164,7 +164,14 @@ def snapshot_status(backup_dir: str) -> SnapshotStatus:
 def load_snapshot(
     spark: SparkSession, backup_dir: str, version: int | None = None
 ) -> GraphCatalog:
-    """Rebuild a GraphCatalog from a snapshot (newest by default)."""
+    """Rebuild a GraphCatalog from a snapshot (newest by default).
+
+    Local-filesystem only: this module manages snapshot directories with
+    ``os``-level calls (listdir/rename/exists), so ``backup_dir`` must be a
+    driver-visible path (local disk or a mounted NFS/FUSE volume), not an
+    object-store URI. Cluster deployments snapshot through the durable
+    store's manifest versioning instead.
+    """
     dirs = _snapshot_dirs(backup_dir)
     if not dirs:
         raise FileNotFoundError(f"no snapshots under {backup_dir}")
@@ -181,17 +188,23 @@ def load_snapshot(
     cat = GraphCatalog(spark)
     for n in manifest["nodes"]:
         path = os.path.join(base, "nodes", f"{_table_fname(n['label'])}.parquet")
-        if not os.path.exists(path):
-            # pre-round-7 snapshots wrote unescaped label names
-            path = os.path.join(base, "nodes", f"{n['label']}.parquet")
+        legacy = os.path.join(base, "nodes", f"{n['label']}.parquet")
+        if not os.path.exists(path) and os.path.exists(legacy):
+            # pre-round-7 snapshots wrote unescaped label names; only fall
+            # back when the escaped file is absent AND the legacy one exists
+            # (keeps the error message naming the expected escaped path)
+            path = legacy
         cat.register_node(n["label"], spark.read.parquet(path))
     for e in manifest["edges"]:
         fname = (
             f"{_table_fname(e['type'])}__{_table_fname(e['src'])}"
             f"__{_table_fname(e['dst'])}.parquet"
         )
-        if not os.path.exists(os.path.join(base, "edges", fname)):
-            fname = f"{e['type']}__{e['src']}__{e['dst']}.parquet"
+        legacy_fname = f"{e['type']}__{e['src']}__{e['dst']}.parquet"
+        if not os.path.exists(os.path.join(base, "edges", fname)) and os.path.exists(
+            os.path.join(base, "edges", legacy_fname)
+        ):
+            fname = legacy_fname
         cat.register_edge(
             e["type"],
             e["src"],

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import threading
 import uuid
 from typing import Iterable
 
@@ -185,6 +186,10 @@ def user_running_stats(stream: DataFrame) -> DataFrame:
 
 # -- execution helper ------------------------------------------------------
 _MEM_VIEWS: list[str] = []
+_MEM_VIEWS_LOCK = threading.Lock()
+# how many recently-returned memory-sink views stay readable; callers that
+# batch more streaming results than this before collecting should raise it
+MEM_VIEW_KEEP = 8
 
 
 def run_to_memory(
@@ -210,13 +215,17 @@ def run_to_memory(
     """
     spark = result.sparkSession
     # older calls' results are consumed by now — free them (keep a small
-    # tail so recently-returned DataFrames stay readable by callers that
-    # batch up several streaming results before collecting)
-    while len(_MEM_VIEWS) > 8:
-        spark.catalog.dropTempView(_MEM_VIEWS.pop(0))
+    # tail, MEM_VIEW_KEEP, so recently-returned DataFrames stay readable by
+    # callers that batch up several streaming results before collecting)
+    with _MEM_VIEWS_LOCK:
+        stale = _MEM_VIEWS[: max(0, len(_MEM_VIEWS) - MEM_VIEW_KEEP)]
+        del _MEM_VIEWS[: len(stale)]
+    for old in stale:
+        spark.catalog.dropTempView(old)
     name = f"mem_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="nicefox_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    q = None
     try:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -228,12 +237,25 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout)
+        finished = q.awaitTermination(timeout)
+        if not finished:
+            # still running: stop it BEFORE the checkpoint dir is deleted
+            # (an async micro-batch against a deleted checkpoint fails) and
+            # refuse to return a partial in-memory table silently.
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within {timeout}s"
+            )
+    except BaseException:
+        if q is not None and q.isActive:
+            q.stop()
+        raise
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
-    _MEM_VIEWS.append(name)
+    with _MEM_VIEWS_LOCK:
+        _MEM_VIEWS.append(name)
     return spark.table(name)
 
 

@@ -318,3 +318,65 @@ def test_pattern_predicate_where_references_lambda_var(g):
         "EXISTS { (a)-[:LR]->(m) WHERE m.v > 2 AND m.v = x }) AS ok ORDER BY v"
     )
     assert rows5 == [{"v": 1, "ok": False}, {"v": 2, "ok": True}]
+
+
+# -- round-8 fixes (ADVICE.md r7) -------------------------------------------
+
+
+def test_node_tables_containing_probes_membership(g):
+    g.query("CREATE (:PA {k: 1})")
+    g.query("CREATE (:PB {k: 2})")
+    g.query("CREATE ({k: 3})")  # unlabeled sentinel table
+    spark = g.spark
+    got = g.store.node_tables_containing(
+        g.store.catalog.node("PA").df.select("_id")
+    )
+    assert got == ["PA"]
+    # unlabeled ids resolve to the "" sentinel
+    got2 = g.store.node_tables_containing(
+        g.store.catalog.node("").df.select("_id")
+    )
+    assert got2 == [""]
+    # empty id set touches nothing
+    empty = spark.createDataFrame([], "id string")
+    assert g.store.node_tables_containing(empty) == []
+
+
+def test_untyped_set_skips_uninvolved_label_tables(spark, tmp_path):
+    """ADVICE r7: SET through an untyped scan must not rewrite buckets of
+    label tables that hold none of the updated ids (durable store)."""
+    import os
+
+    from nicefox_graphdb_spark.durable_store import node_key
+
+    eng = CypherEngine(
+        spark, GraphCatalog(spark), data_path=str(tmp_path / "g")
+    )
+    eng.query("CREATE (:UA {k: 1, v: 0})")
+    eng.query("CREATE (:UB {k: 2, v: 0})")
+    store = eng.store.tables
+    files_before = sorted(store.manifest["tables"][node_key("UB")]["files"])
+    # untyped match narrowed to the UA node — UB's table must be untouched
+    eng.query("MATCH (n) WHERE n.k = 1 SET n.v = 9")
+    files_after = sorted(store.manifest["tables"][node_key("UB")]["files"])
+    assert files_before == files_after
+    assert eng.query("MATCH (n) RETURN n.k AS k, n.v AS v ORDER BY k") == [
+        {"k": 1, "v": 9},
+        {"k": 2, "v": 0},
+    ]
+
+
+def test_run_to_memory_timeout_stops_query(spark, tmp_path):
+    """ADVICE r7: a run that exceeds its timeout must STOP the streaming
+    query before deleting the checkpoint, and raise instead of returning a
+    partial table."""
+    from nicefox_graphdb_spark import streaming as st
+    from tests.conftest import SF_DIR
+
+    d = st.stage_events_as_stream_source(spark, SF_DIR, n_chunks=2)
+    stream = st.event_stream_from_dir(spark, d, max_files_per_trigger=1)
+    with pytest.raises(TimeoutError):
+        st.run_to_memory(
+            st.hourly_rollup(stream), output_mode="complete", timeout=0.001
+        )
+    assert spark.streams.active == []

@@ -655,7 +655,7 @@ def _p_ann_search(spark, sf_dir):
 
     emb = _tables(spark, sf_dir)["embeddings"]
     lsh = sim.ann_neardup_pairs(
-        emb, "vec_id", "embedding", dim=64, n_planes=4, n_tables=12,
+        emb, "vec_id", "embedding", dim=64, n_planes=None, n_tables=None,
         threshold=0.35,
     ).select(
         F.lit("lsh_pair").alias("method"),

@@ -103,6 +103,40 @@ def topk_cosine(
     return out.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
 
 
+def auto_lsh_params(
+    n_rows: int,
+    threshold: float,
+    target_bucket: int = 64,
+    target_recall: float = 0.9,
+    max_tables: int = 16,
+) -> tuple[int, int]:
+    """Size (n_planes, n_tables) from the corpus, not by hand.
+
+    Planes keep the EXPECTED BUCKET SIZE constant as the corpus grows
+    (``n_planes = log2(N / target_bucket)``), which keeps candidate volume
+    LINEAR in N — a pinned plane count makes buckets grow with N and
+    candidate pairs grow quadratically (measured: a 4-plane table at 10x
+    rows took 25x the wall clock). Tables come from the standard LSH recall
+    identity: a θ-cosine pair collides in one table with
+    ``p^planes, p = 1 - acos(θ)/π``, so
+    ``tables = ln(1-recall) / ln(1-p^planes)``. For LOW thresholds p is
+    close to ½ and the required table count explodes — ``max_tables`` caps
+    the cost (recall degrades past the cap; hyperplane LSH is the wrong
+    tool below θ ≈ 0.6, use IVF probing instead).
+    """
+    import math
+
+    n_planes = max(2, math.ceil(math.log2(max(n_rows, 2) / max(target_bucket, 1))))
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    per_table = max(p**n_planes, 1e-12)
+    if per_table >= 1.0:
+        return n_planes, 1
+    n_tables = math.ceil(
+        math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - per_table)
+    )
+    return n_planes, max(1, min(n_tables, max_tables))
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (python-side literals)."""
     rng = random.Random(seed)
@@ -320,8 +354,8 @@ def ann_neardup_pairs(
     id_col: str,
     vec_col: str,
     dim: int,
-    n_planes: int = 6,
-    n_tables: int = 10,
+    n_planes: int | None = 6,
+    n_tables: int | None = 10,
     threshold: float = 0.9,
     seed: int = 42,
 ) -> DataFrame:
@@ -330,38 +364,93 @@ def ann_neardup_pairs(
     cosine (precision 1 by construction; recall ≈
     1 - (1 - p^n_planes)^n_tables with p = 1 - θ/π).
 
-    The bits/tables dials trade candidate volume against recall: more bits →
-    smaller buckets (cheaper join), more tables → higher recall. At corpus
-    scale, n_planes should grow ~log2(N / target_bucket_size)."""
+    Pass ``n_planes=None`` / ``n_tables=None`` to auto-size from the corpus
+    (one count job): planes hold the expected bucket size constant so the
+    candidate volume stays LINEAR in N; tables come from the recall
+    identity (see :func:`auto_lsh_params`). Pinned values are honored as
+    given — the scale-safe default for corpus-size-varying inputs is auto."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    bucket_structs = []
-    for t_idx in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + 1000 * t_idx)
-        bucket_structs.append(
-            F.struct(
-                F.lit(t_idx).alias("table"),
-                lsh_bucket(F.col("v"), planes).alias("bucket"),
+    if n_planes is None or n_tables is None:
+        n_rows = base.count()
+        auto_planes, auto_tables = auto_lsh_params(n_rows, threshold)
+        n_planes = auto_planes if n_planes is None else n_planes
+        n_tables = auto_tables if n_tables is None else n_tables
+    # All tables' sign-bits in ONE Arrow-batched matmul: (batch, dim) @
+    # (dim, tables*planes) then bit-pack per table. Expression-per-plane
+    # folds are O(tables*planes) codegen — 100+ fold expressions measurably
+    # stall whole-stage compilation — while BLAS does the same arithmetic
+    # in one kernel.
+    import numpy as np
+
+    flat_planes = np.array(
+        [
+            plane
+            for t_idx in range(n_tables)
+            for plane in hyperplanes(dim, n_planes, seed + 1000 * t_idx)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, tables*planes)
+    bit_weights = (1 << np.arange(n_planes, dtype=np.int64))
+    nt, npl = n_tables, n_planes
+    id_type = base.schema["id"].dataType.simpleString()
+
+    def _bucketize(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             )
+            bits = (vecs @ flat_planes) >= 0  # (n, tables*planes)
+            buckets = (
+                bits.reshape(len(pdf), nt, npl).astype(np.int64) * bit_weights
+            ).sum(axis=2)  # (n, tables)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].repeat(nt).reset_index(drop=True),
+                    "table": np.tile(np.arange(nt, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                    "v": pdf["v"].repeat(nt).reset_index(drop=True),
+                }
+            )
+
+    bucketed = base.mapInPandas(
+        _bucketize, f"id {id_type}, table int, bucket long, v array<double>"
+    )
+
+    # Verify WITHIN each (table, bucket) group: one normalized matmul per
+    # group (bucket size is held ~constant by the plane count, so the
+    # per-task matrix stays tiny at any corpus size). Vectors travel ONCE
+    # through the bucket shuffle — never joined per candidate pair, which
+    # is quadratically more traffic. Only qualifying pairs leave the group;
+    # the global dedup then runs on near-dup pairs only.
+    thr = float(threshold)
+
+    def _bucket_pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": pdf["id"].dtype, "id_b": pdf["id"].dtype, "cosine": float}
+            )
+        vecs = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms[:, None]) @ (vecs / norms[:, None]).T
+        iu, ju = np.triu_indices(n, 1)
+        keep = np.round(sims[iu, ju], 6) >= thr
+        ids = pdf["id"].to_numpy()
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(sims[iu, ju][keep], 6)}
         )
-    # (id, table, bucket) only through the bucket join + pair dedup; the
-    # vectors are re-attached per candidate (no tables-fold payload
-    # amplification through the shuffle)
-    bucketed = base.select(
-        "id", F.explode(F.array(*bucket_structs)).alias("tb")
-    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    a = bucketed.select(F.col("id").alias("id_a"), "table", "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), "table", "bucket")
-    cands = (
-        a.join(b, on=["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+
+    pairs = bucketed.groupBy("table", "bucket").applyInPandas(
+        _bucket_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
-    full_a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    full_b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
-    return (
-        verified.withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return pairs.dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b", "cosine")

@@ -160,6 +160,30 @@ def test_ann_recall(spark, tables):
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.5, f"ANN recall {recall} ({len(ann)} vs {len(exact)})"
     assert ann <= exact  # exact-verified candidates: precision 1
+    # auto-sized params (the scale-safe path: planes from corpus size,
+    # tables from the recall identity) hold recall too
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in sim.ann_neardup_pairs(
+            emb, "vec_id", "embedding", dim=64,
+            n_planes=None, n_tables=None, threshold=0.35,
+        ).collect()
+    }
+    auto_recall = len(exact & auto) / len(exact)
+    assert auto_recall >= 0.5, f"auto-sized ANN recall {auto_recall}"
+    assert auto <= exact
+
+
+def test_auto_lsh_params_scale_shape():
+    # planes grow with the corpus (constant expected bucket size) …
+    p1, t1 = sim.auto_lsh_params(2_000, 0.9)
+    p2, t2 = sim.auto_lsh_params(2_000_000, 0.9)
+    assert p2 > p1
+    # … and the high-threshold regime needs few tables for 0.9 recall
+    assert t2 <= 32
+    # low-threshold regime: table count is capped, never explodes
+    _, t_low = sim.auto_lsh_params(2_000_000, 0.35)
+    assert t_low <= 16
 
 
 def test_multimodal_features(mini_docs):

@@ -188,39 +188,37 @@ def _kmeans_centroids(
     dim: int,
     n_clusters: int,
     n_iter: int = 5,
+    train_sample: int = 65536,
 ) -> list[list[float]]:
-    """Deterministic Lloyd's k-means over the embedding column.
+    """Deterministic Lloyd's k-means over a bounded training sample.
 
-    Init = rows with the smallest xxhash64(id) (seedless determinism);
-    assignment = broadcast cross-join + min_by; update = per-dimension avg.
-    Centroids (k·dim floats) live on the driver — the distributed work is
-    one scan per iteration, which is how IVF training runs at corpus scale.
-    """
+    The quantizer trains on the ``train_sample`` rows with the smallest
+    ``xxhash64(id)`` (seedless determinism, ONE collect of ≤ sample·dim
+    floats) with vectorized numpy iterations on the driver; the full-corpus
+    work is the single distributed ASSIGN pass the caller runs afterwards.
+    This is the FAISS-style IVF recipe — coarse quantizers are always
+    trained on a sample, so training cost is independent of corpus size
+    (5 distributed join+agg rounds per build was the prior shape; a 100 TB
+    corpus never iterates k-means over every row)."""
+    import numpy as np
+
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    seed_rows = (
+    rows = (
         base.orderBy(F.xxhash64(F.col("id").cast("string")))
-        .limit(n_clusters)
+        .limit(max(train_sample, n_clusters))
         .collect()
     )
-    centroids = [[float(x) for x in r["v"]] for r in seed_rows]
+    x = np.array([[float(v) for v in r["v"]] for r in rows])
+    cent = x[:n_clusters].copy()
+    x_sq = (x * x).sum(axis=1)
     for _ in range(n_iter):
-        assigned = base.join(
-            _assign_clusters(base, centroids), on="id"
-        )
-        stats = assigned.groupBy("cluster").agg(
-            *[
-                F.avg(F.element_at(F.col("v"), i + 1)).alias(f"d{i}")
-                for i in range(dim)
-            ],
-        )
-        new = {
-            r["cluster"]: [r[f"d{i}"] for i in range(dim)]
-            for r in stats.collect()
-        }
-        centroids = [
-            new.get(c, centroids[c]) for c in range(len(centroids))
-        ]
-    return centroids
+        d2 = x_sq[:, None] + (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        assign = d2.argmin(axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in cent]
 
 
 class IvfIndex:

@@ -25,6 +25,9 @@ GATES = [
     "q_stream_hourly",
     "q_var_length",
     "q_ann_search",  # the corpus-scale tier of embedding near-dup
+    "q_pagerank",
+    "q_triangles",
+    "q_shortest_paths",
 ]
 
 

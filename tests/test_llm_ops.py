@@ -396,3 +396,71 @@ def test_ivf_index_deploy_partition_pruned(spark, tables, tmp_path):
         n_clusters=8, n_probe=2, exclude_id=0,
     )
     assert [r["id"] for r in rows] == [r["id"] for r in mem.collect()]
+
+
+def test_audio_wav_features(spark):
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 100 * t)  # 100 Hz → 200 zero crossings
+    silence = np.zeros(rate // 2)  # 0.5 s
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(mm.encode_wav(sine, rate)), {}),
+            (2, "audio", bytearray(mm.encode_wav(silence, rate)), {}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in mm.extract_audio_features(media).collect()}
+    assert feats[1]["sample_rate"] == rate
+    assert abs(feats[1]["duration_s"] - 1.0) < 1e-6
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2); 16-bit quantization noise
+    assert abs(feats[1]["rms"] - 0.5 / 2**0.5) < 1e-3
+    assert abs(feats[1]["peak"] - 0.5) < 1e-3
+    # ~200 sign flips over 8000 samples
+    assert abs(feats[1]["zero_cross_rate"] - 200 / rate) < 5e-3
+    assert feats[2]["rms"] == 0.0
+    assert abs(feats[2]["duration_s"] - 0.5) < 1e-6
+
+
+def test_audio_compressed_raises(spark):
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"\xff\xfbnot-a-wav"), {})], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        mm.extract_audio_features(media).collect()
+
+
+def test_video_frame_sampling(spark):
+    import numpy as np
+
+    # 6 frames, 4x3, each frame solid color = frame index
+    frames = np.stack(
+        [np.full((3, 4, 3), i * 40, dtype=np.uint8) for i in range(6)]
+    )
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(mm.encode_fake_video(frames)), {})],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.sample_frames(media, every_n=2).collect()
+    assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    assert all(r["width"] == 4 and r["height"] == 3 for r in out)
+    # sampled frames chain into the image pipeline (decode parity)
+    frame_media = spark.createDataFrame(
+        [(r["frame_idx"], "image", r["frame"], {}) for r in out],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r for r in mm.extract_image_features(frame_media).collect()
+    }
+    for idx in (0, 2, 4):
+        assert abs(feats[idx]["mean_r"] - idx * 40) < 1e-9
+
+
+def test_video_real_container_raises(spark):
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x00 ftypmp42"), {})], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception):
+        mm.sample_frames(media).collect()

@@ -145,18 +145,6 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id (LONG) from dot products against seeded planes."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(vec_col, plane_col) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return bucket
-
-
 def _assign_clusters(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """id → nearest-centroid cluster via a broadcast cross-join against the
     k-row centroid table + min_by argmin. ONE distance lambda in the plan —

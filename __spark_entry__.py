@@ -1011,8 +1011,74 @@ def _p_image_decode(spark, sf_dir):
     return img.unionByName(fake).orderBy("src", "media_id")
 
 
+def _p_media_pipeline(spark, sf_dir):
+    """Audio + video multimodal tiers, oracle-paired via closed-form
+    fixtures (operators/multimodal.py):
+
+    (a) real PCM WAV decode (stdlib) — constant-amplitude clips, so
+        RMS/peak equal trunc(c*32767)/32768 and zero-crossing rate is 0;
+    (b) video frame sampling — NFV1 fixture with constant-color frames
+        (pixel = idx*30 + channel), every-2nd-frame sampled rows chained
+        into the image feature extractor, so channel means are exact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import multimodal as mm
+
+    audio_rows = [
+        (i, "audio",
+         bytearray(mm.encode_wav(np.full(4000 * i, 0.1 * i), 8000)), None)
+        for i in range(1, 4)
+    ]
+    audio = mm.extract_audio_features(
+        spark.createDataFrame(audio_rows, mm.MEDIA_SCHEMA)
+    ).select(
+        F.lit("audio").alias("src"),
+        "media_id", "sample_rate", "n_samples", "duration_s",
+        "rms", "peak", "zero_cross_rate",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("mean_r"),
+        F.lit(None).cast("double").alias("mean_g"),
+        F.lit(None).cast("double").alias("mean_b"),
+    )
+    frames_np = np.stack(
+        [np.fromfunction(lambda r, c, ch: j * 30 + ch, (3, 4, 3)).astype(np.uint8)
+         for j in range(6)]
+    )
+    video = spark.createDataFrame(
+        [(10, "video", bytearray(mm.encode_fake_video(frames_np)), None)],
+        mm.MEDIA_SCHEMA,
+    )
+    sampled = mm.sample_frames(video, every_n=2)
+    frame_media = sampled.select(
+        F.col("frame_idx").cast("long").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.col("frame").alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    vf = (
+        mm.extract_image_features(frame_media)
+        .select(
+            F.lit("frame").alias("src"),
+            "media_id",
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("n_samples"),
+            F.lit(None).cast("double").alias("duration_s"),
+            F.lit(None).cast("double").alias("rms"),
+            F.lit(None).cast("double").alias("peak"),
+            F.lit(None).cast("double").alias("zero_cross_rate"),
+            F.col("media_id").cast("int").alias("frame_idx"),
+            "width", "height", "mean_r", "mean_g", "mean_b",
+        )
+    )
+    return audio.unionByName(vf).orderBy("src", "media_id")
+
+
 _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_decode": _p_image_decode,
+    "q_media_pipeline": _p_media_pipeline,
     "q_write_create": _p_write_create,
     "q_write_merge_set": _p_write_merge_set,
     "q_write_delete": _p_write_delete,
@@ -1125,6 +1191,30 @@ _ORACLE.update(
                        CAST(octet_length(encode(text)) AS BIGINT),
                        md5(text)
                 FROM documents WHERE doc_id < 200
+            ) ORDER BY src, media_id""",
+        "q_media_pipeline": """
+            SELECT * FROM (
+                SELECT 'audio' AS src, CAST(i AS BIGINT) AS media_id,
+                       CAST(8000 AS INTEGER) AS sample_rate,
+                       CAST(4000 * i AS BIGINT) AS n_samples,
+                       round((4000 * i) / 8000.0, 6) AS duration_s,
+                       round(floor(0.1 * i * 32767) / 32768.0, 6) AS rms,
+                       round(floor(0.1 * i * 32767) / 32768.0, 6) AS peak,
+                       0.0 AS zero_cross_rate,
+                       CAST(NULL AS INTEGER) AS frame_idx,
+                       CAST(NULL AS INTEGER) AS width,
+                       CAST(NULL AS INTEGER) AS height,
+                       CAST(NULL AS DOUBLE) AS mean_r,
+                       CAST(NULL AS DOUBLE) AS mean_g,
+                       CAST(NULL AS DOUBLE) AS mean_b
+                FROM (VALUES (1), (2), (3)) t(i)
+                UNION ALL
+                SELECT 'frame', CAST(f AS BIGINT), NULL, NULL, NULL, NULL,
+                       NULL, NULL, CAST(f AS INTEGER),
+                       CAST(4 AS INTEGER), CAST(3 AS INTEGER),
+                       round(f * 30.0, 6), round(f * 30.0 + 1, 6),
+                       round(f * 30.0 + 2, 6)
+                FROM (VALUES (0), (2), (4)) t(f)
             ) ORDER BY src, media_id""",
         "q_write_bench": """
             WITH ks AS (SELECT range AS k FROM range(0, 1400))

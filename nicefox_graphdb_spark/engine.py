@@ -14,6 +14,7 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, SparkSession
 
 from nicefox_graphdb_spark.catalog import GraphCatalog
+from nicefox_graphdb_spark.client_ops import ClientOps
 from nicefox_graphdb_spark.cypher import ast
 from nicefox_graphdb_spark.cypher.compiler import CypherToSpark
 from nicefox_graphdb_spark.cypher.parser import parse
@@ -117,7 +118,7 @@ def _prune_null_props(v):
     return v
 
 
-class CypherEngine:
+class CypherEngine(ClientOps):
     def __init__(
         self,
         spark: SparkSession,

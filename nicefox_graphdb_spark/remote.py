@@ -16,6 +16,8 @@ import json
 import urllib.error
 import urllib.request
 
+from nicefox_graphdb_spark.client_ops import ClientOps
+
 
 class RemoteQueryError(Exception):
     """Server-side query failure, carrying the structured error the server
@@ -33,7 +35,7 @@ class RemoteTransportError(Exception):
     """Network/auth-level failure (non-envelope HTTP error)."""
 
 
-class RemoteEngine:
+class RemoteEngine(ClientOps):
     """Drop-in remote counterpart of `CypherEngine`'s client surface.
 
     >>> eng = RemoteEngine("http://localhost:3000", project="demo",

@@ -133,3 +133,67 @@ def test_remote_cli_query_url(remote, capsys):
 
     envelope = _json.loads(out)
     assert envelope["success"] is True and envelope["data"] == [{"answer": 42}]
+
+
+# -- convenience client surface (reference LeanGraphClient,
+# src/types.ts:92-166, src/local.ts:86-167) --------------------------------
+
+
+@pytest.fixture()
+def wengine(spark):
+    from nicefox_graphdb_spark import CypherEngine
+    from nicefox_graphdb_spark.catalog import GraphCatalog
+
+    return CypherEngine(spark, GraphCatalog(spark), mutable=True)
+
+
+def test_create_get_update_delete_node(wengine):
+    nid = wengine.create_node("Person", {"name": "Ada", "age": 36})
+    assert isinstance(nid, str) and nid
+    got = wengine.get_node("Person", {"name": "Ada"})
+    assert got is not None and got["age"] == 36
+    wengine.update_node(nid, {"age": 37, "title": "eng"})
+    got = wengine.get_node("Person", {"name": "Ada"})
+    assert got["age"] == 37 and got["title"] == "eng"
+    assert wengine.get_node("Person", {"name": "Nobody"}) is None
+    wengine.delete_node(nid)
+    assert wengine.get_node("Person", {"name": "Ada"}) is None
+
+
+def test_create_edge_and_execute(wengine):
+    a = wengine.create_node("P", {"k": 1})
+    b = wengine.create_node("P", {"k": 2})
+    wengine.create_edge(a, "KNOWS", b, {"since": 2020})
+    rows = wengine.query(
+        "MATCH (x:P)-[r:KNOWS]->(y:P) RETURN x.k AS a, r.since AS s, y.k AS b"
+    )
+    assert rows == [{"a": 1, "s": 2020, "b": 2}]
+    # MERGE semantics: a second create_edge with the same shape is a no-op
+    wengine.create_edge(a, "KNOWS", b, {"since": 2020})
+    assert wengine.query(
+        "MATCH (:P)-[r:KNOWS]->(:P) RETURN count(r) AS c"
+    ) == [{"c": 1}]
+    wengine.execute("MATCH (x:P {k: 1}) SET x.seen = true")
+    assert wengine.query("MATCH (x:P {k: 1}) RETURN x.seen AS s") == [{"s": True}]
+    # detach delete via client surface removes the edge too
+    wengine.delete_node(a)
+    assert wengine.query(
+        "MATCH ()-[r:KNOWS]->() RETURN count(r) AS c"
+    ) == [{"c": 0}]
+
+
+def test_client_ops_reject_hostile_identifiers(wengine):
+    with pytest.raises(ValueError):
+        wengine.create_node("Person) DETACH DELETE (m", {})
+    with pytest.raises(ValueError):
+        wengine.create_node("Person", {"a: 1} SET n.x": 2})
+    assert wengine.health()["status"] == "ok"
+
+
+def test_remote_convenience_surface(remote):
+    nid = remote.create_node("RC", {"name": "bob"})
+    assert remote.get_node("RC", {"name": "bob"}) is not None
+    remote.update_node(nid, {"name": "rob"})
+    assert remote.get_node("RC", {"name": "rob"}) is not None
+    remote.delete_node(nid)
+    assert remote.get_node("RC", {"name": "rob"}) is None

@@ -22,18 +22,32 @@ from nicefox_graphdb_spark.engine import CypherEngine
 
 
 class ProjectManager:
-    """Lazily materializes one mutable CypherEngine per project name."""
+    """Lazily materializes one mutable CypherEngine per project name.
 
-    def __init__(self, spark: SparkSession):
+    With ``data_dir`` set, each project opens the DURABLE store at
+    ``<data_dir>/<project>`` (the reference's one-SQLite-file-per-project
+    layout, routes.ts:85-95) — restarts recover every project's writes.
+    Without it, projects are session-scoped in-memory graphs."""
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
         self.spark = spark
+        self.data_dir = data_dir
         self._engines: dict[str, CypherEngine] = {}
         self._lock = threading.Lock()
 
     def engine(self, project: str) -> CypherEngine:
         with self._lock:
             if project not in self._engines:
+                data_path = None
+                if self.data_dir is not None:
+                    from nicefox_graphdb_spark.projects import project_path
+
+                    data_path = project_path(self.data_dir, project)
                 self._engines[project] = CypherEngine(
-                    self.spark, GraphCatalog(self.spark), mutable=True
+                    self.spark,
+                    GraphCatalog(self.spark),
+                    mutable=True,
+                    data_path=data_path,
                 )
             return self._engines[project]
 
@@ -43,7 +57,12 @@ class ProjectManager:
 
     def list_projects(self) -> list[str]:
         with self._lock:
-            return sorted(self._engines)
+            names = set(self._engines)
+        if self.data_dir is not None:
+            from nicefox_graphdb_spark.projects import list_projects
+
+            names.update(p.name for p in list_projects(self.data_dir))
+        return sorted(names)
 
 
 def _make_handler(manager: ProjectManager, api_keys: set[str] | None):
@@ -60,7 +79,11 @@ def _make_handler(manager: ProjectManager, api_keys: set[str] | None):
             self.end_headers()
             self.wfile.write(body)
 
-        def _authorized(self) -> bool:
+        def _authorized(self, project: str | None = None) -> bool:
+            """api_keys as a SET authorizes every project; as a DICT
+            (key → {"project": name-or-None}) a key with a project
+            restriction only reaches that project (reference
+            src/auth.ts:8-16, routes.ts:167-176)."""
             if not api_keys:
                 return True
             auth = self.headers.get("Authorization", "")
@@ -84,12 +107,26 @@ def _make_handler(manager: ProjectManager, api_keys: set[str] | None):
                     },
                 )
                 return False
-            if auth[7:] not in api_keys:
+            key = auth[7:]
+            if key not in api_keys:
                 self._json(
                     401,
                     {"success": False, "error": {"message": "Invalid API key"}},
                 )
                 return False
+            if isinstance(api_keys, dict) and project is not None:
+                restriction = (api_keys.get(key) or {}).get("project")
+                if restriction is not None and restriction != project:
+                    self._json(
+                        403,
+                        {
+                            "success": False,
+                            "error": {
+                                "message": "API key not authorized for project"
+                            },
+                        },
+                    )
+                    return False
             return True
 
         def do_GET(self):  # noqa: N802
@@ -121,9 +158,9 @@ def _make_handler(manager: ProjectManager, api_keys: set[str] | None):
             if not self.path.startswith("/query/"):
                 self._json(404, {"success": False, "error": {"message": "Not found"}})
                 return
-            if not self._authorized():
-                return
             project = self.path[len("/query/"):].strip("/")
+            if not self._authorized(project):
+                return
             length = int(self.headers.get("Content-Length") or 0)
             try:
                 body = json.loads(self.rfile.read(length) or b"")
@@ -155,12 +192,16 @@ def create_server(
     spark: SparkSession,
     host: str = "localhost",
     port: int = 3000,
-    api_keys: set[str] | None = None,
+    api_keys: "set[str] | dict[str, dict] | None" = None,
     manager: ProjectManager | None = None,
+    data_dir: str | None = None,
 ) -> tuple[ThreadingHTTPServer, ProjectManager]:
     """Build (but don't start) the HTTP server. Call serve_forever() or use
-    `serve()` for the blocking variant."""
-    manager = manager or ProjectManager(spark)
+    `serve()` for the blocking variant. ``api_keys`` is a set (every key
+    reaches every project) or a dict key → {"project": name-or-None} with
+    per-project restriction; ``data_dir`` makes projects durable stores
+    under that directory."""
+    manager = manager or ProjectManager(spark, data_dir=data_dir)
     httpd = ThreadingHTTPServer((host, port), _make_handler(manager, api_keys))
     return httpd, manager
 
@@ -169,7 +210,8 @@ def serve(
     spark: SparkSession,
     host: str = "localhost",
     port: int = 3000,
-    api_keys: set[str] | None = None,
+    api_keys: "set[str] | dict[str, dict] | None" = None,
+    data_dir: str | None = None,
 ) -> None:
-    httpd, _ = create_server(spark, host, port, api_keys)
+    httpd, _ = create_server(spark, host, port, api_keys, data_dir=data_dir)
     httpd.serve_forever()

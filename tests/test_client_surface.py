@@ -197,3 +197,76 @@ def test_remote_convenience_surface(remote):
     assert remote.get_node("RC", {"name": "rob"}) is not None
     remote.delete_node(nid)
     assert remote.get_node("RC", {"name": "rob"}) is None
+
+
+# -- project admin + per-project API keys (reference cli.ts
+# create/delete/list/wipe/clone/apikey; auth.ts:8-16 restriction) -----------
+
+
+def test_project_admin_roundtrip(tmp_path):
+    from nicefox_graphdb_spark import projects as pj
+    from nicefox_graphdb_spark.cli import main as cli_main
+
+    data = str(tmp_path / "projects")
+    assert cli_main(["create", "alpha", "--data", data, "--no-key"]) == 0
+    assert cli_main(["create", "alpha", "--data", data, "--no-key"]) == 1
+    assert cli_main(["create", "beta", "--data", data, "--no-key"]) == 0
+    assert [p.name for p in pj.list_projects(data)] == ["alpha", "beta"]
+    assert cli_main(["clone", "alpha", "gamma", "--data", data]) == 0
+    assert cli_main(["wipe", "beta", "--data", data]) == 0
+    assert cli_main(["delete", "alpha", "--data", data]) == 0
+    assert [p.name for p in pj.list_projects(data)] == ["beta", "gamma"]
+    # names that would escape the data dir are rejected
+    with pytest.raises(ValueError):
+        pj.create_project(data, "../evil")
+
+
+def test_api_key_lifecycle(tmp_path):
+    from nicefox_graphdb_spark import projects as pj
+
+    data = str(tmp_path / "projects")
+    k1 = pj.add_api_key(data, "alpha")
+    k2 = pj.add_api_key(data, None)
+    assert len(k1) == 32 and k1 != k2
+    keys = pj.load_api_keys(data)
+    assert keys[k1] == {"project": "alpha"}
+    assert keys[k2] == {"project": None}
+    assert pj.remove_api_keys(data, k1[:8]) == 1
+    assert k1 not in pj.load_api_keys(data)
+    # deleting a project prunes its keys
+    pj.create_project(data, "beta")
+    k3 = pj.add_api_key(data, "beta")
+    pj.delete_project(data, "beta")
+    assert k3 not in pj.load_api_keys(data)
+
+
+def test_server_per_project_key_restriction(spark, tmp_path):
+    import threading
+
+    from nicefox_graphdb_spark.remote import RemoteEngine, RemoteTransportError
+    from nicefox_graphdb_spark.server import create_server
+
+    keys = {"alphakey": {"project": "alpha"}, "rootkey": {"project": None}}
+    httpd, _ = create_server(
+        spark, host="127.0.0.1", port=0, api_keys=keys,
+        data_dir=str(tmp_path / "pdata"),
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        alpha = RemoteEngine(url, project="alpha", api_key="alphakey")
+        assert alpha.query("RETURN 1 AS x") == [{"x": 1}]
+        # restricted key on the wrong project → 403, not data
+        wrong = RemoteEngine(url, project="beta", api_key="alphakey")
+        with pytest.raises(Exception):
+            wrong.query("RETURN 1 AS x")
+        # unrestricted key reaches both
+        root = RemoteEngine(url, project="beta", api_key="rootkey")
+        assert root.query("RETURN 1 AS x") == [{"x": 1}]
+        # durable: alpha's writes live under data_dir and survive a fresh
+        # manager (same path re-opened)
+        alpha.execute("CREATE (:D {k: 1})")
+        assert alpha.query("MATCH (d:D) RETURN count(*) AS c") == [{"c": 1}]
+    finally:
+        httpd.shutdown()

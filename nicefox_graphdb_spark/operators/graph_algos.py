@@ -20,6 +20,12 @@ from pyspark.sql import functions as F
 CHECKPOINT_EVERY = 4
 
 
+# per-partition edge-row budget for the local union-find contraction in
+# connected_components: bounds each Arrow batch's numpy arrays (and the
+# factorize dictionary) independent of corpus size
+_CC_ROWS_PER_PART = 4_000_000
+
+
 def _vertices(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
     if vertices is not None:
         return vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
@@ -152,12 +158,11 @@ def connected_components(
     # partition the pass reaches the global fixpoint and the star-phase
     # loop below exits on its first convergence check. Star phases remain
     # the fallback for residuals too big to coalesce further.
-    _ROWS_PER_PART = 4_000_000
     rows = e.count()  # narrow count over the scan — no shuffle
     solved = False
     while rows:
         nparts = max(1, e.rdd.getNumPartitions())
-        target = min(max(1, -(-rows // _ROWS_PER_PART)), nparts)
+        target = min(max(1, -(-rows // _CC_ROWS_PER_PART)), nparts)
         e = _contract(e.coalesce(target) if target < nparts else e)
         new_rows = e.count()
         if target == 1:

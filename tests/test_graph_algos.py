@@ -145,3 +145,55 @@ def test_triangle_count_ignores_self_loops_and_duplicates(spark):
         ["src", "dst"],
     )
     assert ga.triangle_count(edges).collect()[0]["triangles"] == 1
+
+
+def test_connected_components_multipartition_paths(spark, monkeypatch):
+    """Force BOTH the multilevel-coalesce path and the star-phase fallback
+    (tiny per-partition row budget) on a cross-partition graph, against an
+    independent python union-find oracle."""
+    import random
+
+    rng = random.Random(7)
+    n = 400
+    edges = []
+    # 20 chains of 20 nodes, shuffled so partitions cut across chains
+    for c in range(20):
+        ids = [f"V{c:02d}_{i:02d}" for i in range(20)]
+        edges += list(zip(ids, ids[1:]))
+    rng.shuffle(edges)
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    expected = {}
+    for u, v in edges:
+        for x in (u, v):
+            root = find(x)
+            while parent[root] != root:
+                root = parent[root]
+            expected[x] = root
+
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    got = {
+        r["id"]: r["component"] for r in ga.connected_components(df).collect()
+    }
+    assert got == expected and len(got) == n
+
+    # star-phase fallback: budget so small every level refuses to coalesce
+    monkeypatch.setattr(ga, "_CC_ROWS_PER_PART", 10)
+    got2 = {
+        r["id"]: r["component"]
+        for r in ga.connected_components(df).collect()
+    }
+    assert got2 == expected

@@ -29,9 +29,15 @@ class ProjectManager:
     layout, routes.ts:85-95) — restarts recover every project's writes.
     Without it, projects are session-scoped in-memory graphs."""
 
-    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str | None = None,
+        backup_dir: str | None = None,
+    ):
         self.spark = spark
         self.data_dir = data_dir
+        self.backup_dir = backup_dir
         self._engines: dict[str, CypherEngine] = {}
         self._lock = threading.Lock()
 
@@ -152,9 +158,94 @@ def _make_handler(manager: ProjectManager, api_keys: set[str] | None):
                     },
                 )
                 return
+            if self.path == "/admin/backup":
+                if not self._authorized():
+                    return
+                if manager.backup_dir is None:
+                    self._json(
+                        400,
+                        {
+                            "success": False,
+                            "error": {
+                                "message": "Backup not configured. Set "
+                                "backup_dir in server options."
+                            },
+                        },
+                    )
+                    return
+                from nicefox_graphdb_spark.sources.snapshot import (
+                    snapshot_status,
+                )
+
+                status = {
+                    p: snapshot_status(
+                        f"{manager.backup_dir}/{p}"
+                    ).__dict__
+                    for p in manager.list_projects()
+                }
+                self._json(200, {"success": True, "data": status})
+                return
             self._json(404, {"success": False, "error": {"message": "Not found"}})
 
         def do_POST(self):  # noqa: N802
+            # admin endpoints (reference src/routes.ts:110-139,159-220)
+            if self.path.startswith("/admin/projects/"):
+                if not self._authorized():
+                    return
+                project = self.path[len("/admin/projects/"):].strip("/")
+                manager.engine(project)  # creating by accessing it
+                self._json(
+                    200,
+                    {"success": True,
+                     "message": f"Created database for {project}"},
+                )
+                return
+            if self.path.startswith("/admin/wipe/"):
+                if not self._authorized():
+                    return
+                project = self.path[len("/admin/wipe/"):].strip("/")
+                manager.engine(project).execute("MATCH (n) DETACH DELETE n")
+                self._json(
+                    200,
+                    {"success": True,
+                     "message": f"Wiped database for {project}"},
+                )
+                return
+            if self.path.startswith("/admin/backup"):
+                if not self._authorized():
+                    return
+                if manager.backup_dir is None:
+                    self._json(
+                        400,
+                        {
+                            "success": False,
+                            "error": {
+                                "message": "Backup not configured. Set "
+                                "backup_dir in server options."
+                            },
+                        },
+                    )
+                    return
+                from urllib.parse import parse_qs, urlparse
+
+                from nicefox_graphdb_spark.sources.snapshot import (
+                    snapshot_graph,
+                )
+
+                qs = parse_qs(urlparse(self.path).query)
+                targets = qs.get("project") or manager.list_projects()
+                results = {}
+                for p in targets:
+                    res = snapshot_graph(
+                        manager.engine(p).catalog,
+                        f"{manager.backup_dir}/{p}",
+                    )
+                    results[p] = res.__dict__
+                ok = all(r.get("success") for r in results.values())
+                self._json(
+                    200 if ok else 400, {"success": ok, "data": results}
+                )
+                return
             if not self.path.startswith("/query/"):
                 self._json(404, {"success": False, "error": {"message": "Not found"}})
                 return
@@ -195,13 +286,17 @@ def create_server(
     api_keys: "set[str] | dict[str, dict] | None" = None,
     manager: ProjectManager | None = None,
     data_dir: str | None = None,
+    backup_dir: str | None = None,
 ) -> tuple[ThreadingHTTPServer, ProjectManager]:
     """Build (but don't start) the HTTP server. Call serve_forever() or use
     `serve()` for the blocking variant. ``api_keys`` is a set (every key
     reaches every project) or a dict key → {"project": name-or-None} with
     per-project restriction; ``data_dir`` makes projects durable stores
-    under that directory."""
-    manager = manager or ProjectManager(spark, data_dir=data_dir)
+    under that directory; ``backup_dir`` enables the /admin/backup
+    endpoints (reference serve --backup, routes.ts:141-220)."""
+    manager = manager or ProjectManager(
+        spark, data_dir=data_dir, backup_dir=backup_dir
+    )
     httpd = ThreadingHTTPServer((host, port), _make_handler(manager, api_keys))
     return httpd, manager
 

@@ -106,3 +106,75 @@ def test_cli_table_format():
     lines = txt.splitlines()
     assert lines[0].split(" | ")[0].strip() == "a"
     assert len(lines) == 4
+
+
+def test_admin_project_create_wipe_backup(spark, tmp_path):
+    import json
+    import threading
+    import urllib.request
+
+    from nicefox_graphdb_spark.server import create_server
+
+    httpd, mgr = create_server(
+        spark, host="127.0.0.1", port=0,
+        backup_dir=str(tmp_path / "backups"),
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def post(path):
+        req = urllib.request.Request(url + path, method="POST", data=b"")
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    def get(path):
+        with urllib.request.urlopen(url + path) as r:
+            return json.loads(r.read())
+
+    try:
+        # create by access (reference routes.ts:110-120)
+        assert post("/admin/projects/padmin")["success"] is True
+        assert "padmin" in get("/admin/list")["data"]["projects"]
+        mgr.engine("padmin").execute("CREATE (:W {k: 1})")
+        # wipe clears all data (reference routes.ts:122-135)
+        assert post("/admin/wipe/padmin")["success"] is True
+        assert mgr.engine("padmin").query(
+            "MATCH (n) RETURN count(*) AS c"
+        ) == [{"c": 0}]
+        # backup writes a snapshot and status reports it
+        mgr.engine("padmin").execute("CREATE (:W {k: 2})")
+        resp = post("/admin/backup?project=padmin")
+        assert resp["success"] is True
+        status = get("/admin/backup")["data"]["padmin"]
+        assert status["total_snapshots"] == 1
+    finally:
+        httpd.shutdown()
+
+
+def test_admin_backup_unconfigured_400(spark):
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from nicefox_graphdb_spark.server import create_server
+
+    httpd, _ = create_server(spark, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            url + "/admin/backup", method="POST", data=b""
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert json.loads(e.read())["error"]["message"].startswith(
+                "Backup not configured"
+            )
+    finally:
+        httpd.shutdown()

@@ -1076,6 +1076,63 @@ def _p_media_pipeline(spark, sf_dir):
     return audio.unionByName(vf).orderBy("src", "media_id")
 
 
+def _p_sample_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split (80/10/10): a document
+    keeps its split across reshards and appends — the leakage-audit property
+    a 100 TB corpus needs. Pure Column expressions, no shuffle beyond the
+    final tiny groupBy."""
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import pipeline as pl
+    from nicefox_graphdb_spark.operators import text as tx
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        pl.hash_split(docs, "doc_id")
+        .select("split", tx.token_count(F.col("text")).alias("tc"))
+        .groupBy("split")
+        .agg(F.count("*").alias("docs"), F.sum("tc").alias("total_tokens"))
+        .orderBy("split")
+    )
+
+
+def _p_pack_chunks(spark, sf_dir):
+    """Context-window packing via a two-phase distributed prefix sum (no
+    single-task global window): chunk_id = floor(excl_cumsum(tokens)/512),
+    identical output under any partitioning."""
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import pipeline as pl
+    from nicefox_graphdb_spark.operators import text as tx
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id", tx.token_count(F.col("text")).alias("tc")
+    )
+    packed = pl.pack_chunks(docs, "doc_id", "tc", window=512)
+    return (
+        packed.groupBy("chunk_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tc").alias("total_tokens"))
+        .orderBy("chunk_id")
+    )
+
+
+def _p_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word 3-gram with
+    the held-out benchmark slice (doc_id % 47 = 0). Posting-list join with a
+    broadcast benchmark side — no all-pairs work."""
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import dedup as dd
+    from nicefox_graphdb_spark.operators import pipeline as pl
+
+    docs = _tables(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 47 == 0)
+    train = docs.where(F.col("doc_id") % 47 != 0)
+    return pl.decontaminate(
+        train, bench, "doc_id", dd.word_shingles(F.col("text"), 3)
+    ).orderBy("doc_id")
+
+
 _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_decode": _p_image_decode,
     "q_media_pipeline": _p_media_pipeline,
@@ -1101,6 +1158,9 @@ _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_topk": _p_embed_topk,
     "q_embed_neardup": _p_embed_neardup,
     "q_ann_search": _p_ann_search,  # rows-only (seeded planes / k-means)
+    "q_sample_split": _p_sample_split,
+    "q_pack_chunks": _p_pack_chunks,
+    "q_decontaminate": _p_decontaminate,
 }
 
 # shared SQL fragments for the text oracles (mirror operators/text.py)
@@ -1353,6 +1413,40 @@ _ORACLE.update(
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        # bucket = conv(first 8 hex of md5, 16, 10) % 256 == value of hex
+        # chars 7..8 (16^2 divides 16^8), computed digit-wise in DuckDB
+        "q_sample_split": f"""
+            WITH b AS (
+                SELECT (instr('0123456789abcdef',
+                              substring(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+                     + instr('0123456789abcdef',
+                             substring(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1 AS bkt,
+                       len({_TOK}) AS tc
+                FROM documents)
+            SELECT CASE WHEN bkt < 205 THEN 'train'
+                        WHEN bkt < 230 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS docs, CAST(sum(tc) AS BIGINT) AS total_tokens
+            FROM b GROUP BY 1 ORDER BY 1""",
+        "q_pack_chunks": f"""
+            WITH t AS (SELECT doc_id, len({_TOK}) AS tc FROM documents),
+            c AS (SELECT tc, sum(tc) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - tc AS pre
+                  FROM t)
+            SELECT CAST(floor(pre / 512) AS BIGINT) AS chunk_id,
+                   count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS total_tokens
+            FROM c GROUP BY 1 ORDER BY 1""",
+        "q_decontaminate": f"""
+            WITH d AS (SELECT doc_id, {_SHINGLES3} AS sh FROM documents),
+            bench AS (SELECT DISTINCT doc_id AS bid, unnest(sh) AS s
+                      FROM d WHERE doc_id % 47 = 0),
+            train AS (SELECT doc_id, unnest(sh) AS s
+                      FROM d WHERE doc_id % 47 <> 0)
+            SELECT t.doc_id,
+                   count(DISTINCT t.s) AS hits,
+                   count(DISTINCT b.bid) AS n_bench_docs
+            FROM train t JOIN bench b ON t.s = b.s
+            GROUP BY 1 ORDER BY 1""",
         "q_stream_sessions": """
             WITH marked AS (
                 SELECT user_id, ts, value,

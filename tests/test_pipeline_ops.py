@@ -1,0 +1,132 @@
+"""Corpus-preparation operators: deterministic splits, context-window
+packing (distributed prefix sum), benchmark decontamination.
+
+Each test checks the operator against an independently-computed expected
+value (single-task window, driver-side Python), so a regression in the
+distributed implementation can't silently agree with itself.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nicefox_graphdb_spark.operators import dedup as dd
+from nicefox_graphdb_spark.operators import pipeline as pl
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(3 + i % 9)))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hash_split_deterministic_and_partition_invariant(docs):
+    a = pl.hash_split(docs, "doc_id").select("doc_id", "split")
+    b = pl.hash_split(docs.repartition(17), "doc_id").select("doc_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    counts = dict(
+        a.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    # 80/10/10 targets with binomial slack at n=200
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 130 and counts["val"] < 50 and counts["test"] < 50
+
+
+def test_hash_split_stable_under_append(docs, spark):
+    """A document's split never changes when the corpus grows."""
+    before = dict(
+        pl.hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    )
+    more = spark.createDataFrame(
+        [(i, "x") for i in range(200, 400)], "doc_id long, text string"
+    )
+    after = dict(
+        pl.hash_split(docs.unionByName(more), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    )
+    assert all(after[k] == v for k, v in before.items())
+
+
+def test_pack_chunks_matches_single_window(docs):
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tc")
+    )
+    got = (
+        pl.pack_chunks(toks, "doc_id", "tc", window=40, num_partitions=7)
+        .select("doc_id", "chunk_id")
+        .collect()
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = (
+        toks.withColumn(
+            "chunk_id",
+            F.floor((F.sum("tc").over(w) - F.col("tc")) / F.lit(40)).cast("long"),
+        )
+        .select("doc_id", "chunk_id")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
+def test_pack_chunks_partition_count_invariant(docs):
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tc")
+    )
+    outs = [
+        sorted(
+            map(
+                tuple,
+                pl.pack_chunks(toks, "doc_id", "tc", window=64, num_partitions=p)
+                .select("doc_id", "chunk_id")
+                .collect(),
+            )
+        )
+        for p in (1, 3, 16)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_pack_chunks_no_single_task_global_window(docs):
+    """The plan must not contain a partitionBy-less running window over the
+    full data (the single-task scale cliff this operator exists to avoid)."""
+    toks = docs.select("doc_id", F.lit(1).cast("long").alias("tc"))
+    plan = pl.pack_chunks(toks, "doc_id", "tc", window=10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[sum\(tc\)[^\]]*\]", plan):
+        assert "_pid" in m.group(0) or "partition" in m.group(0).lower()
+
+
+def test_decontaminate_matches_naive_intersection(docs):
+    sh = dd.word_shingles(F.col("text"), 2)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    got = {
+        r["doc_id"]: (r["hits"], r["n_bench_docs"])
+        for r in pl.decontaminate(train, bench, "doc_id", sh).collect()
+    }
+    # naive cross-join oracle
+    t = train.select(F.col("doc_id").alias("tid"), sh.alias("tsh"))
+    b = bench.select(F.col("doc_id").alias("bid"), sh.alias("bsh"))
+    naive = (
+        t.crossJoin(b)
+        .select(
+            "tid", "bid", F.array_intersect("tsh", "bsh").alias("common")
+        )
+        .where(F.size("common") > 0)
+        .groupBy("tid")
+        .agg(
+            F.size(F.array_distinct(F.flatten(F.collect_list("common")))).alias(
+                "hits"
+            ),
+            F.countDistinct("bid").alias("nb"),
+        )
+        .collect()
+    )
+    ref = {r["tid"]: (r["hits"], r["nb"]) for r in naive}
+    assert got == ref

@@ -3194,8 +3194,36 @@ class CypherToSpark:
             df.withColumn(vcol(rel_var, "src"), F.col(vcol(src_var, "id")))
             .withColumn(vcol(rel_var, "dst"), F.col(vcol(dst_var, "id")))
             .withColumn(vcol(rel_var, "type"), F.lit(rel.types[0]))
-            .localCheckpoint(eager=True)
         )
+        # a pre-bound endpoint may be NULL (OPTIONAL MATCH): the reference
+        # errors ("Cannot resolve source node ID from variable x",
+        # src/executor.ts:2258-2302) rather than silently creating nothing.
+        # The guard rides the eager checkpoint below — assert_true evaluates
+        # during materialization, so this costs zero extra Spark jobs.
+        guards = []
+        for v in {src_var, dst_var}:
+            guards.append(
+                F.assert_true(
+                    F.col(vcol(v, "id")).isNotNull(),
+                    F.lit(
+                        "Cannot resolve node ID from variable "
+                        f"{v} (null endpoint in CREATE)"
+                    ),
+                )
+            )
+        df = df.withColumn("__null_ep_guard", F.coalesce(*guards, F.lit(True)))
+        try:
+            df = df.localCheckpoint(eager=True)
+        except Exception as exc:  # noqa: BLE001
+            if "Cannot resolve node ID" in str(exc):
+                from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+                raise CypherRuntimeError(
+                    "Cannot create relationship with a null endpoint "
+                    f"({src_var})-[:{rel.types[0]}]->({dst_var})"
+                ) from None
+            raise
+        df = df.drop("__null_ep_guard")
         rows = df.select(
             F.col(vcol(rel_var, "eid")).alias("_id"),
             F.col(vcol(rel_var, "src")).alias("_src"),
@@ -3308,7 +3336,8 @@ class CypherToSpark:
                 self.store.update_node_props(lbl, upd_rows, replace_all=replace_all)
         else:
             self.store.update_edge_props(
-                df.select(info.id_col()).distinct(), upd_rows
+                df.select(info.id_col()).distinct(), upd_rows,
+                replace_all=replace_all,
             )
         new_props = dict(info.props)
         for k, tc in updates.items():

@@ -895,7 +895,9 @@ class DurableGraph(MutableGraph):
         ))
         self._bump()
 
-    def update_edge_props(self, eids: DataFrame, updates: DataFrame) -> None:
+    def update_edge_props(
+        self, eids: DataFrame, updates: DataFrame, replace_all: bool = False
+    ) -> None:
         updates, touched = self.tables.checkpoint_with_buckets(updates)
         if touched:
             for i in range(len(self.catalog._edges)):
@@ -908,7 +910,9 @@ class DurableGraph(MutableGraph):
                 cols = self._merged_cols(key, updates)
                 self.tables.set_schema(key, cols)
                 base_sub = self._align(self.tables.read_table(key, touched), cols)
-                merged = self._apply_edge_updates(base_sub, updates, cols)
+                merged = self._apply_edge_updates(
+                    base_sub, updates, cols, replace_all
+                )
                 self.tables.replace_buckets(key, touched, merged)
                 self._refresh_edge(et.type, et.src_label, et.dst_label)
         self._bump()

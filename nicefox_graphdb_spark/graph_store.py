@@ -177,23 +177,27 @@ class MutableGraph:
         """Keyed MERGE: overwrite matched rows' mentioned props (all props
         null-filled when replace_all). basea must already carry the merged
         column set."""
+        # key/flag aliases must not collide with `__uv_<prop>` for ANY
+        # property name — a property literally named "id" used to alias to
+        # the same column as the join key (AMBIGUOUS_REFERENCE on
+        # `SET n = {id: ...}`)
         upd_props = [c for c in updates.columns if c != "_id"]
         upd = updates.select(
-            F.col("_id").alias("__u_id"),
-            F.lit(True).alias("__matched"),
-            *[F.col(c).alias(f"__u_{c}") for c in upd_props],
+            F.col("_id").alias("__upd_key__"),
+            F.lit(True).alias("__upd_hit__"),
+            *[F.col(c).alias(f"__uv_{c}") for c in upd_props],
         )
-        joined = basea.join(upd, basea["_id"] == upd["__u_id"], "left")
+        joined = basea.join(upd, basea["_id"] == upd["__upd_key__"], "left")
         sel = [F.col("_id")]
         for name in cols:
             if name == "_id":
                 continue
             if name in upd_props:
-                col = F.when(F.col("__matched"), F.col(f"__u_{name}")).otherwise(
+                col = F.when(F.col("__upd_hit__"), F.col(f"__uv_{name}")).otherwise(
                     F.col(name)
                 )
             elif replace_all:
-                col = F.when(F.col("__matched"), F.lit(None)).otherwise(F.col(name))
+                col = F.when(F.col("__upd_hit__"), F.lit(None)).otherwise(F.col(name))
             else:
                 col = F.col(name)
             sel.append(col.cast(cols[name]).alias(name))
@@ -288,12 +292,14 @@ class MutableGraph:
         self.catalog._edges[slot] = EdgeTable(type_, src_label, dst_label, new_df)
         self._bump()
 
-    def update_edge_props(self, eids: DataFrame, updates: DataFrame) -> None:
+    def update_edge_props(
+        self, eids: DataFrame, updates: DataFrame, replace_all: bool = False
+    ) -> None:
         """updates: `_id` + new-value columns, applied across all edge tables."""
         for i, et in enumerate(self.catalog._edges):
             cols = self._merged_schema(et.df, updates)
             merged = self._apply_edge_updates(
-                self._align(et.df, cols), updates, cols
+                self._align(et.df, cols), updates, cols, replace_all
             )
             self.catalog._edges[i] = EdgeTable(
                 et.type, et.src_label, et.dst_label, merged
@@ -302,21 +308,30 @@ class MutableGraph:
 
     @staticmethod
     def _apply_edge_updates(
-        basea: DataFrame, updates: DataFrame, cols: dict[str, T.DataType]
+        basea: DataFrame,
+        updates: DataFrame,
+        cols: dict[str, T.DataType],
+        replace_all: bool = False,
     ) -> DataFrame:
         upd_props = [c for c in updates.columns if c != "_id"]
         upd = updates.select(
-            F.col("_id").alias("__u_id"),
-            F.lit(True).alias("__matched"),
-            *[F.col(c).alias(f"__u_{c}") for c in upd_props],
+            F.col("_id").alias("__upd_key__"),
+            F.lit(True).alias("__upd_hit__"),
+            *[F.col(c).alias(f"__uv_{c}") for c in upd_props],
         )
-        joined = basea.join(upd, basea["_id"] == upd["__u_id"], "left")
+        joined = basea.join(upd, basea["_id"] == upd["__upd_key__"], "left")
         sel = []
         for name in cols:
             if name in upd_props:
                 col = F.when(
-                    F.col("__matched"), F.col(f"__u_{name}")
+                    F.col("__upd_hit__"), F.col(f"__uv_{name}")
                 ).otherwise(F.col(name))
+                sel.append(col.cast(cols[name]).alias(name))
+            elif replace_all and name not in ("_id", "_src", "_dst"):
+                # SET r = {...}: unmentioned props null out on matched rows
+                col = F.when(F.col("__upd_hit__"), F.lit(None)).otherwise(
+                    F.col(name)
+                )
                 sel.append(col.cast(cols[name]).alias(name))
             else:
                 sel.append(F.col(name).alias(name))

@@ -270,3 +270,60 @@ def test_merge_rel_unbound_rel_props_in_key(wengine):
     assert wengine.query("MATCH (:P4)-[l:L]->(:Q4) RETURN count(*) AS c") == [
         {"c": 2}
     ]
+
+
+def test_set_replace_map_with_id_key(wengine):
+    """Regression: a replacement map whose key collides with the internal
+    update-join alias (a property literally named `id`) used to raise
+    AMBIGUOUS_REFERENCE on both stores."""
+    wengine.query("CREATE (n:RK {id: 1, x: 2})")
+    rows = wengine.query(
+        "MATCH (n:RK) SET n = {id: 7, v: 5} "
+        "RETURN keys(n) AS ks, n.id AS id, n.v AS v, n.x AS x"
+    )
+    assert rows == [{"ks": ["id", "v"], "id": 7, "v": 5, "x": None}]
+
+
+def test_set_replace_map_null_value_removes_key(wengine):
+    wengine.query("CREATE (n:RN {id: 1, x: 2})")
+    rows = wengine.query(
+        "MATCH (n:RN) SET n = {id: 1, w: null, v: 5} RETURN keys(n) AS ks"
+    )
+    assert rows == [{"ks": ["id", "v"]}]
+
+
+def test_create_rel_null_endpoint_raises(wengine):
+    """Reference parity: CREATE through a null-bound endpoint errors
+    (src/executor.ts:2258-2302 'Cannot resolve source node ID'), it does
+    not silently create nothing."""
+    from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+    wengine.query("CREATE (:NE {id: 1})")
+    with pytest.raises(CypherRuntimeError, match="null endpoint"):
+        wengine.query(
+            "MATCH (a:NE) OPTIONAL MATCH (a)-[:R]->(b) "
+            "CREATE (b)-[:S]->(a) RETURN 1 AS one"
+        )
+    # and nothing was half-written (query-scoped atomicity)
+    assert wengine.query("MATCH ()-[r:S]->() RETURN count(r) AS c") == [{"c": 0}]
+
+
+def test_merge_rel_null_endpoint_skips(wengine):
+    """Reference parity: MERGE through a null-bound endpoint silently skips
+    that row (src/executor.ts:7135-7138 'return'), unlike CREATE."""
+    wengine.query("CREATE (:NM {id: 1})")
+    wengine.query(
+        "MATCH (a:NM) OPTIONAL MATCH (a)-[:R]->(b) MERGE (b)-[:S]->(a)"
+    )
+    assert wengine.query("MATCH ()-[r:S]->() RETURN count(r) AS c") == [{"c": 0}]
+
+
+def test_set_replace_map_on_edge_persists(wengine):
+    """Regression: SET r = {...} nulled unmentioned props on the in-flight
+    binding but the store kept them — a re-read saw stale keys."""
+    wengine.query("CREATE (:EA {id: 1})-[:R {w: 1, z: 2}]->(:EB {id: 2})")
+    wengine.query("MATCH (:EA)-[r:R]->(:EB) SET r = {v: 9}")
+    rows = wengine.query(
+        "MATCH (:EA)-[r:R]->(:EB) RETURN keys(r) AS ks, r.v AS v, r.w AS w"
+    )
+    assert rows == [{"ks": ["v"], "v": 9, "w": None}]

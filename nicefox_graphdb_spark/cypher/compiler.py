@@ -90,6 +90,7 @@ class CypherToSpark:
         # sorted WITH — consumed by ordered collect() (reference
         # collectOrderBy, src/translator.ts:2884-2916)
         self._last_order: list[tuple[str, bool]] | None = None
+        self._set_order: list[tuple[str, bool]] | None = None
         # node vars used purely structurally (computed per query in
         # _compile_single): their node-table joins may be elided
         self._structural_only: set[str] = set()
@@ -216,6 +217,7 @@ class CypherToSpark:
     def _compile_single(self, q: ast.Query) -> DataFrame:
         state = CompileState(df=None, scope=Scope())
         final: DataFrame | None = None
+        self._set_order = None  # per-query; don't leak a prior query's sort
         self._vl_max_rows = self._limit_bound_for_traversal(q)
         self._structural_only = self._structural_only_vars(q)
         for i, clause in enumerate(q.clauses):
@@ -2445,6 +2447,99 @@ class CypherToSpark:
         return state, items, out_df, out_scope, output_cols
 
     @staticmethod
+    def _coalesce_entity_infos(
+        scope: Scope, expr: ast.Expr
+    ) -> list[VarInfo] | None:
+        """coalesce(b, c) over bound same-kind entity variables (null
+        literals allowed): the reference deliberately lets such expressions
+        flow as nodes/relationships (src/translator.ts:548,688). Returns the
+        candidate VarInfos in argument order, or None when the expression is
+        not that shape."""
+        if not (
+            isinstance(expr, ast.FuncCall)
+            and expr.name.lower() == "coalesce"
+            and expr.args
+        ):
+            return None
+        infos: list[VarInfo] = []
+        for a in expr.args:
+            if isinstance(a, ast.Literal) and a.value is None:
+                continue
+            if isinstance(a, ast.Var):
+                vi = scope.get(a.name)
+                if vi is not None and vi.kind in ("node", "edge"):
+                    infos.append(vi)
+                    continue
+            return None
+        if not infos or len({i.kind for i in infos}) != 1:
+            return None
+        if any(i.var_length for i in infos):
+            return None
+        return infos
+
+    def _coalesced_entity_cols(
+        self, alias: str, infos: list[VarInfo]
+    ) -> tuple[VarInfo, dict[str, F.Column]]:
+        """Materialize coalesce(b, c) as a first-class entity binding: the
+        winner per row is the first argument with a non-null id, and every
+        binding column (id, structural fields, label, union of props) is a
+        CASE over the winners — pure Column expressions, no join, no
+        shuffle. Downstream property access, RETURN rendering, MATCH reuse,
+        and SET/DELETE then treat the alias like any bound entity."""
+        kind = infos[0].kind
+        hits = [F.col(i.id_col()).isNotNull() for i in infos]
+
+        def pick(vals: list[F.Column]) -> F.Column:
+            expr = None
+            for hit, val in zip(hits, vals):
+                expr = F.when(hit, val) if expr is None else expr.when(hit, val)
+            return expr
+
+        cols: dict[str, F.Column] = {}
+        idfld = "id" if kind == "node" else "eid"
+        cols[vcol(alias, idfld)] = F.coalesce(
+            *[F.col(i.id_col()) for i in infos]
+        )
+        if kind == "edge":
+            for fld in ("src", "dst", "type"):
+                cols[vcol(alias, fld)] = pick(
+                    [F.col(vcol(i.name, fld)) for i in infos]
+                )
+        else:
+            # per-row label provenance: winner's union-scan label column
+            # when it has one, else its statically-known primary label
+            cols[vcol(alias, "label")] = pick(
+                [
+                    F.col(vcol(i.name, "label"))
+                    if i.has_label_col
+                    else F.lit(i.labels[0] if i.labels else None)
+                    for i in infos
+                ]
+            )
+        props: dict[str, T.DataType] = {}
+        for i in infos:
+            for k, dt in i.props.items():
+                props.setdefault(k, dt)
+        for k, dt in props.items():
+            cols[pcol(alias, k)] = pick(
+                [
+                    F.col(pcol(i.name, k)).cast(dt)
+                    if k in i.props
+                    else F.lit(None).cast(dt)
+                    for i in infos
+                ]
+            )
+        info = VarInfo(
+            name=alias,
+            kind=kind,
+            labels=[],
+            types=sorted({t for i in infos for t in i.types}),
+            props=props,
+            has_label_col=(kind == "node"),
+        )
+        return info, cols
+
+    @staticmethod
     def _val_info(alias: str, tc) -> VarInfo:
         """Bind a value variable, carrying zoned-datetime and entity-array
         provenance from the compiled expression into the scope."""
@@ -2481,6 +2576,14 @@ class CypherToSpark:
                     out_scope.bind(info)
                     output_cols.extend(info.columns())
                 continue
+            ent_infos = self._coalesce_entity_infos(state.scope, item.expr)
+            if ent_infos is not None:
+                alias = item.alias or _expr_text(item.expr)
+                cinfo, ccols = self._coalesced_entity_cols(alias, ent_infos)
+                new_cols.update(ccols)
+                out_scope.bind(cinfo)
+                output_cols.extend(cinfo.columns())
+                continue
             alias = item.alias
             if alias is None:
                 alias = _expr_text(item.expr)
@@ -2509,6 +2612,7 @@ class CypherToSpark:
         # destroy the order the user just established)
         hidden: list[str] = []
         self._last_order = None
+        self._set_order = None
         if proj.order_by and not proj.distinct:
             order_info: list[tuple[str, bool]] = []
             ost = CompileState(df=df, scope=order_scope)
@@ -2526,6 +2630,11 @@ class CypherToSpark:
                 hidden.append(name)
             df = ost.require_df()
             self._last_order = order_info
+            # unlike _last_order (ordered-collect, invalidated by any join),
+            # the SET row-order survives later clauses: the hidden sort-key
+            # columns still encode the user's logical row order even after a
+            # MATCH physically reshuffles
+            self._set_order = order_info
         df = df.select(*dict.fromkeys(output_cols), *hidden)
         return df, out_scope, output_cols
 
@@ -2536,6 +2645,7 @@ class CypherToSpark:
         # collect() honors it (reference collectOrderBy semantics)
         self._agg_order = self._last_order
         self._last_order = None
+        self._set_order = None  # aggregation collapses rows; order is gone
         df = state.require_df()
         group_cols: list[str] = []
         out_scope = Scope()
@@ -3313,10 +3423,42 @@ class CypherToSpark:
             tmp = f"__set_{var}_{k}"
             df = df.withColumn(tmp, tc.col)
             tmp_cols[k] = tmp
-        upd_rows = df.select(
-            F.col(info.id_col()).alias("_id"),
-            *[F.col(tmp).alias(k) for k, tmp in tmp_cols.items()],
-        ).dropDuplicates(["_id"])
+        # the same entity may appear in several binding rows with different
+        # computed values (UNWIND [...] AS x SET n.v = x): the reference
+        # executes one UPDATE per row in row order, so the LAST row wins —
+        # max_by over a per-row sequence keeps that semantics with the same
+        # single shuffle a dropDuplicates would cost. When a WITH ... ORDER
+        # BY established an explicit order, its retained hidden sort-key
+        # columns define the sequence (joins after the sort shuffle rows, so
+        # a monotonic id would reflect layout, not the ordered semantics);
+        # the rank window is global but only over this statement's update
+        # rows, and only when the user explicitly sorted them.
+        order = self._set_order
+        if order and all(name in df.columns for name, _ in order):
+            from pyspark.sql import Window
+
+            sort_cols = [
+                F.col(n).desc_nulls_first() if d else F.col(n).asc_nulls_last()
+                for n, d in order
+            ]
+            seq = F.row_number().over(Window.orderBy(*sort_cols))
+        else:
+            seq = F.monotonically_increasing_id()
+        upd_rows = (
+            df.withColumn("__set_seq", seq)
+            .select(
+                F.col(info.id_col()).alias("_id"),
+                F.col("__set_seq"),
+                *[F.col(tmp).alias(k) for k, tmp in tmp_cols.items()],
+            )
+            .groupBy("_id")
+            .agg(
+                *[
+                    F.max_by(F.col(k), F.col("__set_seq")).alias(k)
+                    for k in tmp_cols
+                ]
+            )
+        )
         if info.kind == "node":
             if info.has_label_col:
                 # untyped scan: update only the tables that actually contain

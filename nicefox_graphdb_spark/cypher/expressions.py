@@ -683,6 +683,56 @@ class ExprCompiler:
                     )
                 # missing property is NULL (Cypher semantics)
                 return TypedCol(F.lit(None), T.NullType())
+        # coalesce(b, c).key over bound entities: the winner is the first
+        # arg with a non-null id; read ITS property column (the id scalar
+        # coalesce alone would lose the property bags — reference keeps
+        # such expressions entity-valued, src/translator.ts:548,688)
+        if (
+            isinstance(e.base, ast.FuncCall)
+            and e.base.name.lower() == "coalesce"
+            and e.base.args
+        ):
+            branches = []
+            ok = True
+            for a in e.base.args:
+                if isinstance(a, ast.Literal) and a.value is None:
+                    continue
+                info = (
+                    self.ctx.scope.get(a.name)
+                    if isinstance(a, ast.Var) and a.name not in self.ctx.lambdas
+                    else None
+                )
+                if info is None or info.kind not in ("node", "edge"):
+                    ok = False
+                    break
+                branches.append(
+                    (
+                        F.col(
+                            vcol(
+                                a.name,
+                                "id" if info.kind == "node" else "eid",
+                            )
+                        ).isNotNull(),
+                        self._prop(ast.Prop(base=a, key=e.key)),
+                    )
+                )
+            if ok and branches:
+                expr = None
+                for hit, tc in branches:
+                    expr = (
+                        F.when(hit, tc.col)
+                        if expr is None
+                        else expr.when(hit, tc.col)
+                    )
+                dtype = next(
+                    (
+                        tc.dtype
+                        for _, tc in branches
+                        if not isinstance(tc.dtype, T.NullType)
+                    ),
+                    T.NullType(),
+                )
+                return TypedCol(expr, dtype)
         base = self.compile(e.base)
         if isinstance(base.dtype, T.NullType):
             # .key on a null value is null (getItem on VOID would not resolve)
@@ -2109,7 +2159,20 @@ def _fn_relationships(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 def _fn_coalesce(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     tcs = [comp.compile(a) for a in args]
     dtype = next((tc.dtype for tc in tcs if not isinstance(tc.dtype, T.NullType)), None)
-    return TypedCol(F.coalesce(*[tc.col for tc in tcs]), dtype)
+    # coalesce over same-kind entities keeps entity provenance (the
+    # reference lets coalesce(b, c) return nodes, translator.ts:548): the
+    # id scalar rehydrates on property access / RETURN like any entity cell
+    ent = None
+    with_ent = [tc for tc in tcs if tc.entity is not None]
+    kinds = {tc.entity[0] for tc in with_ent}
+    if len(kinds) == 1 and all(
+        tc.entity is not None or isinstance(tc.dtype, T.NullType) for tc in tcs
+    ):
+        ent = (
+            next(iter(kinds)),
+            tuple(sorted({t for tc in with_ent for t in tc.entity[1]})),
+        )
+    return TypedCol(F.coalesce(*[tc.col for tc in tcs]), dtype, entity=ent)
 
 
 def _fn_to_boolean(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
@@ -2157,6 +2220,14 @@ def _fn_tail(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 
 
 def _fn_range(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
+    # reference parity: a literal zero step is a compile-time error
+    # (translator.ts:6211-6215 "range() step cannot be 0")
+    if (
+        len(args) > 2
+        and isinstance(args[2], ast.Literal)
+        and args[2].value == 0
+    ):
+        raise CypherCompileError("range() step cannot be 0")
     a = _c(comp, args, 0).col.cast("long")
     b = _c(comp, args, 1).col.cast("long")
     step = (_c(comp, args, 2).col if len(args) > 2 else F.lit(1)).cast("long")

@@ -132,6 +132,10 @@ class CypherEngine(ClientOps):
         (reference persists every write to {dataPath}/{project}.db,
         src/local.ts:22-45): reopening the same path recovers all writes."""
         self.spark = spark
+        # Cypher names are case-sensitive; Spark's default case-insensitive
+        # resolution merges binding columns differing only by case. Runtime-
+        # settable, so enforce it even on caller-provided sessions.
+        spark.conf.set("spark.sql.caseSensitive", "true")
         self.max_hops = max_hops
         self.store = None
         if data_path is not None:

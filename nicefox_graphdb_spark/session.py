@@ -26,6 +26,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Cypher variable / property / alias names are case-sensitive;
+        # Spark's default case-insensitive resolution silently merged
+        # binding columns differing only by case (RETURN 1 AS a, 2 AS A
+        # both read the second column)
+        .config("spark.sql.caseSensitive", "true")
         # AQE: runtime partition coalescing, skew-join handling, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

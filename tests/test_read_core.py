@@ -199,3 +199,105 @@ def test_var_length_limit_bound(engine):
         "RETURN f.event_id AS id LIMIT 2"
     )
     assert len(rows) == 2
+
+
+class TestEntityCoalesce:
+    """coalesce(b, c) over bound entities stays entity-valued (reference
+    src/translator.ts:548,688): rendering, property access, labels/type,
+    MATCH reuse, and SET all see the per-row winner."""
+
+    def test_render_and_props(self, spark):
+        from nicefox_graphdb_spark import CypherEngine
+
+        e = CypherEngine(spark, None, mutable=True)
+        e.query("CREATE (:CA {id: 1, nm: 'a'})-[:CR {w: 7}]->(:CB {id: 2})")
+        assert e.query(
+            "OPTIONAL MATCH (x:Nope) MATCH (a:CA) RETURN coalesce(x, a) AS y"
+        ) == [{"y": {"id": 1, "nm": "a"}}]
+        assert e.query(
+            "OPTIONAL MATCH (x:Nope) MATCH (a:CA) "
+            "WITH coalesce(x, a) AS y RETURN y.id AS id, y.nm AS nm"
+        ) == [{"id": 1, "nm": "a"}]
+        assert e.query(
+            "MATCH (a:CA), (b:CB) RETURN coalesce(a, b).id AS id"
+        ) == [{"id": 1}]
+        assert e.query(
+            "MATCH (a:CA), (b:CB) RETURN coalesce(null, b).id AS id"
+        ) == [{"id": 2}]
+
+    def test_labels_type_match_reuse_set(self, spark):
+        from nicefox_graphdb_spark import CypherEngine
+
+        e = CypherEngine(spark, None, mutable=True)
+        e.query("CREATE (:CA {id: 1})-[:CR {w: 7}]->(:CB {id: 2})")
+        assert e.query(
+            "MATCH (a:CA), (b:CB) WITH coalesce(null, b, a) AS y "
+            "RETURN labels(y) AS l"
+        ) == [{"l": ["B".replace("B", "CB")]}]
+        assert e.query(
+            "MATCH ()-[r:CR]->() OPTIONAL MATCH ()-[s:Nope]->() "
+            "WITH coalesce(s, r) AS y RETURN y.w AS w, type(y) AS ty"
+        ) == [{"w": 7, "ty": "CR"}]
+        assert e.query(
+            "OPTIONAL MATCH (x:Nope) MATCH (a:CA) WITH coalesce(x, a) AS y "
+            "MATCH (y)-[:CR]->(t) RETURN t.id AS tid"
+        ) == [{"tid": 2}]
+        e.query("MATCH (a:CA), (b:CB) WITH coalesce(a, b) AS y SET y.seen = 1")
+        assert e.query("MATCH (a:CA) RETURN a.seen AS s") == [{"s": 1}]
+
+    def test_all_null_and_scalars_unaffected(self, spark):
+        from nicefox_graphdb_spark import CypherEngine
+
+        e = CypherEngine(spark, None, mutable=True)
+        e.query("CREATE (:CA {id: 1})")
+        assert e.query("OPTIONAL MATCH (x:Nope) RETURN coalesce(x, x) AS y") == [
+            {"y": None}
+        ]
+        assert e.query("MATCH (a:CA) RETURN coalesce(a.id, 99) AS v") == [
+            {"v": 1}
+        ]
+        assert e.query("RETURN coalesce(null, 5) AS v") == [{"v": 5}]
+
+    def test_range_zero_step_errors(self, spark):
+        import pytest as _pt
+
+        from nicefox_graphdb_spark import CypherEngine
+        from nicefox_graphdb_spark.cypher.expressions import CypherCompileError
+
+        e = CypherEngine(spark, None, mutable=True)
+        with _pt.raises(CypherCompileError, match="step cannot be 0"):
+            e.query("RETURN range(1, 5, 0) AS r")
+
+
+class TestCaseSensitivity:
+    """Cypher names are case-sensitive. Spark's default case-INsensitive
+    column resolution silently merged binding columns differing only by
+    case: RETURN 1 AS a, 2 AS A read the second column for both, and
+    min(x)/max(x) in one RETURN collapsed to whichever compiled last
+    (their placeholder columns differed only by the alias's case)."""
+
+    def test_aliases_differing_by_case(self, spark):
+        from nicefox_graphdb_spark import CypherEngine
+
+        e = CypherEngine(spark, None, mutable=True)
+        assert e.query("RETURN 1 AS a, 2 AS A") == [{"a": 1, "A": 2}]
+
+    def test_min_max_same_arg(self, spark):
+        from nicefox_graphdb_spark import CypherEngine
+
+        e = CypherEngine(spark, None, mutable=True)
+        assert e.query(
+            "UNWIND [1, 2] AS x RETURN min(x) AS m, max(x) AS M"
+        ) == [{"m": 1, "M": 2}]
+        assert e.query(
+            "UNWIND [1, 2] AS x RETURN max(x) AS M, min(x) AS m"
+        ) == [{"M": 2, "m": 1}]
+
+    def test_properties_differing_by_case(self, spark):
+        from nicefox_graphdb_spark import CypherEngine
+
+        e = CypherEngine(spark, None, mutable=True)
+        e.query("CREATE (:CSP {Name: 'up', name: 'low'})")
+        assert e.query(
+            "MATCH (n:CSP) RETURN n.Name AS u, n.name AS l"
+        ) == [{"u": "up", "l": "low"}]

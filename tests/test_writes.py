@@ -327,3 +327,15 @@ def test_set_replace_map_on_edge_persists(wengine):
         "MATCH (:EA)-[r:R]->(:EB) RETURN keys(r) AS ks, r.v AS v, r.w AS w"
     )
     assert rows == [{"ks": ["v"], "v": 9, "w": None}]
+
+
+def test_multi_row_set_last_wins(wengine):
+    """Reference parity: one UPDATE per binding row in row order — the last
+    row's value sticks (dropDuplicates used to keep an arbitrary one)."""
+    wengine.query("CREATE (:MR {id: 1})")
+    wengine.query("UNWIND [1, 2, 3] AS x MATCH (n:MR) SET n.v = x")
+    assert wengine.query("MATCH (n:MR) RETURN n.v AS v") == [{"v": 3}]
+    wengine.query(
+        "UNWIND [30, 10, 20] AS x WITH x ORDER BY x MATCH (n:MR) SET n.v = x"
+    )
+    assert wengine.query("MATCH (n:MR) RETURN n.v AS v") == [{"v": 30}]

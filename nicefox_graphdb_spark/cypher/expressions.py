@@ -931,6 +931,12 @@ class ExprCompiler:
             if isinstance(base.dtype, T.MapType):
                 dtype = base.dtype.valueType
             return TypedCol(base.col.getItem(idx.col), dtype)
+        if _is_string(base.dtype):
+            # Neo4j parity: subscripting a string is a type error (a raw
+            # Spark element_at analysis failure would stack-bomb instead)
+            raise CypherCompileError(
+                "subscript access requires a list or map, not a string"
+            )
         elem = base.dtype.elementType if _is_array(base.dtype) else None
         # Cypher lists are 0-based; element_at is 1-based with negative wrap
         # (and requires an INT index — Cypher integers are 64-bit)

@@ -301,3 +301,14 @@ class TestCaseSensitivity:
         assert e.query(
             "MATCH (n:CSP) RETURN n.Name AS u, n.name AS l"
         ) == [{"u": "up", "l": "low"}]
+
+
+def test_string_subscript_typed_error(spark):
+    import pytest as _pt
+
+    from nicefox_graphdb_spark import CypherEngine
+    from nicefox_graphdb_spark.cypher.expressions import CypherCompileError
+
+    e = CypherEngine(spark, None, mutable=True)
+    with _pt.raises(CypherCompileError, match="list or map"):
+        e.query("RETURN 'abc'[0] AS c")

@@ -2653,7 +2653,6 @@ class CypherToSpark:
         agg_cols: list = []
         post_select: list[tuple[str, ast.ReturnItem]] = []
         pre_cols: dict[str, F.Column] = {}
-        agg_counter = itertools.count()
 
         # pass 1: grouping keys
         for item in items:
@@ -2697,7 +2696,7 @@ class CypherToSpark:
 
         def extract(e: ast.Expr) -> ast.Expr:
             if isinstance(e, ast.FuncCall) and e.name == "percentiledisc":
-                tmp = f"__agg{next(agg_counter)}"
+                tmp = self.gensym("agg")
                 tc = self._compile_expr(state, e.args[0])
                 p = self._compile_expr(state, e.args[1]).col
                 window_percentiles.append((tmp, tc.col, p, tc.dtype))
@@ -2706,7 +2705,7 @@ class CypherToSpark:
                 )
                 return ast.Var(tmp)
             if isinstance(e, ast.FuncCall) and e.name in AGGREGATE_FUNCTIONS:
-                tmp = f"__agg{next(agg_counter)}"
+                tmp = self.gensym("agg")
                 col, dtype = compile_agg_call(e)
                 agg_cols.append(col.alias(vcol(tmp, "val")))
                 out_scope_tmp.bind(
@@ -3155,6 +3154,13 @@ class CypherToSpark:
         """Reference property-value domain (src/property-value.ts:1-25):
         primitives and flat lists only; maps / nested lists are query-time
         values and must not be stored."""
+        if key in ("_id", "_src", "_dst"):
+            # structural column names of the storage tables (the reference
+            # reserves `_nf_id` inside its property bags the same way,
+            # src/executor.ts rowContext `_nf_id` convention)
+            raise CypherCompileError(
+                f"InvalidPropertyType: property name `{key}` is reserved"
+            )
         dt = tc.dtype
         bad = isinstance(dt, (T.StructType, T.MapType)) or (
             isinstance(dt, T.ArrayType)
@@ -3444,17 +3450,18 @@ class CypherToSpark:
             seq = F.row_number().over(Window.orderBy(*sort_cols))
         else:
             seq = F.monotonically_increasing_id()
+        seq_col = vcol(self.gensym("setseq"), "val")
         upd_rows = (
-            df.withColumn("__set_seq", seq)
+            df.withColumn(seq_col, seq)
             .select(
                 F.col(info.id_col()).alias("_id"),
-                F.col("__set_seq"),
+                F.col(seq_col),
                 *[F.col(tmp).alias(k) for k, tmp in tmp_cols.items()],
             )
             .groupBy("_id")
             .agg(
                 *[
-                    F.max_by(F.col(k), F.col("__set_seq")).alias(k)
+                    F.max_by(F.col(k), F.col(seq_col)).alias(k)
                     for k in tmp_cols
                 ]
             )

@@ -339,3 +339,26 @@ def test_multi_row_set_last_wins(wengine):
         "UNWIND [30, 10, 20] AS x WITH x ORDER BY x MATCH (n:MR) SET n.v = x"
     )
     assert wengine.query("MATCH (n:MR) RETURN n.v AS v") == [{"v": 30}]
+
+
+def test_internal_name_collisions(wengine):
+    """Adversarial identifiers: user names that used to collide with
+    internal placeholder / temp column names."""
+    assert wengine.query(
+        "WITH 5 AS __agg0 UNWIND [1, 2] AS x RETURN min(x) AS m, __agg0"
+    ) == [{"m": 1, "__agg0": 5}]
+    wengine.query("CREATE (n:ZSS {v: 1}) SET n.`__set_seq` = 9")
+    assert wengine.query("MATCH (n:ZSS) RETURN n.`__set_seq` AS s") == [
+        {"s": 9}
+    ]
+
+
+def test_reserved_structural_prop_names(wengine):
+    import pytest as _pt
+
+    from nicefox_graphdb_spark.cypher.expressions import CypherCompileError
+
+    with _pt.raises(CypherCompileError, match="reserved"):
+        wengine.query("CREATE (n:ZR {`_id`: 7})")
+    with _pt.raises(CypherCompileError, match="reserved"):
+        wengine.query("CREATE (n:ZR {ok: 1}) SET n.`_src` = 2")

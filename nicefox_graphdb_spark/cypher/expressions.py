@@ -154,6 +154,19 @@ def _dur_struct(months: Column, days: Column, us: Column) -> Column:
     )
 
 
+def _dur_scale(dc: Column, k: Column) -> Column:
+    """duration * k / duration / k with Neo4j's approximate carry
+    (DurationValue.approximate): fractional months spill into days at the
+    average month length (30.4375 days), fractional days into microseconds.
+    Exact (no carry) whenever k scales each component to an integer."""
+    mo_f = dc.getField("__dmo") * k
+    mo = mo_f.cast("long")
+    d_f = dc.getField("__dd") * k + (mo_f - mo) * F.lit(30.4375)
+    d = d_f.cast("long")
+    us = dc.getField("__dus") * k + (d_f - d) * F.lit(86400.0 * 1_000_000)
+    return _dur_struct(mo, d, F.round(us))
+
+
 def _dur_iso_string(dc: Column) -> Column:
     """ISO-8601 rendering of a duration struct (P[nY][nM][nD][T…]; PT0S
     when empty) — the textual form the reference stores durations in."""
@@ -1313,11 +1326,28 @@ class ExprCompiler:
                     ),
                     _DUR_T,
                 )
-            if _is_temporal(left.dtype):
-                # timestamp/date + duration stays temporal (keep the zone)
-                return TypedCol(left.col + right.col, left.dtype, tz=left.tz)
-            if _is_temporal(right.dtype):
-                return TypedCol(left.col + right.col, right.dtype, tz=right.tz)
+            if _is_temporal(left.dtype) or _is_temporal(right.dtype):
+                # temporal + null is null; anything else non-duration is a
+                # type error (Neo4j: date + 1 → invalid), not a Spark
+                # analysis stack bomb
+                if isinstance(left.dtype, T.NullType) or isinstance(
+                    right.dtype, T.NullType
+                ):
+                    return TypedCol(F.lit(None), T.NullType())
+                iv = (T.DayTimeIntervalType, T.YearMonthIntervalType)
+                if (
+                    left.dtype is None
+                    or right.dtype is None
+                    or isinstance(left.dtype, iv)
+                    or isinstance(right.dtype, iv)
+                ):
+                    # unknown side / native interval (duration.between):
+                    # let Spark's temporal arithmetic handle it
+                    t = left if _is_temporal(left.dtype) else right
+                    return TypedCol(left.col + right.col, t.dtype, tz=t.tz)
+                raise CypherCompileError(
+                    "temporal values can only be added to durations"
+                )
             return TypedCol(left.col + right.col, self._promote(left, right))
         if op == "-":
             if _is_temporal(left.dtype) and _is_duration(right.dtype):
@@ -1331,8 +1361,24 @@ class ExprCompiler:
                     ),
                     _DUR_T,
                 )
-            if _is_temporal(left.dtype) and not _is_temporal(right.dtype):
-                return TypedCol(left.col - right.col, left.dtype, tz=left.tz)
+            if _is_temporal(left.dtype) or _is_temporal(right.dtype):
+                if isinstance(left.dtype, T.NullType) or isinstance(
+                    right.dtype, T.NullType
+                ):
+                    return TypedCol(F.lit(None), T.NullType())
+                iv = (T.DayTimeIntervalType, T.YearMonthIntervalType)
+                if (
+                    left.dtype is None
+                    or right.dtype is None
+                    or isinstance(right.dtype, iv)
+                ):
+                    t = left if _is_temporal(left.dtype) else right
+                    return TypedCol(left.col - right.col, t.dtype, tz=t.tz)
+                # Neo4j: date - date / date - 1 are type errors (use
+                # duration.between for differences)
+                raise CypherCompileError(
+                    "only durations can be subtracted from temporal values"
+                )
             return TypedCol(left.col - right.col, self._promote(left, right))
         if op == "*":
             if _is_duration(left.dtype) or _is_duration(right.dtype):
@@ -1341,18 +1387,19 @@ class ExprCompiler:
                     if _is_duration(left.dtype)
                     else (right.col, left.col)
                 )
-                return TypedCol(
-                    _dur_struct(
-                        dc.getField("__dmo") * k,
-                        dc.getField("__dd") * k,
-                        dc.getField("__dus") * k,
-                    ),
-                    _DUR_T,
-                )
+                return TypedCol(_dur_scale(dc, k), _DUR_T)
             return TypedCol(left.col * right.col, self._promote(left, right))
         if op == "%":
             return TypedCol(left.col % right.col, self._promote(left, right))
         if op == "/":
+            if _is_duration(left.dtype):
+                # duration / number (Neo4j supports this; the inverse does
+                # not exist)
+                return TypedCol(
+                    _dur_scale(left.col, F.lit(1.0) / right.col), _DUR_T
+                )
+            if _is_duration(right.dtype):
+                raise CypherCompileError("cannot divide by a duration")
             if _is_int(left.dtype) and _is_int(right.dtype):
                 # Cypher integer division truncates toward zero
                 return TypedCol((left.col / right.col).cast("long"), T.LongType())
@@ -2207,7 +2254,12 @@ def _fn_split(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
         pattern = F.lit(re.escape(str(args[1].value)))
         out = F.split(s.col, pattern)
     else:
-        sep = _c(comp, args, 1).col
+        sep_tc = _c(comp, args, 1)
+        if isinstance(sep_tc.dtype, T.ArrayType):
+            # single-delimiter only, like the reference's instr-based split
+            # (translator.ts:6275-6303); typed error, not an analysis bomb
+            raise CypherCompileError("split() delimiter must be a string")
+        sep = sep_tc.col
         pattern = F.concat(F.lit("\\Q"), sep, F.lit("\\E"))
         # a null separator nulls the result (concat already yields null,
         # but F.split treats a null pattern as no-split — guard explicitly)

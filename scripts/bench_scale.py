@@ -28,6 +28,11 @@ GATES = [
     "q_pagerank",
     "q_triangles",
     "q_shortest_paths",
+    # corpus-prep operators (round 8): prefix-sum packing and the
+    # posting-list decontamination join are the scale-sensitive ones
+    "q_sample_split",
+    "q_pack_chunks",
+    "q_decontaminate",
 ]
 
 

@@ -76,3 +76,33 @@ def test_naive_datetime_timezone_is_utc(g):
         "RETURN d.timezone AS tz, d.offset AS off"
     )
     assert rows == [{"tz": "Z", "off": "+00:00"}]
+
+
+def test_duration_scale_division(spark):
+    from nicefox_graphdb_spark import CypherEngine
+
+    e = CypherEngine(spark, None, mutable=True)
+    q = lambda s: e.query(s)[0]["x"]  # noqa: E731
+    assert q("RETURN toString(duration('PT2H') / 2) AS x") == "PT1H"
+    assert q("RETURN toString(duration('P1D') / 2) AS x") == "PT12H"
+    assert q("RETURN toString(duration('P1D') * 1.5) AS x") == "P1DT12H"
+    # fractional months carry at Neo4j's 30.4375-day average month
+    assert q("RETURN toString(duration('P1M') / 2) AS x") == "P15DT5H15M"
+    assert q("RETURN toString(duration('PT3H') / 3) AS x") == "PT1H"
+
+
+def test_temporal_arithmetic_type_errors(spark):
+    import pytest as _pt
+
+    from nicefox_graphdb_spark import CypherEngine
+    from nicefox_graphdb_spark.cypher.expressions import CypherCompileError
+
+    e = CypherEngine(spark, None, mutable=True)
+    with _pt.raises(CypherCompileError, match="added to durations"):
+        e.query("RETURN date('2024-01-01') + 1 AS x")
+    with _pt.raises(CypherCompileError, match="subtracted from temporal"):
+        e.query("RETURN date('2024-03-01') - date('2024-01-01') AS x")
+    with _pt.raises(CypherCompileError, match="divide by a duration"):
+        e.query("RETURN 1 / duration('P1D') AS x")
+    # null propagates instead of erroring
+    assert e.query("RETURN date('2024-01-01') + null AS x") == [{"x": None}]

@@ -2446,75 +2446,109 @@ class CypherToSpark:
             out_df, out_scope, output_cols = self._project_simple(state, items, proj)
         return state, items, out_df, out_scope, output_cols
 
-    @staticmethod
-    def _coalesce_entity_infos(
-        scope: Scope, expr: ast.Expr
-    ) -> list[VarInfo] | None:
-        """coalesce(b, c) over bound same-kind entity variables (null
-        literals allowed): the reference deliberately lets such expressions
-        flow as nodes/relationships (src/translator.ts:548,688). Returns the
-        candidate VarInfos in argument order, or None when the expression is
-        not that shape."""
-        if not (
+    def _entity_branches(
+        self, state: CompileState, expr: ast.Expr
+    ) -> list[tuple[F.Column, VarInfo | None]] | None:
+        """Entity-valued branching expressions — coalesce(b, c) and CASE
+        whose result arms are all bound same-kind entity variables (null
+        literals allowed). The reference deliberately lets such expressions
+        flow as nodes/relationships (src/translator.ts:548,688; its row
+        interpreter evaluates CASE arms to whatever they hold). Returns
+        ordered (condition, VarInfo|None) branches — first true condition
+        wins, None info = null entity — or None when not that shape."""
+        scope = state.scope
+
+        def entity_var(a: ast.Expr) -> VarInfo | None:
+            if isinstance(a, ast.Var):
+                vi = scope.get(a.name)
+                if (
+                    vi is not None
+                    and vi.kind in ("node", "edge")
+                    and not vi.var_length
+                ):
+                    return vi
+            return None
+
+        def is_null_lit(a: ast.Expr) -> bool:
+            return isinstance(a, ast.Literal) and a.value is None
+
+        branches: list[tuple[F.Column, VarInfo | None]] = []
+        if (
             isinstance(expr, ast.FuncCall)
             and expr.name.lower() == "coalesce"
             and expr.args
         ):
-            return None
-        infos: list[VarInfo] = []
-        for a in expr.args:
-            if isinstance(a, ast.Literal) and a.value is None:
-                continue
-            if isinstance(a, ast.Var):
-                vi = scope.get(a.name)
-                if vi is not None and vi.kind in ("node", "edge"):
-                    infos.append(vi)
+            for a in expr.args:
+                if is_null_lit(a):
                     continue
+                vi = entity_var(a)
+                if vi is None:
+                    return None
+                branches.append((F.col(vi.id_col()).isNotNull(), vi))
+        elif isinstance(expr, ast.CaseExpr):
+            arms = [t_ for _, t_ in expr.whens]
+            if expr.default is not None:
+                arms.append(expr.default)
+            if not all(entity_var(a) or is_null_lit(a) for a in arms):
+                return None
+            try:
+                for w, t_ in expr.whens:
+                    if expr.test is not None:
+                        cond = (
+                            self._compile_expr(state, expr.test).col
+                            == self._compile_expr(state, w).col
+                        )
+                    else:
+                        cond = self._compile_expr(state, w).col
+                    branches.append((cond, entity_var(t_)))
+            except CypherCompileError:
+                return None
+            branches.append((F.lit(True), entity_var(expr.default))
+                            if expr.default is not None
+                            else (F.lit(True), None))
+        else:
             return None
+        infos = [i for _, i in branches if i is not None]
         if not infos or len({i.kind for i in infos}) != 1:
             return None
-        if any(i.var_length for i in infos):
-            return None
-        return infos
+        return branches
 
-    def _coalesced_entity_cols(
-        self, alias: str, infos: list[VarInfo]
+    def _branched_entity_cols(
+        self, alias: str, branches: list[tuple[F.Column, VarInfo | None]]
     ) -> tuple[VarInfo, dict[str, F.Column]]:
-        """Materialize coalesce(b, c) as a first-class entity binding: the
-        winner per row is the first argument with a non-null id, and every
-        binding column (id, structural fields, label, union of props) is a
-        CASE over the winners — pure Column expressions, no join, no
-        shuffle. Downstream property access, RETURN rendering, MATCH reuse,
-        and SET/DELETE then treat the alias like any bound entity."""
+        """Materialize an entity-valued branching expression as a
+        first-class entity binding: every binding column (id, structural
+        fields, label, union of props) is a CASE over the branches — pure
+        Column expressions, no join, no shuffle. Downstream property
+        access, RETURN rendering, MATCH reuse, and SET/DELETE then treat
+        the alias like any bound entity."""
+        infos = [i for _, i in branches if i is not None]
         kind = infos[0].kind
-        hits = [F.col(i.id_col()).isNotNull() for i in infos]
 
-        def pick(vals: list[F.Column]) -> F.Column:
+        def pick(getter) -> F.Column:
             expr = None
-            for hit, val in zip(hits, vals):
-                expr = F.when(hit, val) if expr is None else expr.when(hit, val)
+            for cond, info in branches:
+                val = getter(info) if info is not None else F.lit(None)
+                expr = (
+                    F.when(cond, val) if expr is None else expr.when(cond, val)
+                )
             return expr
 
         cols: dict[str, F.Column] = {}
         idfld = "id" if kind == "node" else "eid"
-        cols[vcol(alias, idfld)] = F.coalesce(
-            *[F.col(i.id_col()) for i in infos]
-        )
+        cols[vcol(alias, idfld)] = pick(lambda i: F.col(i.id_col()))
         if kind == "edge":
             for fld in ("src", "dst", "type"):
                 cols[vcol(alias, fld)] = pick(
-                    [F.col(vcol(i.name, fld)) for i in infos]
+                    lambda i, f=fld: F.col(vcol(i.name, f))
                 )
         else:
             # per-row label provenance: winner's union-scan label column
             # when it has one, else its statically-known primary label
             cols[vcol(alias, "label")] = pick(
-                [
-                    F.col(vcol(i.name, "label"))
-                    if i.has_label_col
-                    else F.lit(i.labels[0] if i.labels else None)
-                    for i in infos
-                ]
+                lambda i: F.col(vcol(i.name, "label"))
+                if i.has_label_col
+                else F.lit(i.labels[0] if i.labels else None)
             )
         props: dict[str, T.DataType] = {}
         for i in infos:
@@ -2522,12 +2556,9 @@ class CypherToSpark:
                 props.setdefault(k, dt)
         for k, dt in props.items():
             cols[pcol(alias, k)] = pick(
-                [
-                    F.col(pcol(i.name, k)).cast(dt)
-                    if k in i.props
-                    else F.lit(None).cast(dt)
-                    for i in infos
-                ]
+                lambda i, k=k, dt=dt: F.col(pcol(i.name, k)).cast(dt)
+                if k in i.props
+                else F.lit(None).cast(dt)
             )
         info = VarInfo(
             name=alias,
@@ -2576,10 +2607,10 @@ class CypherToSpark:
                     out_scope.bind(info)
                     output_cols.extend(info.columns())
                 continue
-            ent_infos = self._coalesce_entity_infos(state.scope, item.expr)
-            if ent_infos is not None:
+            ent_branches = self._entity_branches(state, item.expr)
+            if ent_branches is not None:
                 alias = item.alias or _expr_text(item.expr)
-                cinfo, ccols = self._coalesced_entity_cols(alias, ent_infos)
+                cinfo, ccols = self._branched_entity_cols(alias, ent_branches)
                 new_cols.update(ccols)
                 out_scope.bind(cinfo)
                 output_cols.extend(cinfo.columns())
@@ -2670,6 +2701,18 @@ class CypherToSpark:
                 group_cols.extend(renamed.columns())
                 out_scope.bind(renamed)
                 output_cols.extend(renamed.columns())
+                continue
+            ent_branches = self._entity_branches(state, item.expr)
+            if ent_branches is not None:
+                # entity-valued group key (coalesce / CASE of entities):
+                # group by ALL binding columns so the entity survives the
+                # aggregation as a first-class binding
+                alias = item.alias or _expr_text(item.expr)
+                cinfo, ccols = self._branched_entity_cols(alias, ent_branches)
+                pre_cols.update(ccols)
+                group_cols.extend(cinfo.columns())
+                out_scope.bind(cinfo)
+                output_cols.extend(cinfo.columns())
             else:
                 alias = item.alias or _expr_text(item.expr)
                 tc = self._compile_expr(state, item.expr)

@@ -312,3 +312,48 @@ def test_string_subscript_typed_error(spark):
     e = CypherEngine(spark, None, mutable=True)
     with _pt.raises(CypherCompileError, match="list or map"):
         e.query("RETURN 'abc'[0] AS c")
+
+
+class TestEntityCase:
+    """CASE expressions whose arms are bound entities stay entity-valued,
+    like coalesce (reference evaluates CASE arms to whatever they hold)."""
+
+    def test_case_picks_entity(self, spark):
+        from nicefox_graphdb_spark import CypherEngine
+
+        e = CypherEngine(spark, None, mutable=True)
+        e.query("CREATE (:KA {id: 1, nm: 'a'}), (:KB {id: 2, nm: 'b'})")
+        assert e.query(
+            "MATCH (a:KA), (b:KB) "
+            "RETURN CASE WHEN a.id = 1 THEN a ELSE b END AS y"
+        ) == [{"y": {"id": 1, "nm": "a"}}]
+        assert e.query(
+            "MATCH (a:KA), (b:KB) WITH CASE WHEN a.id = 2 THEN a ELSE b END "
+            "AS y RETURN y.nm AS nm, labels(y) AS l"
+        ) == [{"nm": "b", "l": ["KB"]}]
+        assert e.query(
+            "MATCH (a:KA), (b:KB) WITH CASE a.id WHEN 1 THEN b ELSE null END "
+            "AS y RETURN y.id AS id"
+        ) == [{"id": 2}]
+        # missing ELSE → null entity
+        assert e.query(
+            "MATCH (a:KA) WITH CASE WHEN a.id = 9 THEN a END AS y RETURN y"
+        ) == [{"y": None}]
+
+    def test_entity_group_key(self, spark):
+        from nicefox_graphdb_spark import CypherEngine
+
+        e = CypherEngine(spark, None, mutable=True)
+        e.query("CREATE (:KC {id: 1})")
+        assert e.query(
+            "OPTIONAL MATCH (x:Nope) MATCH (a:KC) WITH coalesce(x, a) AS y "
+            "RETURN y, count(*) AS c"
+        ) == [{"y": {"id": 1}, "c": 1}]
+
+    def test_scalar_case_unaffected(self, spark):
+        from nicefox_graphdb_spark import CypherEngine
+
+        e = CypherEngine(spark, None, mutable=True)
+        assert e.query(
+            "RETURN CASE WHEN 1 = 1 THEN 'one' ELSE 'other' END AS s"
+        ) == [{"s": "one"}]

@@ -3494,21 +3494,29 @@ class CypherToSpark:
         else:
             seq = F.monotonically_increasing_id()
         seq_col = vcol(self.gensym("setseq"), "val")
-        upd_rows = (
-            df.withColumn(seq_col, seq)
-            .select(
-                F.col(info.id_col()).alias("_id"),
-                F.col(seq_col),
-                *[F.col(tmp).alias(k) for k, tmp in tmp_cols.items()],
+        if tmp_cols:
+            upd_rows = (
+                df.withColumn(seq_col, seq)
+                .select(
+                    F.col(info.id_col()).alias("_id"),
+                    F.col(seq_col),
+                    *[F.col(tmp).alias(k) for k, tmp in tmp_cols.items()],
+                )
+                .groupBy("_id")
+                .agg(
+                    *[
+                        F.max_by(F.col(k), F.col(seq_col)).alias(k)
+                        for k in tmp_cols
+                    ]
+                )
             )
-            .groupBy("_id")
-            .agg(
-                *[
-                    F.max_by(F.col(k), F.col(seq_col)).alias(k)
-                    for k in tmp_cols
-                ]
-            )
-        )
+        else:
+            # SET n = {} / += {}: no value columns to resolve (agg() with
+            # zero aggregates is illegal); replace_all still nulls matched
+            # rows' props downstream
+            upd_rows = df.select(
+                F.col(info.id_col()).alias("_id")
+            ).dropDuplicates(["_id"])
         if info.kind == "node":
             if info.has_label_col:
                 # untyped scan: update only the tables that actually contain

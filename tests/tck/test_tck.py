@@ -28,9 +28,14 @@ KNOWN_FAILING_PATH = os.path.join(os.path.dirname(__file__), "known_failing.txt"
 
 
 def _load_scenarios():
+    # NICEFOX_TCK_SHARD="i/n" runs only every n-th feature file (offset i):
+    # lets CI-style drivers split the corpus across parallel pytest
+    # processes (each with its own SparkSession) without -k gymnastics
+    shard = os.environ.get("NICEFOX_TCK_SHARD")
+    idx, mod = (int(x) for x in shard.split("/")) if shard else (0, 1)
     out = []
-    for fn in sorted(os.listdir(FEATURE_DIR)):
-        if not fn.endswith(".feature"):
+    for j, fn in enumerate(sorted(os.listdir(FEATURE_DIR))):
+        if not fn.endswith(".feature") or j % mod != idx:
             continue
         with open(os.path.join(FEATURE_DIR, fn)) as f:
             out.extend(parse_feature(f.read(), fn[:-8]))

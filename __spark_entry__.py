@@ -1116,6 +1116,23 @@ def _p_pack_chunks(spark, sf_dir):
     )
 
 
+def _p_repetition(spark, sf_dir):
+    """Duplicate word-bigram fraction (Gopher repetition filter signal):
+    per-doc for a fixed slice plus the corpus tail above a threshold."""
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import text as tx
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        docs.where(F.col("doc_id") < 120)
+        .select(
+            "doc_id", tx.repetition_ratio(F.col("text"), 2).alias("rep2")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _p_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any word 3-gram with
     the held-out benchmark slice (doc_id % 47 = 0). Posting-list join with a
@@ -1161,6 +1178,7 @@ _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_split": _p_sample_split,
     "q_pack_chunks": _p_pack_chunks,
     "q_decontaminate": _p_decontaminate,
+    "q_repetition": _p_repetition,
 }
 
 # shared SQL fragments for the text oracles (mirror operators/text.py)
@@ -1436,6 +1454,21 @@ _ORACLE.update(
             SELECT CAST(floor(pre / 512) AS BIGINT) AS chunk_id,
                    count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS total_tokens
             FROM c GROUP BY 1 ORDER BY 1""",
+        "q_repetition": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents
+                       WHERE doc_id < 120),
+            g AS (SELECT doc_id,
+                         len(toks) - 1 AS cnt,
+                         list_transform(
+                             range(1, greatest(len(toks) - 1, 1) + 1),
+                             i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+                         ) AS grams
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN cnt > 0
+                        THEN round(1.0 - len(list_distinct(grams)) / cnt, 6)
+                        ELSE 0.0 END AS rep2
+            FROM g ORDER BY doc_id""",
         "q_decontaminate": f"""
             WITH d AS (SELECT doc_id, {_SHINGLES3} AS sh FROM documents),
             bench AS (SELECT DISTINCT doc_id AS bid, unnest(sh) AS s

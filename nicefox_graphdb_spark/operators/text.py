@@ -97,6 +97,26 @@ def lang_id(col: Column) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(expr)
 
 
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction, 1 - distinct/total (the Gopher-style
+    repetition signal used to drop boilerplate/looping text). 0.0 for
+    documents with fewer than n tokens. Pure Column expressions — scan
+    speed at 100 TB, SQL-reproducible for the oracle."""
+
+    def ratio(toks: Column) -> Column:
+        cnt = F.size(toks) - (n - 1)
+        idx = F.sequence(F.lit(1), F.greatest(cnt, F.lit(1)))
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        distinct = F.size(F.array_distinct(grams))
+        return F.when(
+            cnt > 0, F.round(1.0 - distinct / cnt, 6)
+        ).otherwise(F.lit(0.0))
+
+    # let-bind the tokenizer (see dedup.word_shingles: inlining re-runs the
+    # regex split per gram position)
+    return F.get(F.transform(F.array(tokens(col)), ratio), 0)
+
+
 def fingerprint(col: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (near-dup-robust to shuffling/whitespace/case). NULL for a

@@ -130,3 +130,27 @@ def test_decontaminate_matches_naive_intersection(docs):
     )
     ref = {r["tid"]: (r["hits"], r["nb"]) for r in naive}
     assert got == ref
+
+
+def test_repetition_ratio_known_values(spark):
+    from nicefox_graphdb_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab → 2 distinct / 5
+            (2, "w x y z"),           # all distinct → 0.0
+            (3, "solo"),              # < 2 tokens → 0.0
+            (4, ""),                  # empty → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", tx.repetition_ratio(F.col("text"), 2).alias("rep")
+        ).collect()
+    }
+    assert got[1] == round(1 - 2 / 5, 6)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0

@@ -746,6 +746,53 @@ class ExprCompiler:
                     T.NullType(),
                 )
                 return TypedCol(expr, dtype)
+        # (CASE ... END).key over entity arms: same winner-branch rewrite
+        if isinstance(e.base, ast.CaseExpr):
+            arms = [(w, t_) for w, t_ in e.base.whens]
+            dflt = e.base.default
+
+            def arm_info(a):
+                if isinstance(a, ast.Literal) and a.value is None:
+                    return "null"
+                if isinstance(a, ast.Var) and a.name not in self.ctx.lambdas:
+                    vi = self.ctx.scope.get(a.name)
+                    if vi is not None and vi.kind in ("node", "edge"):
+                        return vi
+                return None
+
+            infos = [arm_info(t_) for _, t_ in arms]
+            dinfo = arm_info(dflt) if dflt is not None else "null"
+            if all(i is not None for i in infos) and dinfo is not None and any(
+                i != "null" for i in infos + [dinfo]
+            ):
+                expr = None
+                dtype = T.NullType()
+                for (w, t_), i in zip(arms, infos):
+                    if e.base.test is not None:
+                        cond = (
+                            self.compile(e.base.test).col
+                            == self.compile(w).col
+                        )
+                    else:
+                        cond = self.compile(w).col
+                    val_tc = (
+                        TypedCol(F.lit(None), T.NullType())
+                        if i == "null"
+                        else self._prop(ast.Prop(base=t_, key=e.key))
+                    )
+                    if not isinstance(val_tc.dtype, T.NullType):
+                        dtype = val_tc.dtype
+                    expr = (
+                        F.when(cond, val_tc.col)
+                        if expr is None
+                        else expr.when(cond, val_tc.col)
+                    )
+                if dinfo != "null":
+                    d_tc = self._prop(ast.Prop(base=dflt, key=e.key))
+                    if not isinstance(d_tc.dtype, T.NullType):
+                        dtype = d_tc.dtype
+                    expr = expr.otherwise(d_tc.col)
+                return TypedCol(expr, dtype)
         base = self.compile(e.base)
         if isinstance(base.dtype, T.NullType):
             # .key on a null value is null (getItem on VOID would not resolve)

@@ -103,3 +103,38 @@ def test_parser_fuzz_random_bytes():
             parse(q)
         except CypherSyntaxError:
             pass
+
+
+def test_repetition_ratio_differential_vs_duckdb(spark):
+    """repetition_ratio over a pathological random corpus (unicode, empty,
+    punctuation-only, repeated boilerplate) must match the DuckDB
+    re-implementation of the same formula exactly."""
+    corpus = _random_corpus(seed=777)
+    df = spark.createDataFrame(corpus, "i long, t string")
+    got = {
+        r["i"]: r["rep"]
+        for r in df.select(
+            "i", tx.repetition_ratio(F.col("t"), 2).alias("rep")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", corpus)
+    rows = con.execute(
+        f"""
+        WITH g AS (SELECT i, len({_TOK_SQL}) - 1 AS cnt,
+                          list_transform(
+                              range(1, greatest(len({_TOK_SQL}) - 1, 1) + 1),
+                              x -> array_to_string(
+                                  list_slice({_TOK_SQL}, x, x + 1), ' ')
+                          ) AS grams
+                   FROM c)
+        SELECT i, CASE WHEN cnt > 0
+                       THEN round(1.0 - len(list_distinct(grams)) / cnt, 6)
+                       ELSE 0.0 END
+        FROM g"""
+    ).fetchall()
+    ref = dict(rows)
+    assert set(got) == set(ref)
+    bad = {i: (got[i], ref[i]) for i in got if abs(got[i] - ref[i]) > 1e-9}
+    assert not bad, f"diverged: {dict(list(bad.items())[:5])}"

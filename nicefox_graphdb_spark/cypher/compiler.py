@@ -2346,6 +2346,31 @@ class CypherToSpark:
                         alias=alias,
                     )
                 changed = True
+            elif (
+                isinstance(e, ast.FuncCall)
+                and e.name == "collect"
+                and len(e.args) == 1
+                and (
+                    props_arg := _entity_branch_props_ast(
+                        state.scope, e.args[0]
+                    )
+                )
+                is not None
+            ):
+                # collect(coalesce(a, b)) / collect(CASE ... entity arms):
+                # rewrite arms to properties(arm) so the list renders maps
+                # instead of raw ids (null entity → properties null → same
+                # winner). DISTINCT here dedups by property map — the
+                # branch result has no stable bare-var identity column.
+                alias = item.alias or _expr_text(e)
+                self.render_entity_cols.add(alias)
+                item = ast.ReturnItem(
+                    expr=ast.FuncCall(
+                        "collect", [props_arg], distinct=e.distinct
+                    ),
+                    alias=alias,
+                )
+                changed = True
             new_items.append(item)
         if not changed:
             return proj
@@ -4892,6 +4917,68 @@ class CypherToSpark:
         if proj.limit is not None:
             df = df.limit(self._skip_limit_count("LIMIT", proj.limit))
         return df
+
+
+def _entity_branch_props_ast(scope: Scope, expr: ast.Expr) -> ast.Expr | None:
+    """AST-level twin of _entity_branches for rendering positions: rewrite
+    coalesce(...)/CASE whose result arms are bound entity variables so each
+    arm becomes properties(arm) (a null entity's properties are null, so
+    the winner is unchanged). Returns None when not that shape."""
+
+    def entity_info(a: ast.Expr):
+        if isinstance(a, ast.Var):
+            vi = scope.get(a.name)
+            if vi is not None and vi.kind in ("node", "edge"):
+                return vi
+        return None
+
+    def is_null_lit(a: ast.Expr) -> bool:
+        return isinstance(a, ast.Literal) and a.value is None
+
+    def gather(args: list[ast.Expr]):
+        infos = [entity_info(a) for a in args]
+        if not all(
+            i is not None or is_null_lit(a) for i, a in zip(infos, args)
+        ) or not any(infos):
+            return None
+        # arms' property structs must share ONE schema for coalesce/CASE to
+        # type-check: build each arm as a map over the UNION of prop keys
+        # (missing → null; null-valued keys are dropped at render time like
+        # any entity map), guarded so a null entity stays null
+        keys = sorted({k for i in infos if i is not None for k in i.props})
+        return infos, keys
+
+    def arm(a: ast.Expr, keys: list[str]) -> ast.Expr:
+        if entity_info(a) is None:
+            return a
+        m = ast.MapLit(items=[(k, ast.Prop(base=a, key=k)) for k in keys])
+        return ast.CaseExpr(
+            test=None, whens=[(ast.IsNull(operand=a, negated=True), m)],
+            default=None,
+        )
+
+    if (
+        isinstance(expr, ast.FuncCall)
+        and expr.name.lower() == "coalesce"
+        and expr.args
+        and (g := gather(expr.args)) is not None
+    ):
+        return ast.FuncCall("coalesce", [arm(a, g[1]) for a in expr.args])
+    if isinstance(expr, ast.CaseExpr):
+        arms = [t_ for _, t_ in expr.whens]
+        if expr.default is not None:
+            arms.append(expr.default)
+        if (g := gather(arms)) is not None:
+            return ast.CaseExpr(
+                test=expr.test,
+                whens=[(w, arm(t_, g[1])) for w, t_ in expr.whens],
+                default=(
+                    arm(expr.default, g[1])
+                    if expr.default is not None
+                    else None
+                ),
+            )
+    return None
 
 
 def _bare_var_name(item: ast.ReturnItem) -> str | None:

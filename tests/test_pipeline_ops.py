@@ -154,3 +154,32 @@ def test_repetition_ratio_known_values(spark):
     assert got[2] == 0.0
     assert got[3] == 0.0
     assert got[4] == 0.0
+
+
+def test_decontaminate_large_bench_falls_back_to_shuffle(docs, tmp_path):
+    """Round-9 (VERDICT r8 #4): a bench side above the broadcast threshold
+    must not be force-broadcast — the plan degrades to a shuffle join
+    (AQE may still upgrade at runtime) and results are unchanged."""
+    sh = dd.word_shingles(F.col("text"), 2)
+    # parquet round-trip → file-stat plan sizes (a raw createDataFrame
+    # frame reports defaultSizeInBytes = Long.MaxValue and must take the
+    # no-hint path)
+    unknown = docs.where(F.col("doc_id") % 10 == 0)
+    unknown.write.parquet(str(tmp_path / "bench"))
+    bench = docs.sparkSession.read.parquet(str(tmp_path / "bench"))
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    hinted = pl.decontaminate(train, bench, "doc_id", sh)
+    unhinted = pl.decontaminate(
+        train, bench, "doc_id", sh, broadcast_threshold_bytes=0
+    )
+    no_stats = pl.decontaminate(train, unknown, "doc_id", sh)
+    # the hint is present only when stats are known AND under the threshold
+    # (F.broadcast() inserts a ResolvedHint node directly)
+    plan = lambda df: df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint (strategy=broadcast)" in plan(hinted)
+    assert "Hint" not in plan(unhinted)
+    assert "Hint" not in plan(no_stats)
+    key = lambda df: sorted(
+        (r["doc_id"], r["hits"], r["n_bench_docs"]) for r in df.collect()
+    )
+    assert key(hinted) == key(unhinted)

@@ -362,3 +362,169 @@ def test_reserved_structural_prop_names(wengine):
         wengine.query("CREATE (n:ZR {`_id`: 7})")
     with _pt.raises(CypherCompileError, match="reserved"):
         wengine.query("CREATE (n:ZR {ok: 1}) SET n.`_src` = 2")
+
+
+def _jobs_during(spark, fn, tag):
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+
+@pytest.fixture()
+def dengine(spark, tmp_path):
+    """Durable-store engine only — job-count guards pin the durable write
+    path's Spark-job budget (the driver-probe elimination, round-9)."""
+    return CypherEngine(spark, GraphCatalog(spark), data_path=str(tmp_path / "g"))
+
+
+def test_merge_job_budget_keyless(spark, dengine):
+    """Round-9 (VERDICT r8 #2): uncorrelated/keyless MERGE must not issue
+    isEmpty() driver-probe jobs — emptiness decisions ride the created-set
+    checkpoint via observe. Bounds are the measured post-fix job counts;
+    a reintroduced probe shows up as +1/+2 and trips the guard."""
+    dengine.query("CREATE (:Person {name: 'A'}), (:Person {name: 'B'})")
+    n_create = _jobs_during(
+        spark,
+        lambda: dengine.query(
+            "MATCH (p:Person) MERGE (s:Singleton) RETURN count(*) AS c"
+        ),
+        "merge-keyless-create",
+    )
+    assert n_create <= 9, n_create
+    n_match = _jobs_during(
+        spark,
+        lambda: dengine.query(
+            "MATCH (p:Person) MERGE (s:Singleton) RETURN count(*) AS c"
+        ),
+        "merge-keyless-match",
+    )
+    assert n_match <= 6, n_match
+    assert dengine.query("MATCH (s:Singleton) RETURN count(*) AS c") == [{"c": 1}]
+
+
+def test_merge_job_budget_standalone_chain(spark, dengine):
+    n_create = _jobs_during(
+        spark,
+        lambda: dengine.query("MERGE (a:City {k: 1})-[:IN]->(b:Country {k: 2})"),
+        "merge-chain-create",
+    )
+    assert n_create <= 12, n_create
+    n_match = _jobs_during(
+        spark,
+        lambda: dengine.query("MERGE (a:City {k: 1})-[:IN]->(b:Country {k: 2})"),
+        "merge-chain-match",
+    )
+    assert n_match <= 4, n_match
+    assert dengine.query(
+        "MATCH (:City)-[:IN]->(:Country) RETURN count(*) AS c"
+    ) == [{"c": 1}]
+
+
+def test_merge_keyless_zero_input_creates_nothing(wengine):
+    """Zero input rows → MERGE executes zero times; the decision is data
+    (a limit-1 seed), not a driver probe — nothing may be created."""
+    wengine.query("CREATE (:Person {name: 'A'})")
+    rows = wengine.query(
+        "MATCH (p:Person) WHERE p.name = 'ZZZ' MERGE (s:Solo) "
+        "RETURN count(*) AS c"
+    )
+    assert rows == [{"c": 0}]
+    assert wengine.query("MATCH (s:Solo) RETURN count(*) AS c") == [{"c": 0}]
+
+
+def test_merge_multihop_zero_input_creates_nothing(wengine):
+    wengine.query("CREATE (:Person {name: 'A'})")
+    rows = wengine.query(
+        "MATCH (p:Person) WHERE p.name = 'ZZZ' "
+        "MERGE (x:Hub {h: 1})-[:L]->(y:Spoke {s: 1}) RETURN count(*) AS c"
+    )
+    assert rows == [{"c": 0}]
+    assert wengine.query(
+        "MATCH (:Hub)-[:L]->(:Spoke) RETURN count(*) AS c"
+    ) == [{"c": 0}]
+
+
+def test_merge_multihop_uncorrelated_under_rows(wengine):
+    """Non-empty input: the chain is created ONCE globally and binds to
+    every row (the limit-1 seed path, round-9)."""
+    wengine.query("CREATE (:Person {name: 'A'}), (:Person {name: 'B'})")
+    rows = wengine.query(
+        "MATCH (p:Person) MERGE (x:Hub {h: 1})-[:L]->(y:Spoke {s: 1}) "
+        "RETURN count(*) AS c"
+    )
+    assert rows == [{"c": 2}]
+    assert wengine.query(
+        "MATCH (:Hub)-[:L]->(:Spoke) RETURN count(*) AS c"
+    ) == [{"c": 1}]
+    # second run matches, still one chain; ON MATCH visible
+    rows = wengine.query(
+        "MATCH (p:Person) MERGE (x:Hub {h: 1})-[:L]->(y:Spoke {s: 1}) "
+        "ON MATCH SET x.seen = true RETURN count(*) AS c"
+    )
+    assert rows == [{"c": 2}]
+    assert wengine.query(
+        "MATCH (x:Hub) WHERE x.seen RETURN count(*) AS c"
+    ) == [{"c": 1}]
+
+
+def test_merge_rel_one_unbound_zero_input(wengine):
+    """Zero input rows, relationship type never created: zero executions,
+    nothing created, variables still bound downstream (round-9)."""
+    wengine.query("CREATE (:Person {name: 'A'})")
+    rows = wengine.query(
+        "MATCH (p:Person) WHERE p.name = 'ZZZ' "
+        "MERGE (p)-[r:OWNS]->(c:Car {plate: p.name}) "
+        "RETURN count(r) AS c"
+    )
+    assert rows == [{"c": 0}]
+    assert wengine.query("MATCH (c:Car) RETURN count(*) AS c") == [{"c": 0}]
+
+
+def test_merge_rel_both_unbound_zero_input(wengine):
+    wengine.query("CREATE (:Person {name: 'A'})")
+    rows = wengine.query(
+        "MATCH (p:Person) WHERE p.name = 'ZZZ' "
+        "MERGE (a:Org {k: p.name})-[r:AT]->(b:Site {k: p.name}) "
+        "RETURN count(r) AS c"
+    )
+    assert rows == [{"c": 0}]
+    assert wengine.query("MATCH (n:Org) RETURN count(*) AS c") == [{"c": 0}]
+    assert wengine.query("MATCH (n:Site) RETURN count(*) AS c") == [{"c": 0}]
+
+
+def test_set_last_write_wins_requires_order_by(wengine):
+    """Known-divergence pin (COVERAGE.md): multi-row SET of one entity
+    honors a surviving WITH...ORDER BY deterministically; WITHOUT an
+    ORDER BY the winner is unspecified (physical row order) — the test
+    asserts only that SOME input value won, not which."""
+    wengine.query("CREATE (:Counter {name: 'c'})")
+    # explicit ORDER BY: the last row in the established order wins
+    wengine.query(
+        "MATCH (n:Counter) UNWIND [3, 1, 2] AS x "
+        "WITH n, x ORDER BY x SET n.v = x"
+    )
+    assert wengine.query("MATCH (n:Counter) RETURN n.v AS v") == [{"v": 3}]
+    # no ORDER BY: unspecified winner, but it must be one of the inputs
+    wengine.query("MATCH (n:Counter) UNWIND [10, 20, 30] AS x SET n.v = x")
+    got = wengine.query("MATCH (n:Counter) RETURN n.v AS v")[0]["v"]
+    assert got in (10, 20, 30)
+
+
+def test_collect_distinct_entity_branch_dedups_by_identity(wengine):
+    """Round-9 (ADVICE r8): collect(DISTINCT coalesce/CASE with entity
+    arms) dedups by the BRANCHED ENTITY IDENTITY, like plain
+    collect(DISTINCT n) — two prop-identical but distinct nodes stay two
+    list elements."""
+    wengine.query("CREATE (:P {name: 'x'}), (:P {name: 'x'}), (:P {name: 'y'})")
+    for q in (
+        "MATCH (p:P) OPTIONAL MATCH (q:Q) "
+        "RETURN collect(DISTINCT coalesce(q, p)) AS l",
+        "MATCH (p:P) RETURN collect(DISTINCT CASE WHEN true THEN p ELSE null END) AS l",
+        "MATCH (p:P) RETURN collect(DISTINCT coalesce(null, p)) AS l",
+    ):
+        lst = wengine.query(q)[0]["l"]
+        assert sorted(d["name"] for d in lst) == ["x", "x", "y"], q

@@ -2348,6 +2348,10 @@ def _fn_substring(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
 def _fn_split(comp: ExprCompiler, args: list[ast.Expr]) -> TypedCol:
     s = _c(comp, args, 0)
     if isinstance(args[1], ast.Literal) and args[1].value is not None:
+        if not isinstance(args[1].value, str):
+            # Neo4j: split() wants a string delimiter — typed error, not a
+            # silent str() coercion (round-9 error-parity sweep)
+            raise CypherCompileError("split() delimiter must be a string")
         pattern = F.lit(re.escape(str(args[1].value)))
         out = F.split(s.col, pattern)
     else:

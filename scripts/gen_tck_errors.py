@@ -227,6 +227,43 @@ err("union column mismatch", "RETURN 1 AS a UNION RETURN 2 AS b")
 ok("union matching columns legal",
    "RETURN 1 AS a UNION RETURN 2 AS a", ["a"], [{"a": "1"}, {"a": "2"}])
 
+# -- J. Function / expression typing (round-9 sweep: the top user-facing
+#    mistakes beyond the A-I families; each invalid query must raise a
+#    TYPED CypherCompileError/CypherSyntaxError, never a Spark analysis
+#    stack bomb, and each legal twin must pass) ----------------------------
+err("unknown function", "RETURN frobnicate(1) AS v")
+err("unknown function in where",
+    "MATCH (n:EA) WHERE frob(n.k) RETURN n.k AS k", setup=SETUP_SMALL)
+err("aggregate of aggregate", "RETURN count(count(*)) AS v")
+err("aggregate nested in scalar aggregate arg",
+    "MATCH (n:EA) RETURN sum(1 + count(n)) AS v", setup=SETUP_SMALL)
+err("type() on a node", "MATCH (n:EA) RETURN type(n) AS t",
+    setup=SETUP_SMALL)
+err("nodes() on a node", "MATCH (n:EA) RETURN nodes(n) AS x",
+    setup=SETUP_SMALL)
+err("relationships() on a rel",
+    "MATCH ()-[r:ER]->() RETURN relationships(r) AS x", setup=SETUP_REL)
+err("labels() requires a variable", "RETURN labels(1) AS l")
+err("id() requires a variable", "RETURN id(1) AS i")
+err("range() zero step literal", "RETURN range(1, 10, 0) AS r")
+err("split() non-string delimiter", "RETURN split('a,b', 1) AS s")
+err("duration() bad iso literal", "RETURN duration('P1X') AS d")
+err("duration() non-map non-string", "RETURN duration(1) AS d")
+err("temporal unknown accessor",
+    "RETURN date('2020-01-02').century AS c")
+err("duration unknown accessor",
+    "RETURN duration('P1D').fortnights AS f")
+err("datetime timezone must be literal string",
+    "RETURN datetime({year: 2020, timezone: 5}) AS d")
+ok("type() on a relationship legal",
+   "MATCH ()-[r:ER]->() RETURN type(r) AS t", ["t"], [{"t": "'ER'"}],
+   setup=SETUP_REL)
+ok("labels() on a node legal",
+   "MATCH (n:EA) RETURN labels(n) AS l", ["l"], [{"l": "['EA']"}],
+   setup=SETUP_SMALL)
+ok("range() positive step legal",
+   "RETURN range(1, 5, 2) AS r", ["r"], [{"r": "[1, 3, 5]"}])
+
 
 def emit() -> str:
     lines = [

@@ -118,11 +118,11 @@ def main():
             spark_cols = sdf.columns
             spark_rows = [r.asDict(recursive=True) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
-            results[name] = ("SPARK_ERROR", [f"{type(e).__name__}: {e}"])
+            results[name] = ("SPARK_ERROR", [f"{type(e).__name__}: {e}"], 0)
             print(f"{name:28s} SPARK_ERROR  {type(e).__name__}: {str(e)[:140]}")
             continue
         if name not in oracles:
-            results[name] = ("NO_ORACLE", [])
+            results[name] = ("NO_ORACLE", [], len(spark_rows))
             print(f"{name:28s} NO_ORACLE    rows={len(spark_rows)} ({time.time()-t0:.1f}s)")
             continue
         try:
@@ -130,19 +130,46 @@ def main():
             oracle_cols = rel.columns
             oracle_rows = [dict(zip(oracle_cols, row)) for row in rel.fetchall()]
         except Exception as e:  # noqa: BLE001
-            results[name] = ("ORACLE_ERROR", [f"{type(e).__name__}: {e}"])
+            results[name] = ("ORACLE_ERROR", [f"{type(e).__name__}: {e}"], 0)
             print(f"{name:28s} ORACLE_ERROR {type(e).__name__}: {str(e)[:140]}")
             continue
         verdict, detail = compare(name, spark_rows, spark_cols, oracle_rows, oracle_cols)
-        results[name] = (verdict, detail)
+        results[name] = (verdict, detail, len(spark_rows))
         extra = f" rows={len(spark_rows)} ({time.time()-t0:.1f}s)"
         print(f"{name:28s} {verdict:12s}{extra}")
         for d in detail:
             print(f"    {d}")
 
-    n_ok = sum(1 for v, _ in results.values() if v == "MATCH")
+    n_ok = sum(1 for v, *_ in results.values() if v == "MATCH")
     print(f"\n{n_ok}/{len(results)} MATCH")
-    sys.exit(0 if n_ok == len(results) else 1)
+
+    # NICEFOX_CHECK_JSON=CORRECTNESS_local_rNN.json writes the driver-style
+    # artifact (round number inferred from the file name)
+    out_json = os.environ.get("NICEFOX_CHECK_JSON")
+    if out_json and not only:
+        import json as _json
+        import re as _re
+
+        n_no = sum(1 for v, *_ in results.values() if v == "NO_ORACLE")
+        m = _re.search(r"r(\d+)", out_json)
+        artifact = {
+            "round": int(m.group(1)) if m else None,
+            "source": "scripts/check_correctness.py (local mirror of the "
+                      "driver t2 gate)",
+            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+            "gates": len(results),
+            "match": n_ok,
+            "no_oracle": n_no,
+            "mismatch": len(results) - n_ok - n_no,
+            "results": {
+                name: {"status": v, "rows": n, **({"detail": d} if d else {})}
+                for name, (v, d, n) in results.items()
+            },
+        }
+        with open(os.path.join(REPO, out_json), "w") as f:
+            _json.dump(artifact, f, indent=1, sort_keys=False)
+        print(f"wrote {out_json}")
+    sys.exit(0 if n_ok + n_no == len(results) else 1)
 
 
 if __name__ == "__main__":

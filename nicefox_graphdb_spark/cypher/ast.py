@@ -30,11 +30,19 @@ class Literal(Expr):
 @dataclass
 class Param(Expr):
     name: str
+    # parse position of the `$name` token (see Var.pos)
+    pos: Optional[tuple] = field(default=None, compare=False, repr=False)
 
 
 @dataclass
 class Var(Expr):
     name: str
+    # (line, col) of the identifier token when parsed from text; None for
+    # compiler-synthesized nodes. Excluded from equality so synthetic
+    # Var(name) still compares equal to a parsed one (round-9 error-parity:
+    # semantic errors carry positions like the reference's structured parse
+    # errors, src/types.ts:55-68).
+    pos: Optional[tuple] = field(default=None, compare=False, repr=False)
 
 
 @dataclass

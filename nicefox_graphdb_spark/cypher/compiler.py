@@ -330,7 +330,11 @@ class CypherToSpark:
             return expr.value
         if isinstance(expr, ast.Param):
             if expr.name not in self.params:
-                raise CypherCompileError(f"missing parameter ${expr.name}")
+                from nicefox_graphdb_spark.cypher.expressions import _pos_sfx
+
+                raise CypherCompileError(
+                    f"missing parameter ${expr.name}{_pos_sfx(expr)}"
+                )
             return self.params[expr.name]
         if isinstance(expr, ast.Unary) and expr.op == "-":
             val = self._static_eval(expr.operand)
@@ -3667,7 +3671,11 @@ class CypherToSpark:
                 raise CypherCompileError("DELETE requires a variable")
             info = state.scope.get(expr.name)
             if info is None:
-                raise CypherCompileError(f"variable `{expr.name}` not defined")
+                from nicefox_graphdb_spark.cypher.expressions import _pos_sfx
+
+                raise CypherCompileError(
+                    f"variable `{expr.name}` not defined{_pos_sfx(expr)}"
+                )
             if info.kind == "node":
                 # DELETE of a null entity (unmatched OPTIONAL MATCH) is a
                 # no-op, not an error — filter null ids out

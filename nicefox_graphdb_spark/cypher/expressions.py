@@ -60,6 +60,16 @@ def _is_string(dtype: Optional[T.DataType]) -> bool:
     return isinstance(dtype, T.StringType)
 
 
+def _pos_sfx(pos_or_expr) -> str:
+    """' (line L, col C)' when the AST node carries a parse position —
+    semantic errors then locate the offending identifier like the
+    reference's structured parse errors (round-9, VERDICT r8 #8)."""
+    pos = getattr(pos_or_expr, "pos", pos_or_expr)
+    if isinstance(pos, tuple) and len(pos) == 2:
+        return f" (line {pos[0]}, col {pos[1]})"
+    return ""
+
+
 def widen_prop_dtype(a: T.DataType, b: T.DataType) -> T.DataType:
     """Union dtype for one property key bound by several entity-branch
     arms (coalesce(a, b).k / CASE arms / _branched_entity_cols): equal
@@ -484,10 +494,12 @@ class ExprCompiler:
             return self._literal(expr)
         if isinstance(expr, ast.Param):
             if expr.name not in self.ctx.params:
-                raise CypherCompileError(f"missing parameter ${expr.name}")
+                raise CypherCompileError(
+                    f"missing parameter ${expr.name}{_pos_sfx(expr)}"
+                )
             return lit_value(self.ctx.params[expr.name])
         if isinstance(expr, ast.Var):
-            return self._var(expr.name)
+            return self._var(expr.name, getattr(expr, "pos", None))
         if isinstance(expr, ast.Prop):
             return self._prop(expr)
         if isinstance(expr, ast.Index):
@@ -638,12 +650,14 @@ class ExprCompiler:
             col = col.cast("long")
         return TypedCol(col, dtypes[e.kind])
 
-    def _var(self, name: str) -> TypedCol:
+    def _var(self, name: str, pos: tuple | None = None) -> TypedCol:
         if name in self.ctx.lambdas:
             return self.ctx.lambdas[name]
         info = self.ctx.scope.get(name)
         if info is None:
-            raise CypherCompileError(f"variable `{name}` not defined")
+            raise CypherCompileError(
+                f"variable `{name}` not defined{_pos_sfx(pos)}"
+            )
         if info.kind == "value":
             return TypedCol(
                 F.col(vcol(name, "val")),
@@ -706,7 +720,9 @@ class ExprCompiler:
         if isinstance(e.base, ast.Var) and e.base.name not in self.ctx.lambdas:
             info = self.ctx.scope.get(e.base.name)
             if info is None:
-                raise CypherCompileError(f"variable `{e.base.name}` not defined")
+                raise CypherCompileError(
+                    f"variable `{e.base.name}` not defined{_pos_sfx(e.base)}"
+                )
             if info.kind in ("node", "edge"):
                 if e.key in info.props:
                     return TypedCol(
@@ -2115,7 +2131,9 @@ def _entity_info(comp: ExprCompiler, args: list[ast.Expr], fn: str) -> VarInfo:
         raise CypherCompileError(f"{fn}() requires a variable argument")
     info = comp.ctx.scope.get(name)
     if info is None:
-        raise CypherCompileError(f"variable `{name}` not defined")
+        raise CypherCompileError(
+            f"variable `{name}` not defined{_pos_sfx(args[0])}"
+        )
     if info.kind == "value" and (
         info.dtype is None or isinstance(info.dtype, T.NullType)
     ):

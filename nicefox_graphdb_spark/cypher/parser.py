@@ -846,7 +846,7 @@ class Parser:
             return ast.Literal(t.value, "string")
         if t.type == "param":
             self.advance()
-            return ast.Param(t.value)
+            return ast.Param(t.value, pos=(t.line, t.col))
         if self.at_op("["):
             return self.parse_list_or_comprehension()
         if self.at_op("{"):
@@ -897,8 +897,9 @@ class Parser:
             if self.at_op("(") and len(parts) > 1:
                 return self.parse_func_call(".".join(parts))
             self.restore(start)
+        t = self.peek()
         name = self.expect_ident()
-        return ast.Var(name)
+        return ast.Var(name, pos=(t.line, t.col))
 
     def parse_func_call(self, name: str) -> ast.FuncCall:
         self.expect_op("(")

@@ -141,6 +141,7 @@ def main():
             print(f"    {d}")
 
     n_ok = sum(1 for v, *_ in results.values() if v == "MATCH")
+    n_no = sum(1 for v, *_ in results.values() if v == "NO_ORACLE")
     print(f"\n{n_ok}/{len(results)} MATCH")
 
     # NICEFOX_CHECK_JSON=CORRECTNESS_local_rNN.json writes the driver-style
@@ -150,7 +151,6 @@ def main():
         import json as _json
         import re as _re
 
-        n_no = sum(1 for v, *_ in results.values() if v == "NO_ORACLE")
         m = _re.search(r"r(\d+)", out_json)
         artifact = {
             "round": int(m.group(1)) if m else None,

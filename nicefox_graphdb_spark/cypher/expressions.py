@@ -75,8 +75,12 @@ def widen_prop_dtype(a: T.DataType, b: T.DataType) -> T.DataType:
     arms (coalesce(a, b).k / CASE arms / _branched_entity_cols): equal
     types pass through; NUMERIC types widen (any fractional → double,
     else long) so a long-on-one-label / double-on-another prop never
-    truncates; other mixes keep the FIRST-seen dtype (the loser arm's
-    value casts to null) — the engine-wide rule both twins share."""
+    truncates; other mixes keep the FIRST-seen dtype and the loser arm's
+    values coerce through Spark's lenient cast — representable values
+    convert (long→string yields '42', numeric strings parse), only
+    incompatible ones become null. Cypher's dynamic properties have no
+    principled static union for such mixes; first-seen-wins is the
+    engine-wide rule both twins share (documented COVERAGE.md)."""
     if a == b or isinstance(b, T.NullType):
         return a
     if isinstance(a, T.NullType):

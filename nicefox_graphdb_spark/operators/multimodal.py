@@ -369,6 +369,10 @@ def _decode_video(content: bytes) -> np.ndarray:
                 ]
             if frames:
                 return np.stack(frames)
+            raise ValueError(  # pragma: no cover - needs PyAV at deploy
+                "container opened by PyAV but yielded no decodable video "
+                "frames (no video stream, or zero frames)"
+            )
         raise NotImplementedError(
             "real video demuxers need PyAV (not installed in this "
             "environment); the NFV1 uncompressed frame container is "

@@ -30,6 +30,13 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# The ONLY gates allowed to lack a DuckDB SQL oracle — each must instead
+# pass its independent differential oracle (scripts/differential_oracles.py:
+# pure-python XXH64 / numpy ground truth, precision + recall asserted). Any
+# other gate missing from oracle_sql() is a FAILURE, not a silent pass
+# (guards against a gate accidentally dropping out of the oracles dict).
+EXPECTED_DIFFERENTIAL = {"q_sig_dedup", "q_ann_search"}
+
 
 def norm(v):
     if isinstance(v, Decimal):
@@ -122,8 +129,28 @@ def main():
             print(f"{name:28s} SPARK_ERROR  {type(e).__name__}: {str(e)[:140]}")
             continue
         if name not in oracles:
-            results[name] = ("NO_ORACLE", [], len(spark_rows))
-            print(f"{name:28s} NO_ORACLE    rows={len(spark_rows)} ({time.time()-t0:.1f}s)")
+            if name in EXPECTED_DIFFERENTIAL:
+                from differential_oracles import DIFFERENTIAL
+
+                try:
+                    ok, detail = DIFFERENTIAL[name](spark_rows, con, SF_DIR)
+                except Exception as e:  # noqa: BLE001
+                    ok, detail = False, [f"{type(e).__name__}: {e}"]
+                verdict = "DIFF_MATCH" if ok else "DIFF_MISMATCH"
+                results[name] = (verdict, detail, len(spark_rows))
+                print(f"{name:28s} {verdict:12s} rows={len(spark_rows)} "
+                      f"({time.time()-t0:.1f}s)")
+                for d in detail:
+                    print(f"    {d}")
+            else:
+                results[name] = (
+                    "NO_ORACLE",
+                    ["gate has neither a SQL oracle nor a pinned "
+                     "differential oracle — treated as FAILURE"],
+                    len(spark_rows),
+                )
+                print(f"{name:28s} NO_ORACLE    rows={len(spark_rows)} "
+                      f"UNPINNED->FAIL ({time.time()-t0:.1f}s)")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -141,8 +168,9 @@ def main():
             print(f"    {d}")
 
     n_ok = sum(1 for v, *_ in results.values() if v == "MATCH")
+    n_diff = sum(1 for v, *_ in results.values() if v == "DIFF_MATCH")
     n_no = sum(1 for v, *_ in results.values() if v == "NO_ORACLE")
-    print(f"\n{n_ok}/{len(results)} MATCH")
+    print(f"\n{n_ok}/{len(results)} MATCH + {n_diff} DIFF_MATCH")
 
     # NICEFOX_CHECK_JSON=CORRECTNESS_local_rNN.json writes the driver-style
     # artifact (round number inferred from the file name)
@@ -157,10 +185,16 @@ def main():
             "source": "scripts/check_correctness.py (local mirror of the "
                       "driver t2 gate)",
             "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+            # the external driver records only the first 50 queries()
+            # entries; these gates sit beyond that window and are verified
+            # ONLY by this artifact (order frozen since r9 — advice r9 #1)
+            "driver_window": 50,
+            "beyond_driver_window": list(qs)[50:],
             "gates": len(results),
             "match": n_ok,
+            "diff_match": n_diff,
             "no_oracle": n_no,
-            "mismatch": len(results) - n_ok - n_no,
+            "mismatch": len(results) - n_ok - n_diff - n_no,
             "results": {
                 name: {"status": v, "rows": n, **({"detail": d} if d else {})}
                 for name, (v, d, n) in results.items()
@@ -169,7 +203,10 @@ def main():
         with open(os.path.join(REPO, out_json), "w") as f:
             _json.dump(artifact, f, indent=1, sort_keys=False)
         print(f"wrote {out_json}")
-    sys.exit(0 if n_ok + n_no == len(results) else 1)
+    # pass = every gate fully verified (SQL MATCH or differential MATCH);
+    # NO_ORACLE no longer counts as passing (advice r9: a gate dropping out
+    # of the oracles dict must fail loudly)
+    sys.exit(0 if n_ok + n_diff == len(results) else 1)
 
 
 if __name__ == "__main__":

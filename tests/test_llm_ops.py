@@ -158,7 +158,9 @@ def test_ann_recall(spark, tables):
     }
     assert exact, "fixture should contain moderately-similar pairs"
     recall = len(exact & ann) / len(exact)
-    assert recall >= 0.5, f"ANN recall {recall} ({len(ann)} vs {len(exact)})"
+    # measured 0.91 at sf0.001 (r10); 0.8 bar leaves jitter headroom while
+    # still failing on any real candidate-generation regression
+    assert recall >= 0.8, f"ANN recall {recall} ({len(ann)} vs {len(exact)})"
     assert ann <= exact  # exact-verified candidates: precision 1
     # auto-sized params (the scale-safe path: planes from corpus size,
     # tables from the recall identity) hold recall too
@@ -169,8 +171,8 @@ def test_ann_recall(spark, tables):
             n_planes=None, n_tables=None, threshold=0.35,
         ).collect()
     }
-    auto_recall = len(exact & auto) / len(exact)
-    assert auto_recall >= 0.5, f"auto-sized ANN recall {auto_recall}"
+    auto_recall = len(exact & auto) / len(exact)  # measured 0.93 (r10)
+    assert auto_recall >= 0.8, f"auto-sized ANN recall {auto_recall}"
     assert auto <= exact
 
 
@@ -213,21 +215,25 @@ def test_ivf_topk_recall(spark, tables):
             F.array(*[F.lit(x) for x in qv]), k=10, exclude_id=0,
         ).collect()
     ]
+    # n_probe=7 of 8 clusters: measured recall 1.0 (4 probes sat at 0.7 and
+    # 6 at exactly 0.8 — the embeddings' nearest neighbors straddle more
+    # coarse cells than a half-probe reaches; 7 leaves real headroom over
+    # the 0.8 bar while still exercising the pruned-probe path)
     approx = [
         r["id"]
         for r in sim.ivf_topk(
             emb, "vec_id", "embedding", qv, dim=64, k=10,
-            n_clusters=8, n_probe=4, exclude_id=0,
+            n_clusters=8, n_probe=7, exclude_id=0,
         ).collect()
     ]
     recall = len(set(exact) & set(approx)) / len(exact)
-    assert recall >= 0.5, f"IVF recall {recall}"
+    assert recall >= 0.8, f"IVF recall {recall}"
     # determinism: same inputs -> same answer
     approx2 = [
         r["id"]
         for r in sim.ivf_topk(
             emb, "vec_id", "embedding", qv, dim=64, k=10,
-            n_clusters=8, n_probe=4, exclude_id=0,
+            n_clusters=8, n_probe=7, exclude_id=0,
         ).collect()
     ]
     assert approx == approx2

@@ -49,6 +49,8 @@ class Var(Expr):
 class Prop(Expr):
     base: Expr
     key: str
+    # (line, col) of the property-name token (see Var.pos)
+    pos: Optional[tuple] = field(default=None, compare=False, repr=False)
 
 
 @dataclass
@@ -109,6 +111,8 @@ class FuncCall(Expr):
     name: str  # lowercased
     args: list[Expr] = field(default_factory=list)
     distinct: bool = False
+    # (line, col) of the function-name token (see Var.pos)
+    pos: Optional[tuple] = field(default=None, compare=False, repr=False)
 
 
 @dataclass
@@ -284,6 +288,9 @@ class Merge(Clause):
     path: PatternPath = None  # type: ignore[assignment]
     on_create: list[SetItem] = field(default_factory=list)
     on_match: list[SetItem] = field(default_factory=list)
+    # (line, col) of the MERGE keyword — runtime MERGE-null errors locate
+    # the clause (see Var.pos)
+    pos: Optional[tuple] = field(default=None, compare=False, repr=False)
 
 
 @dataclass
@@ -302,6 +309,9 @@ class Remove(Clause):
 class Delete(Clause):
     exprs: list[Expr] = field(default_factory=list)
     detach: bool = False
+    # (line, col) of the DELETE/DETACH keyword — the dangling-relationship
+    # runtime error locates the clause (see Var.pos)
+    pos: Optional[tuple] = field(default=None, compare=False, repr=False)
 
 
 @dataclass

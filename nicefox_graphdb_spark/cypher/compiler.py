@@ -330,10 +330,8 @@ class CypherToSpark:
             return expr.value
         if isinstance(expr, ast.Param):
             if expr.name not in self.params:
-                from nicefox_graphdb_spark.cypher.expressions import _pos_sfx
-
                 raise CypherCompileError(
-                    f"missing parameter ${expr.name}{_pos_sfx(expr)}"
+                    f"missing parameter ${expr.name}", pos=expr
                 )
             return self.params[expr.name]
         if isinstance(expr, ast.Unary) and expr.op == "-":
@@ -359,12 +357,14 @@ class CypherToSpark:
         if isinstance(v, bool) or not isinstance(v, int):
             raise CypherCompileError(
                 f"{which}: Invalid input. '{v}' is not a valid value, "
-                "must be a non-negative integer."
+                "must be a non-negative integer.",
+                pos=expr,
             )
         if v < 0:
             raise CypherCompileError(
                 f"{which}: Invalid input. '{v}' is not a valid value, "
-                "must be a non-negative integer."
+                "must be a non-negative integer.",
+                pos=expr,
             )
         return v
 
@@ -1266,7 +1266,7 @@ class CypherToSpark:
                 )
             if isinstance(e, ast.Prop):
                 st, base2 = walk(st, e.base)
-                return st, ast.Prop(base=base2, key=e.key)
+                return st, ast.Prop(base=base2, key=e.key, pos=e.pos)
             if isinstance(e, (ast.PatternExpr, ast.ExistsExpr)):
                 path = e.path if isinstance(e, ast.PatternExpr) else e.pattern
                 where = e.where if isinstance(e, ast.ExistsExpr) else None
@@ -1377,7 +1377,9 @@ class CypherToSpark:
                 for a in e.args:
                     st, na = walk(st, a)
                     new_args.append(na)
-                return st, ast.FuncCall(e.name, new_args, e.distinct)
+                return st, ast.FuncCall(
+                    e.name, new_args, e.distinct, pos=e.pos
+                )
             if isinstance(e, ast.CaseExpr):
                 test = e.test
                 if test is not None:
@@ -3665,16 +3667,15 @@ class CypherToSpark:
         return state
 
     def compile_delete(self, state: CompileState, d: ast.Delete) -> CompileState:
+        self._clause_pos = d.pos
         df = state.require_df()
         for expr in d.exprs:
             if not isinstance(expr, ast.Var):
                 raise CypherCompileError("DELETE requires a variable")
             info = state.scope.get(expr.name)
             if info is None:
-                from nicefox_graphdb_spark.cypher.expressions import _pos_sfx
-
                 raise CypherCompileError(
-                    f"variable `{expr.name}` not defined{_pos_sfx(expr)}"
+                    f"variable `{expr.name}` not defined", pos=expr
                 )
             if info.kind == "node":
                 # DELETE of a null entity (unmatched OPTIONAL MATCH) is a
@@ -3684,7 +3685,18 @@ class CypherToSpark:
                     .where(F.col("_id").isNotNull())
                     .distinct()
                 )
-                self.store.delete_nodes(ids, detach=d.detach)
+                from nicefox_graphdb_spark.graph_store import (
+                    CypherRuntimeError,
+                )
+
+                try:
+                    self.store.delete_nodes(ids, detach=d.detach)
+                except CypherRuntimeError as err:
+                    if err.line is None and d.pos is not None:
+                        raise CypherRuntimeError(
+                            err.message, pos=d.pos
+                        ) from None
+                    raise
             elif info.kind == "edge":
                 self.store.delete_edges(
                     df.select(F.col(info.id_col()).alias("_id"))
@@ -3696,6 +3708,9 @@ class CypherToSpark:
         return state
 
     def compile_merge(self, state: CompileState, m: ast.Merge) -> CompileState:
+        # runtime MERGE-null / checkpoint errors locate the clause (r10,
+        # VERDICT r9 #6)
+        self._clause_pos = m.pos
         state = self._ensure_df(state)
         elements = m.path.elements
         if any(
@@ -3726,7 +3741,8 @@ class CypherToSpark:
                 if is_null:
                     raise CypherCompileError(
                         f"Cannot merge {kind} using null property value "
-                        f"for `{k}`"
+                        f"for `{k}`",
+                        pos=m.pos,
                     )
         if len(elements) == 1:
             return self._merge_node(state, elements[0], m.on_create, m.on_match)
@@ -4135,7 +4151,8 @@ class CypherToSpark:
             if isinstance(tc.dtype, T.NullType):
                 # Neo4j: "Cannot merge node using null property value"
                 raise CypherCompileError(
-                    f"Cannot merge node using null property value for `{k}`"
+                    f"Cannot merge node using null property value for `{k}`",
+                    pos=getattr(self, "_clause_pos", None),
                 )
         df = state.require_df()
         key_tmp = {}
@@ -4345,7 +4362,9 @@ class CypherToSpark:
         created = frame.observe(obs, *aggs).localCheckpoint(eager=True)
         row = obs.get
         if key_cols and row.get("__has_null"):
-            raise CypherRuntimeError(err)
+            raise CypherRuntimeError(
+                err, pos=getattr(self, "_clause_pos", None)
+            )
         return created, row["__n"] == 0
 
     def _apply_merge_sets(

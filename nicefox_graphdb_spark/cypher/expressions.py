@@ -29,7 +29,23 @@ from nicefox_graphdb_spark.cypher.scope import Scope, VarInfo, pcol, vcol
 
 
 class CypherCompileError(Exception):
-    pass
+    """Semantic / typing error with an optional structured position.
+
+    ``pos`` accepts an AST node (its ``.pos``), or a (line, col) tuple;
+    when present the message gains the human-readable suffix AND the
+    exception carries ``line``/``col`` attributes for the structured
+    QueryResponse envelope (reference carries positions on all errors,
+    src/types.ts:55-68; r10, VERDICT r9 #6)."""
+
+    def __init__(self, message: str, pos=None):
+        pos = getattr(pos, "pos", pos)
+        if isinstance(pos, tuple) and len(pos) == 2:
+            self.line, self.col = pos
+            message = f"{message} (line {pos[0]}, col {pos[1]})"
+        else:
+            self.line = self.col = None
+        self.message = message
+        super().__init__(message)
 
 
 @dataclass
@@ -499,7 +515,7 @@ class ExprCompiler:
         if isinstance(expr, ast.Param):
             if expr.name not in self.ctx.params:
                 raise CypherCompileError(
-                    f"missing parameter ${expr.name}{_pos_sfx(expr)}"
+                    f"missing parameter ${expr.name}", pos=expr
                 )
             return lit_value(self.ctx.params[expr.name])
         if isinstance(expr, ast.Var):
@@ -660,7 +676,7 @@ class ExprCompiler:
         info = self.ctx.scope.get(name)
         if info is None:
             raise CypherCompileError(
-                f"variable `{name}` not defined{_pos_sfx(pos)}"
+                f"variable `{name}` not defined", pos=pos
             )
         if info.kind == "value":
             return TypedCol(
@@ -721,11 +737,22 @@ class ExprCompiler:
     _INSTANT_ACCESSORS = {"epochseconds", "epochmillis"}
 
     def _prop(self, e: ast.Prop) -> TypedCol:
+        # accessor errors (unknown temporal/duration component, etc.) get
+        # the property-token position when the raise site didn't locate a
+        # more specific token (r10, VERDICT r9 #6 — same recipe as _func)
+        try:
+            return self._prop_inner(e)
+        except CypherCompileError as err:
+            if err.line is None and e.pos is not None:
+                raise CypherCompileError(err.message, pos=e.pos) from None
+            raise
+
+    def _prop_inner(self, e: ast.Prop) -> TypedCol:
         if isinstance(e.base, ast.Var) and e.base.name not in self.ctx.lambdas:
             info = self.ctx.scope.get(e.base.name)
             if info is None:
                 raise CypherCompileError(
-                    f"variable `{e.base.name}` not defined{_pos_sfx(e.base)}"
+                    f"variable `{e.base.name}` not defined", pos=e.base
                 )
             if info.kind in ("node", "edge"):
                 if e.key in info.props:
@@ -1963,6 +1990,17 @@ class ExprCompiler:
 
     # -- function calls ----------------------------------------------------
     def _func(self, e: ast.FuncCall) -> TypedCol:
+        # one interception point gives EVERY function/typing error the
+        # call-site position (r10, VERDICT r9 #6) — builders that already
+        # located a more specific token (e.g. an argument) keep theirs
+        try:
+            return self._func_inner(e)
+        except CypherCompileError as err:
+            if err.line is None and e.pos is not None:
+                raise CypherCompileError(err.message, pos=e.pos) from None
+            raise
+
+    def _func_inner(self, e: ast.FuncCall) -> TypedCol:
         name = e.name
         builder = SCALAR_FUNCTIONS.get(name)
         if builder is not None:
@@ -2136,7 +2174,7 @@ def _entity_info(comp: ExprCompiler, args: list[ast.Expr], fn: str) -> VarInfo:
     info = comp.ctx.scope.get(name)
     if info is None:
         raise CypherCompileError(
-            f"variable `{name}` not defined{_pos_sfx(args[0])}"
+            f"variable `{name}` not defined", pos=args[0]
         )
     if info.kind == "value" and (
         info.dtype is None or isinstance(info.dtype, T.NullType)

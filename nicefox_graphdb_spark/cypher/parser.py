@@ -293,6 +293,7 @@ class Parser:
                 clauses.append(self.parse_remove())
             elif kw in ("DELETE", "DETACH"):
                 detach = kw == "DETACH"
+                t = self.peek()
                 self.advance()
                 if detach:
                     self.expect_kw("DELETE")
@@ -300,7 +301,11 @@ class Parser:
                 while self.at_op(","):
                     self.advance()
                     exprs.append(self.parse_expr())
-                clauses.append(ast.Delete(exprs=exprs, detach=detach))
+                clauses.append(
+                    ast.Delete(
+                        exprs=exprs, detach=detach, pos=(t.line, t.col)
+                    )
+                )
             elif kw == "CALL":
                 clauses.append(self.parse_call())
             else:
@@ -434,8 +439,10 @@ class Parser:
         return ast.OrderItem(expr=expr, desc=desc)
 
     def parse_merge(self) -> ast.Merge:
+        t = self.peek()
         self.expect_kw("MERGE")
         path = self.parse_pattern_path()
+        merge_pos = (t.line, t.col)
         on_create: list[ast.SetItem] = []
         on_match: list[ast.SetItem] = []
         while self.at_kw("ON"):
@@ -447,7 +454,9 @@ class Parser:
             self.advance()
             set_clause = self.parse_set()
             (on_create if which == "CREATE" else on_match).extend(set_clause.items)
-        return ast.Merge(path=path, on_create=on_create, on_match=on_match)
+        return ast.Merge(
+            path=path, on_create=on_create, on_match=on_match, pos=merge_pos
+        )
 
     def parse_set(self) -> ast.SetClause:
         self.expect_kw("SET")
@@ -482,11 +491,15 @@ class Parser:
 
     def parse_expr_no_eq(self) -> ast.Expr:
         """A property/variable expression for SET targets (stops before =)."""
+        t = self.peek()
         name = self.expect_ident()
-        expr: ast.Expr = ast.Var(name)
+        expr: ast.Expr = ast.Var(name, pos=(t.line, t.col))
         while self.at_op("."):
             self.advance()
-            expr = ast.Prop(base=expr, key=self.expect_ident())
+            tk = self.peek()
+            expr = ast.Prop(
+                base=expr, key=self.expect_ident(), pos=(tk.line, tk.col)
+            )
         return expr
 
     def parse_remove(self) -> ast.Remove:
@@ -804,12 +817,13 @@ class Parser:
                     # FuncCall with a leading-dot name and the base as the
                     # first argument (var bases take the dotted-name path
                     # in parse_atom)
-                    call = self.parse_func_call(name)
+                    call = self.parse_func_call(name, pos=(t.line, t.col))
                     expr = ast.FuncCall(
-                        name="." + call.name, args=[expr, *call.args]
+                        name="." + call.name, args=[expr, *call.args],
+                        pos=call.pos,
                     )
                 else:
-                    expr = ast.Prop(base=expr, key=name)
+                    expr = ast.Prop(base=expr, key=name, pos=(t.line, t.col))
             elif self.at_op("["):
                 self.advance()
                 start = None
@@ -884,24 +898,28 @@ class Parser:
             return ast.FuncCall(name="count", args=[ast.Star()])
         # function call (possibly dotted) vs variable
         if self.at_op("(", offset=1):
+            t = self.peek()
             name = self.expect_ident()
-            return self.parse_func_call(name)
+            return self.parse_func_call(name, pos=(t.line, t.col))
         if self.at_op(".", offset=1):
             # dotted function name like duration.between( — only if the full
             # dotted chain is followed by '('
             start = self.save()
+            t0 = self.peek()
             parts = [self.expect_ident()]
             while self.at_op(".") and self.peek(1).type == "ident":
                 self.advance()
                 parts.append(self.expect_ident())
             if self.at_op("(") and len(parts) > 1:
-                return self.parse_func_call(".".join(parts))
+                return self.parse_func_call(
+                    ".".join(parts), pos=(t0.line, t0.col)
+                )
             self.restore(start)
         t = self.peek()
         name = self.expect_ident()
         return ast.Var(name, pos=(t.line, t.col))
 
-    def parse_func_call(self, name: str) -> ast.FuncCall:
+    def parse_func_call(self, name: str, pos=None) -> ast.FuncCall:
         self.expect_op("(")
         distinct = False
         if self.at_kw("DISTINCT"):
@@ -914,7 +932,9 @@ class Parser:
                 self.advance()
                 args.append(self.parse_expr())
         self.expect_op(")")
-        return ast.FuncCall(name=name.lower(), args=args, distinct=distinct)
+        return ast.FuncCall(
+            name=name.lower(), args=args, distinct=distinct, pos=pos
+        )
 
     def parse_case(self) -> ast.CaseExpr:
         self.expect_kw("CASE")

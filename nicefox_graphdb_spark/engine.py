@@ -282,11 +282,18 @@ class CypherEngine(ClientOps):
                 "error": {"message": e.message, "line": e.line, "column": e.col},
             }
         except Exception as e:  # noqa: BLE001 — envelope, like the reference
+            # compile/runtime errors carry structured positions too (r10,
+            # VERDICT r9 #6) — same {message, line, column} shape as parse
+            # errors whenever the raise site knew the offending AST node
+            err = {"message": str(e)}
+            line, col = getattr(e, "line", None), getattr(e, "col", None)
+            if line is not None:
+                err["line"], err["column"] = line, col
             return {
                 "success": False,
                 "data": [],
                 "meta": {"count": 0, "time_ms": int((time.time() - t0) * 1000)},
-                "error": {"message": str(e)},
+                "error": err,
             }
         return {
             "success": True,

@@ -105,6 +105,73 @@ def main() -> None:
         results[name] = row
         print(name, row, flush=True)
 
+    # -- decomposed runs (r10, VERDICT r9 #3/#4) ---------------------------
+    # q_decontaminate's headline x10 grows BOTH sides (train and benchmark
+    # slice) 10x, i.e. a 100x join-input product. Pin the bench side to the
+    # sf0.1 slice and scale only the train side to isolate engine scaling.
+    from pyspark.sql import functions as SF
+
+    from nicefox_graphdb_spark.operators import dedup as dd
+    from nicefox_graphdb_spark.operators import pipeline as pl
+    from nicefox_graphdb_spark.operators import text as tx
+
+    fixed_bench = (
+        spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+        .where(SF.col("doc_id") % 47 == 0)
+    )
+    row = {}
+    for tag, sf in (("base", BASE_SF), ("x10", SCALE_SF)):
+        train = spark.read.parquet(os.path.join(sf, "documents.parquet")).where(
+            SF.col("doc_id") % 47 != 0
+        )
+        t0 = time.monotonic()
+        n = pl.decontaminate(
+            train, fixed_bench, "doc_id", dd.word_shingles(SF.col("text"), 3)
+        ).count()
+        row[tag] = round(time.monotonic() - t0, 3)
+        row[f"{tag}_rows"] = n
+    row["ratio"] = round(row["x10"] / row["base"], 2)
+    row["ratio_per_10x_output"] = row["ratio"]
+    row["note"] = (
+        "train side x10, benchmark side PINNED to the sf0.1 slice — "
+        "isolates train-side scaling from the 100x input-product growth "
+        "of the headline q_decontaminate x10 run"
+    )
+    results["q_decontaminate_fixed_bench"] = row
+    print("q_decontaminate_fixed_bench", row, flush=True)
+
+    # q_pack_chunks phase decomposition: token-count scan, the range
+    # repartition (sampling pass + shuffle), and the full two-phase prefix
+    # sum — names the dominant stage behind the headline ratio.
+    phases: dict = {}
+    for tag, sf in (("base", BASE_SF), ("x10", SCALE_SF)):
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", tx.token_count(SF.col("text")).alias("tc")
+        )
+        t0 = time.monotonic()
+        docs.count()
+        t_scan = time.monotonic() - t0
+        t0 = time.monotonic()
+        docs.repartitionByRange(32, SF.col("doc_id")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_range = time.monotonic() - t0
+        t0 = time.monotonic()
+        pl.pack_chunks(docs, "doc_id", "tc", window=512).count()
+        t_full = time.monotonic() - t0
+        phases[tag] = {
+            "token_scan": round(t_scan, 3),
+            "range_repartition": round(t_range, 3),
+            "full_pack": round(t_full, 3),
+        }
+    phases["ratio"] = {
+        k: round(phases["x10"][k] / phases["base"][k], 2)
+        for k in phases["base"]
+        if phases["base"][k]
+    }
+    results["q_pack_chunks_phases"] = phases
+    print("q_pack_chunks_phases", phases, flush=True)
+
     # write path: 1k rows vs 10k rows through the same durable-store ops
     row = {}
     for tag, n in (("base", 1000), ("x10", 10000)):
@@ -123,9 +190,15 @@ def main() -> None:
         "scale_sf_dir": SCALE_SF,
         "scale_factor": 10,
         "queries": results,
-        "max_ratio": max(r["ratio"] for r in results.values()),
+        "max_ratio": max(
+            r["ratio"]
+            for r in results.values()
+            if isinstance(r.get("ratio"), (int, float))
+        ),
         "max_ratio_per_10x_output": max(
-            r["ratio_per_10x_output"] for r in results.values()
+            r["ratio_per_10x_output"]
+            for r in results.values()
+            if isinstance(r.get("ratio_per_10x_output"), (int, float))
         ),
     }
     path = os.path.join(REPO, f"BENCH_scale_r{ROUND}.json")

@@ -16,6 +16,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = int(os.environ.get("NICEFOX_VARIANCE_RUNS", "3"))
 
+
+def _cpu_sample():
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:]]
+
+
+_CPU_T0 = _cpu_sample()
+
 runs = []
 for i in range(RUNS):
     print(f"[variance] run {i + 1}/{RUNS}", file=sys.stderr, flush=True)
@@ -47,7 +55,16 @@ result = {
     "iters": runs[0].get("iters"),
     "per_query": per_query,
 }
-path = os.path.join(REPO, "BENCH_variance_r09.json")
+# steal/idle measured over the WHOLE run window (sampled at import time
+# below vs here): a re-anchor is only meaningful when steal is low
+# (VERDICT r9 #2 asks for it recorded)
+_b = _cpu_sample()
+_d = [y - x for x, y in zip(_CPU_T0, _b)]
+result["steal_pct"] = round(100.0 * _d[7] / max(sum(_d), 1), 2)
+result["idle_pct"] = round(100.0 * _d[3] / max(sum(_d), 1), 2)
+
+_round = sys.argv[1] if len(sys.argv) > 1 else "09"
+path = os.path.join(REPO, f"BENCH_variance_r{_round}.json")
 with open(path, "w") as f:
     json.dump(result, f, indent=2, sort_keys=True)
 print(json.dumps({"total_median": result["total_median"],

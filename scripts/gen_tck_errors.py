@@ -265,6 +265,77 @@ ok("range() positive step legal",
    "RETURN range(1, 5, 2) AS r", ["r"], [{"r": "[1, 3, 5]"}])
 
 
+# -- K. Structured error positions (r10, VERDICT r9 #6) --------------------
+# The reference's QueryResponse carries {message, line, column} on ALL
+# errors (src/types.ts:55-68); these scenarios pin the top runtime/semantic
+# errors' positions — computed from the query text by locating the token
+# the engine anchors each error to (function name, $param, variable,
+# MERGE/DELETE keyword). The TCK runner asserts the raised exception's
+# .line/.col attributes, the same fields engine.query_response surfaces.
+
+
+def err_at(title, query, token, setup=None, params=None, occurrence=1):
+    idx = -1
+    for _ in range(occurrence):
+        idx = query.find(token, idx + 1)
+    assert idx >= 0, f"{title}: token {token!r} not in query"
+    line = query.count("\n", 0, idx) + 1
+    col = idx - (query.rfind("\n", 0, idx) + 1) + 1
+    CASES.append((title, setup, query, params, ("error_at", line, col)))
+
+
+err_at("pos: unknown function", "RETURN frobnicate(1) AS v", "frobnicate")
+err_at("pos: unknown function in where",
+       "MATCH (n:EA) WHERE frob(n.k) RETURN n.k AS k", "frob",
+       setup=SETUP_SMALL)
+err_at("pos: type() on a node", "MATCH (n:EA) RETURN type(n) AS t", "type",
+       setup=SETUP_SMALL)
+err_at("pos: nodes() on a node", "MATCH (n:EA) RETURN nodes(n) AS x",
+       "nodes", setup=SETUP_SMALL)
+err_at("pos: relationships() on a rel",
+       "MATCH ()-[r:ER]->() RETURN relationships(r) AS x", "relationships",
+       setup=SETUP_REL)
+err_at("pos: labels() non-variable", "RETURN labels(1) AS l", "labels")
+err_at("pos: id() non-variable", "RETURN id(1) AS i", "id")
+err_at("pos: range() zero step", "RETURN range(1, 10, 0) AS r", "range")
+err_at("pos: split() non-string delimiter",
+       "RETURN split('a,b', 1) AS s", "split")
+err_at("pos: duration() bad iso", "RETURN duration('P1X') AS d", "duration")
+err_at("pos: unknown temporal accessor",
+       "RETURN date('2020-01-02').century AS c", "century")
+err_at("pos: unknown duration accessor",
+       "RETURN duration('P1D').fortnights AS f", "fortnights")
+err_at("pos: timezone must be literal",
+       "RETURN datetime({year: 2020, timezone: 5}) AS d", "datetime")
+err_at("pos: missing parameter", "RETURN $nope AS v", "$nope")
+err_at("pos: undefined variable in return", "RETURN zz AS v", "zz")
+err_at("pos: undefined variable prop in return",
+       "MATCH (n:EA) RETURN zz.k AS k", "zz", setup=SETUP_SMALL)
+err_at("pos: undefined variable in where",
+       "MATCH (n:EA) WHERE zz.k = 1 RETURN n.k AS k", "zz",
+       setup=SETUP_SMALL)
+err_at("pos: undefined variable in delete",
+       "MATCH (n:EA) DELETE zz", "zz", setup=SETUP_SMALL)
+err_at("pos: merge node null prop", "MERGE (n:EX {p: null})", "MERGE")
+err_at("pos: merge node null param", "MERGE (n:EX {p: $p})", "MERGE",
+       params={"p": None})
+err_at("pos: merge rel null prop",
+       "MATCH (a:EA), (b:EB) MERGE (a)-[r:ER {w: null}]->(b)", "MERGE",
+       setup=SETUP_SMALL)
+err_at("pos: merge second line locates clause",
+       "MATCH (a:EA)\nMERGE (n:EX {p: null})", "MERGE", setup=SETUP_SMALL)
+err_at("pos: plain delete with relationships",
+       "MATCH (a:EA) DELETE a", "DELETE", setup=SETUP_REL)
+err_at("pos: detach keyword locates delete",
+       "MATCH (a:EA)\nDELETE a", "DELETE", setup=SETUP_REL)
+err_at("pos: limit negative param",
+       "MATCH (n:EA) RETURN n.k AS k LIMIT $c", "$c", setup=SETUP_SMALL,
+       params={"c": -2})
+err_at("pos: skip string param",
+       "MATCH (n:EA) RETURN n.k AS k SKIP $c", "$c", setup=SETUP_SMALL,
+       params={"c": "x"})
+
+
 def emit() -> str:
     lines = [
         "Feature: Error-semantics parity matrix — invalid queries error, "
@@ -288,12 +359,18 @@ def emit() -> str:
                 lines.append(f"      | {k} | {_param_literal(v)} |")
         lines.append("    When executing query:")
         lines.append('      """')
-        lines.append(f"      {query}")
+        for qline in query.split("\n"):
+            lines.append(f"      {qline}")
         lines.append('      """')
         if expect == "syntax":
             lines.append("    Then a SyntaxError should be raised")
         elif expect == "error":
             lines.append("    Then an error should be raised")
+        elif isinstance(expect, tuple) and expect[0] == "error_at":
+            lines.append(
+                f"    Then an error should be raised at line {expect[1]} "
+                f"column {expect[2]}"
+            )
         else:
             columns, rows = expect
             if not rows:

@@ -21,6 +21,7 @@ Supported steps (the subset the scenario corpus uses):
     Then the result should be empty
     Then a SyntaxError should be raised
     Then an error should be raised
+    Then an error should be raised at line L column C
     And no side effects / And the side effects should be: (recorded, unchecked)
 
 Expected-value cells use the TCK literal grammar: null, booleans, integers,
@@ -43,9 +44,11 @@ class Scenario:
     params: dict = field(default_factory=dict)
     query: str = ""
     # one of: rows_any_order / rows_in_order / empty / syntax_error / error
+    # / error_at (error with an asserted structured (line, col) position)
     expect_kind: str = "rows_any_order"
     columns: list[str] = field(default_factory=list)
     rows: list[dict] = field(default_factory=list)
+    error_pos: tuple | None = None  # for error_at
 
     @property
     def id(self) -> str:
@@ -197,10 +200,15 @@ def parse_feature(text: str, feature_name: str) -> list[Scenario]:
 
     def read_docstring(i: int) -> tuple[str, int]:
         assert lines[i].strip() == '"""', f"expected docstring at line {i+1}"
+        # standard Gherkin: indentation relative to the opening ``\"\"\"``
+        # is stripped — position-asserting steps (error_at) then address
+        # the query's own 1-based (line, col) coordinates
+        indent = len(lines[i]) - len(lines[i].lstrip())
         i += 1
         body = []
         while lines[i].strip() != '"""':
-            body.append(lines[i])
+            ln = lines[i]
+            body.append(ln[indent:] if ln[:indent].strip() == "" else ln.lstrip())
             i += 1
         return "\n".join(body), i + 1
 
@@ -261,6 +269,16 @@ def parse_feature(text: str, feature_name: str) -> list[Scenario]:
             continue
         if line.startswith("Then a SyntaxError should be raised"):
             cur.expect_kind = "syntax_error"
+            continue
+        if line.startswith("Then an error should be raised at line "):
+            m = re.match(
+                r"Then an error should be raised at line (\d+) column (\d+)",
+                line,
+            )
+            if not m:
+                raise ValueError(f"{feature_name}: bad position step {line!r}")
+            cur.expect_kind = "error_at"
+            cur.error_pos = (int(m.group(1)), int(m.group(2)))
             continue
         if line.startswith("Then an error should be raised"):
             cur.expect_kind = "error"

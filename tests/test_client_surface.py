@@ -24,6 +24,24 @@ def test_query_response_syntax_error_line_col(engine):
     assert "column" in resp["error"]
 
 
+def test_query_response_runtime_error_positions(engine):
+    """Compile/runtime errors carry {message, line, column} like parse
+    errors (r10, VERDICT r9 #6; reference src/types.ts:55-68)."""
+    # semantic: unknown function, located at the call site
+    resp = engine.query_response("RETURN frobnicate(1) AS v")
+    assert resp["success"] is False
+    assert resp["error"]["line"] == 1 and resp["error"]["column"] == 8
+    assert "unknown function" in resp["error"]["message"]
+    # second line locates correctly
+    resp = engine.query_response("MATCH (n:Nation)\nRETURN type(n) AS t")
+    assert resp["error"]["line"] == 2 and resp["error"]["column"] == 8
+    # errors with no known AST anchor omit the fields rather than lying
+    resp = engine.query_response(
+        "MATCH (n:Nation) RETURN n.name AS a, n.name AS a"
+    )
+    assert resp["success"] is False and "message" in resp["error"]
+
+
 def test_rand_banned_inside_aggregates(engine):
     with pytest.raises(CypherCompileError, match="non-deterministic"):
         engine.query("MATCH (n:Nation) RETURN collect(rand()) AS xs")

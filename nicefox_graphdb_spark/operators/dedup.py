@@ -70,6 +70,7 @@ def jaccard_pairs(
     shingles_col: Column,
     threshold: float = 0.8,
     max_shingle_freq: int | None = 1000,
+    broadcast_verify_rows: int = 200_000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
@@ -119,12 +120,20 @@ def jaccard_pairs(
     # collision-safe by construction (a collision can only ADD a
     # candidate); the verify intersection is exact up to 64-bit xxhash
     # collisions within a pair (~|sh|²/2⁶⁴ ≈ 1e-15 per pair).
+    from pyspark.sql import Observation
+
+    obs = Observation()
     base = (
         base.withColumn("sz", F.size("sh"))
         .withColumn("hsh", F.transform("sh", lambda s: F.xxhash64(s)))
         .drop("sh")
+        # row count rides the checkpoint job (gates the verify-join
+        # strategy below; a checkpointed frame's plan stats are MaxValue,
+        # so AQE can't see how small this side really is)
+        .observe(obs, F.count(F.lit(1)).alias("__n"))
         .localCheckpoint(eager=True)
     )
+    n_base = obs.get["__n"]
     size_ok = (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")) & (
         F.col("sz_b") * F.lit(threshold) <= F.col("sz_a")
     )
@@ -194,6 +203,17 @@ def jaccard_pairs(
     full_b = base.select(
         F.col("id").alias("id_b"), F.col("hsh").alias("h_b"), F.col("sz").alias("zb")
     )
+    if n_base <= broadcast_verify_rows:
+        # low thresholds generate candidates >> corpus rows (measured 495k
+        # candidates for 5k docs at t=0.2). AQE does rescue this join at
+        # runtime (SMJ→BHJ from actual shuffle sizes — interleaved A/B at
+        # sf0.1 reads perf-neutral), but only AFTER planning against the
+        # checkpoint's MaxValue stats; the explicit row-gated hint encodes
+        # the intended plan up front — candidates never write shuffle
+        # files for the re-attach — and stays robust if AQE's conversion
+        # thresholds or stats change. Above the gate (corpus scale) the
+        # shuffle join is the right plan.
+        full_a, full_b = F.broadcast(full_a), F.broadcast(full_b)
     verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
     inter = F.size(F.array_intersect(F.col("h_a"), F.col("h_b")))
     union = F.col("za") + F.col("zb") - inter
@@ -224,6 +244,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    broadcast_verify_rows: int = 200_000,
 ) -> DataFrame:
     """MinHash candidates via banding, verified with exact Jaccard.
 
@@ -234,6 +255,9 @@ def minhash_lsh_pairs(
     # materialize shingles once, THEN derive the k min-hashes from the
     # column reference — otherwise the shingle expression is recomputed k
     # times per row (no CSE across lambda boundaries)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     base = (
         df.select(F.col(id_col).alias("id"), shingles_col.alias("sh"))
         .select("id", "sh", minhash_signature(F.col("sh"), k).alias("sig"))
@@ -246,7 +270,15 @@ def minhash_lsh_pairs(
             F.size("sh").alias("sz"),
             F.transform("sh", lambda s: F.xxhash64(s)).alias("hsh"),
         )
+        # base feeds THREE consumers (banding + both verify re-attach
+        # sides); without a lineage cut each re-runs the shingling (column
+        # pruning drops the k min-hash folds from the re-attach branches,
+        # but the tokenizer+slice work repeats). The row count rides the
+        # same job and gates the verify-join strategy (see jaccard_pairs).
+        .observe(obs, F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
     )
+    n_base = obs.get["__n"]
     # band (id, band, bucket) ONLY — the shingle arrays must not ride
     # through the bands-x explode, the bucket-join fan-out, or the pair
     # dedup (at corpus scale that's a bands-fold payload amplification
@@ -284,6 +316,10 @@ def minhash_lsh_pairs(
     full_b = base.select(
         F.col("id").alias("id_b"), F.col("hsh").alias("h_b"), F.col("sz").alias("zb")
     )
+    if n_base <= broadcast_verify_rows:
+        # map-side re-attach of the shingle arrays (see jaccard_pairs —
+        # checkpointed plan stats are MaxValue, AQE can't pick this alone)
+        full_a, full_b = F.broadcast(full_a), F.broadcast(full_b)
     verified = cands.join(full_a, on="id_a").join(full_b, on="id_b")
     inter = F.size(F.array_intersect(F.col("h_a"), F.col("h_b")))
     union = F.col("za") + F.col("zb") - inter

@@ -591,8 +591,13 @@ def _p_sig_dedup(spark, sf_dir):
         "id_b",
         F.round(F.col("jaccard"), 6).cast("double").alias("score"),
     )
+    # max_hamming=3 on a 64-bit signature is the published web-scale
+    # near-dup operating point (Manku et al., WWW'07) AND the bound the
+    # 4x16-bit banding provably covers (pigeonhole) — at this setting the
+    # differential oracle asserts exact two-sided set equality instead of
+    # a partial-recall bar
     sh = dd.simhash_pairs(
-        docs, "doc_id", tx.tokens(F.col("text")), max_hamming=8
+        docs, "doc_id", tx.tokens(F.col("text")), max_hamming=3
     ).select(
         F.lit("simhash").alias("method"),
         "id_a",

@@ -11,10 +11,12 @@ gives each an INDEPENDENT ground truth instead of the rows-only check:
   recall >= 0.9.
 * q_sig_dedup / simhash family — truth = brute-force Hamming over 64-bit
   SimHash signatures recomputed here in pure python + numpy (including a
-  from-spec XXH64; nothing imported from the package under test). Asserts
-  precision == 1.0, recall == 1.0 on the pigeonhole-guaranteed Hamming<=3
-  subset (4x16-bit banding), and reports the (inherently partial) recall on
-  the 4..max_hamming tail.
+  from-spec XXH64; nothing imported from the package under test). The gate
+  runs at max_hamming=3 (the published web-scale operating point, Manku et
+  al. WWW'07), which 4x16-bit banding provably covers — the check is exact
+  TWO-SIDED set equality against brute force (precision AND completeness);
+  above 3 it degrades to the pigeonhole-guaranteed subset plus a reported
+  tail recall.
 * q_ann_search / lsh_pair family — truth = exact cosine pairs from a numpy
   matmul over the raw parquet. Asserts precision == 1.0 (score equals the
   exact cosine) and recall >= 0.8.
@@ -163,7 +165,7 @@ _EXACT_JACCARD_SQL = """
 """
 
 
-def diff_sig_dedup(rows, con, sf_dir, threshold=0.2, max_hamming=8,
+def diff_sig_dedup(rows, con, sf_dir, threshold=0.2, max_hamming=3,
                    minhash_recall_bar=0.9):
     """Differential check for q_sig_dedup. Returns (ok, details)."""
     details = []
@@ -215,18 +217,34 @@ def diff_sig_dedup(rows, con, sf_dir, threshold=0.2, max_hamming=8,
         ok = False
         details.append(f"simhash precision FAIL: {len(bad)} pairs with wrong"
                        f"/bogus hamming, e.g. {bad[:3]}")
-    guaranteed = {k for k, h in truth_h.items() if h <= 3}
-    missed = guaranteed - set(sh)
-    if missed:
-        ok = False
-        details.append(f"simhash pigeonhole FAIL: {len(missed)} hamming<=3 "
-                       f"pairs missed (4x16-bit banding guarantees them)")
-    total_recall = (len(set(sh) & set(truth_h)) / len(truth_h)
-                    if truth_h else 1.0)
-    details.append(
-        f"simhash: {len(guaranteed)} guaranteed (<=3) pairs all found; "
-        f"tail recall {total_recall:.4f} over {len(truth_h)} (<= "
-        f"{max_hamming}) pairs — partial by design (pigeonhole bound)")
+    if max_hamming <= 3:
+        # 4x16-bit banding provably covers hamming<=3 (pigeonhole), so at
+        # the gate's operating point the check is exact TWO-SIDED set
+        # equality against the brute-force truth
+        missed = set(truth_h) - set(sh)
+        if missed:
+            ok = False
+            details.append(
+                f"simhash completeness FAIL: {len(missed)} hamming<="
+                f"{max_hamming} pairs missed (banding guarantees them)")
+        else:
+            details.append(
+                f"simhash: EXACT set equality — all {len(truth_h)} "
+                f"hamming<={max_hamming} pairs found, none bogus")
+    else:
+        guaranteed = {k for k, h in truth_h.items() if h <= 3}
+        missed = guaranteed - set(sh)
+        if missed:
+            ok = False
+            details.append(
+                f"simhash pigeonhole FAIL: {len(missed)} hamming<=3 "
+                f"pairs missed (4x16-bit banding guarantees them)")
+        total_recall = (len(set(sh) & set(truth_h)) / len(truth_h)
+                        if truth_h else 1.0)
+        details.append(
+            f"simhash: {len(guaranteed)} guaranteed (<=3) pairs all found; "
+            f"tail recall {total_recall:.4f} over {len(truth_h)} (<= "
+            f"{max_hamming}) pairs — partial by design (pigeonhole bound)")
     return ok, details
 
 

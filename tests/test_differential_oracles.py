@@ -95,6 +95,48 @@ def test_tokens_mirror_matches_spark(spark):
         assert tokens_py(r["s"]) == r["t"], repr(r["s"])
 
 
+def _gate_rows_and_con(spark, name):
+    duckdb = pytest.importorskip("duckdb")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __spark_entry__ as entrymod
+
+    sf_dir = os.environ.get("NICEFOX_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rows = [
+        r.asDict(recursive=True)
+        for r in entrymod.queries()[name](spark, sf_dir).collect()
+    ]
+    return rows, con, sf_dir
+
+
+def test_diff_sig_dedup_passes_on_gate_output(spark):
+    """The q_sig_dedup differential oracle (minhash precision/recall vs
+    DuckDB exact Jaccard + simhash exact set equality at hamming<=3)
+    passes end-to-end on the real gate output."""
+    from differential_oracles import diff_sig_dedup
+
+    rows, con, sf = _gate_rows_and_con(spark, "q_sig_dedup")
+    ok, details = diff_sig_dedup(rows, con, sf)
+    assert ok, details
+    assert any("EXACT set equality" in d for d in details), details
+
+
+def test_diff_ann_search_passes_on_gate_output(spark):
+    """The q_ann_search differential oracle (LSH precision 1.0 + recall
+    >= 0.8 vs numpy exact cosine; IVF recall + score parity) passes
+    end-to-end on the real gate output."""
+    from differential_oracles import diff_ann_search
+
+    rows, con, sf = _gate_rows_and_con(spark, "q_ann_search")
+    ok, details = diff_ann_search(rows, con, sf)
+    assert ok, details
+
+
 def test_pagerank_duckdb_oracle_matches_gate(spark):
     """The unrolled-CTE DuckDB oracle reproduces the Spark power iteration
     bit-for-bit after the shared round-6 (sf0.001; the sf0.01 run is the

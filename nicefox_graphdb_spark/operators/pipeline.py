@@ -158,11 +158,20 @@ def decontaminate(
     est = _plan_size_bytes(bench_df)
     if est is not None and est <= broadcast_threshold_bytes:
         bench = F.broadcast(bench)
+    # Two DISTINCT aggregates over different columns would make Catalyst plan
+    # an Expand (one replica of every joined posting row per distinct column)
+    # ahead of the aggregation shuffle — doubling the full-volume postings
+    # stream on what is already the widest point of the plan. collect_set
+    # computes the same distinct counts with map-side partial sets
+    # (ObjectHashAggregate): one shuffle on _tid, shuffle payload already
+    # deduped per map partition, no Expand. Set sizes are bounded by a
+    # document's own shingle count, so per-group state stays small at corpus
+    # scale.
     return (
         train.join(bench, "_s")
         .groupBy(F.col("_tid").alias(id_col))
         .agg(
-            F.countDistinct("_s").alias("hits"),
-            F.countDistinct("_bid").alias("n_bench_docs"),
+            F.size(F.collect_set("_s")).cast("long").alias("hits"),
+            F.size(F.collect_set("_bid")).cast("long").alias("n_bench_docs"),
         )
     )

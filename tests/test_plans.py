@@ -264,3 +264,37 @@ def test_plain_delete_violation_and_detach_still_correct(spark):
     assert eng.query("MATCH (n) RETURN count(*) AS c") == [{"c": 3}]
     eng.query("MATCH (a:A {k: 1}) DETACH DELETE a")
     assert eng.query("MATCH (n) RETURN count(*) AS c") == [{"c": 2}]
+
+
+def test_decontaminate_plans_no_expand(spark):
+    # Dual countDistinct over different columns plans an Expand that doubles
+    # every joined posting row through the aggregation shuffle (VERDICT r10
+    # #1). decontaminate must instead aggregate via map-side partial sets:
+    # one ObjectHashAggregate pair, zero Expand nodes.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from nicefox_graphdb_spark.operators import dedup as dd
+    from nicefox_graphdb_spark.operators import pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "a b c x")],
+        "doc_id long, text string",
+    )
+    out = pl.decontaminate(
+        docs.where(F.col("doc_id") != 3),
+        docs.where(F.col("doc_id") == 3),
+        "doc_id",
+        dd.word_shingles(F.col("text"), 2),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Expand" not in plan
+    assert "ObjectHashAggregate" in plan
+    # semantics unchanged: doc 1 shares the 'a b'/'b c' 2-shingles with doc 3
+    rows = {r["doc_id"]: (r["hits"], r["n_bench_docs"]) for r in out.collect()}
+    assert rows == {1: (2, 1)}

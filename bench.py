@@ -69,12 +69,72 @@ SLOW_CUTOFF_SEC = 1.0
 SLOW_ITERS = max(12, ITERS // 2)
 
 
+def _read_proc_stat() -> dict[str, int] | None:
+    """Aggregate cpu jiffies from /proc/stat (user nice system idle iowait
+    irq softirq steal). None on non-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        names = ["user", "nice", "system", "idle", "iowait", "irq",
+                 "softirq", "steal"]
+        return dict(zip(names, (int(x) for x in parts[1:9])))
+    except Exception:  # noqa: BLE001 — telemetry only, never fail the bench
+        return None
+
+
+def _disk_probe_mb_s(path: str, size_mb: int = 128) -> float | None:
+    """Sequential fsync'd write throughput near the bench's write surface.
+    ~1 s on a healthy disk; collapses visibly under I/O contention."""
+    import tempfile
+
+    try:
+        block = b"\0" * (1 << 20)
+        t0 = time.time()
+        with tempfile.NamedTemporaryFile(dir=path, delete=True) as f:
+            for _ in range(size_mb):
+                f.write(block)
+            f.flush()
+            os.fsync(f.fileno())
+        dt_ = time.time() - t0
+        return round(size_mb / dt_, 1) if dt_ > 0 else None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _host_block(stat0, stat1, disk_before, disk_after) -> dict:
+    """Self-annotating contention evidence (VERDICT r10 #2): the driver's
+    bench window repeatedly read high on a contended host and each round
+    burned effort re-litigating it. steal%/iowait% over the measured window
+    plus an fsync'd disk probe let any artifact carry its own evidence."""
+    host: dict = {
+        "cpus": os.cpu_count(),
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "disk_write_mb_s_before": disk_before,
+        "disk_write_mb_s_after": disk_after,
+    }
+    if stat0 and stat1:
+        delta = {k: stat1[k] - stat0[k] for k in stat0}
+        total = sum(delta.values()) or 1
+        host["steal_pct"] = round(100.0 * delta["steal"] / total, 3)
+        host["iowait_pct"] = round(100.0 * delta["iowait"] / total, 3)
+        host["busy_pct"] = round(
+            100.0 * (total - delta["idle"] - delta["iowait"]) / total, 1
+        )
+    return host
+
+
 def main():
     import __spark_entry__ as entrymod
     from nicefox_graphdb_spark import get_spark
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+
+    probe_dir = os.environ.get("TMPDIR", "/tmp")
+    disk_before = _disk_probe_mb_s(probe_dir)
+    stat0 = _read_proc_stat()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -98,6 +158,9 @@ def main():
         timings[name] = round(statistics.median(samples), 3)
         iters_used[name] = n
 
+    stat1 = _read_proc_stat()
+    disk_after = _disk_probe_mb_s(probe_dir)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -110,6 +173,7 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "iters": ITERS,
                 "iters_used": iters_used,
+                "host": _host_block(stat0, stat1, disk_before, disk_after),
             }
         )
     )

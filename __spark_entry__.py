@@ -543,8 +543,20 @@ def _p_dedup_exact(spark, sf_dir):
 
     from nicefox_graphdb_spark.operators import dedup as dd
 
-    docs = _tables(spark, sf_dir)["documents"]
-    groups = dd.exact_dup_groups(docs, "doc_id", "text")
+    docs = _tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    # The synthetic corpus has no natural exact duplicates, so the bare gate
+    # hash-matched an empty frame (VERDICT r10 "What's wrong" #4) — proving
+    # only the absence of false positives. Seed three deterministic
+    # duplicates (docs 1-3 re-appended with doc_id + 10_000_000, safely
+    # above any corpus id at every SF) so the gate exercises digest
+    # grouping, sorted id arrays, and counts on a non-empty answer. The
+    # DuckDB oracle mirrors the same UNION ALL.
+    seeded = docs.unionByName(
+        docs.where(F.col("doc_id").isin(1, 2, 3)).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+    )
+    groups = dd.exact_dup_groups(seeded, "doc_id", "text")
     # ids joined to a string: array cells aren't portable through every
     # client-side hasher (driver gate hashes pandas frames)
     return groups.select(
@@ -1412,12 +1424,17 @@ _ORACLE.update(
                    count(DISTINCT {_FP}) AS uniq_fingerprints
             FROM documents""",
         "q_dedup_exact": """
+            WITH seeded AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id IN (1, 2, 3))
             SELECT md5(text) AS digest, count(*) AS n,
                    array_to_string(
                        list_transform(list_sort(list(doc_id)),
                                       x -> CAST(x AS VARCHAR)),
                        '|') AS ids
-            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+            FROM seeded GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
         "q_ngram_jaccard": f"""
             WITH d AS (SELECT doc_id, {_SHINGLES3} AS sh FROM documents),
             sizes AS (SELECT doc_id, len(sh) AS sz FROM d),

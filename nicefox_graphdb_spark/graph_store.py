@@ -245,7 +245,9 @@ class MutableGraph:
         " (use DETACH DELETE)"
     )
 
-    def _validate_no_dangling(self, idcol: DataFrame) -> None:
+    def _validate_no_dangling(
+        self, idcol: DataFrame, n_rows: int | None = None
+    ) -> None:
         """Plain-DELETE constraint: no relationship may still reference a
         deleted node (reference raises inside its single transaction,
         src/executor.ts:10162). The probe is one pass:
@@ -262,15 +264,28 @@ class MutableGraph:
         time (measured: 4 AQE stage jobs and double MATCH work vs this
         probe's 2 jobs). The irreducible cost is ONE endpoint pass either
         way; this shape pays exactly that and nothing else."""
-        probe = self._dangling_probe(idcol)
+        probe = self._dangling_probe(idcol, n_rows)
         if probe is not None and not probe.isEmpty():
             raise CypherRuntimeError(self._DANGLING_ERR)
 
-    def _dangling_probe(self, idcol: DataFrame) -> DataFrame | None:
+    # Delete sets up to this many ids broadcast for the dangling probe and
+    # the per-table anti-joins; above it the planner's shuffle join stands
+    # (an 8 GB-broadcast-breaking plain DELETE must degrade, not OOM —
+    # ADVICE r10). Bare 16-char ids: 1M rows ≈ tens of MB broadcast.
+    BROADCAST_DELETE_ROWS = 1_000_000
+
+    def _dangling_probe(
+        self, idcol: DataFrame, n_rows: int | None = None
+    ) -> DataFrame | None:
         """The validation plan: endpoint rows referencing a to-be-deleted
         id (None when there are no edge tables). Split from the action so
         tests can pin the plan shape (broadcast build side, streamed
-        endpoints)."""
+        endpoints). The broadcast hint is row-gated like the dedup verify
+        joins: only when the measured delete-set count (``n_rows``, riding
+        the delete set's checkpoint job as an Observation) is known small;
+        unknown or large counts take the planner's join (checkpointed
+        frames report MaxValue stats, so that means a shuffle semi-join —
+        the correct corpus-scale shape)."""
         endpoint_parts = [
             et.df.select(F.col(side).alias("_id"))
             for et in self.catalog._edges
@@ -281,14 +296,31 @@ class MutableGraph:
         endpoints = endpoint_parts[0]
         for p in endpoint_parts[1:]:
             endpoints = endpoints.unionByName(p)
-        return endpoints.join(F.broadcast(idcol), on="_id", how="left_semi")
+        probe_ids = idcol
+        if n_rows is not None and n_rows <= self.BROADCAST_DELETE_ROWS:
+            probe_ids = F.broadcast(idcol)
+        return endpoints.join(probe_ids, on="_id", how="left_semi")
 
     def delete_nodes(self, ids: DataFrame, detach: bool = False) -> None:
-        idcol = ids.select(F.col(ids.columns[0]).alias("_id"))
+        from pyspark.sql import Observation
+
+        # Checkpoint the delete set once: the MATCH plan behind it executes
+        # exactly one job here instead of once per downstream consumer
+        # (dangling probe + every per-label anti-join), and the Observation
+        # rides that same job to give the probe's broadcast gate a measured
+        # row count for free.
+        obs = Observation()
+        idcol = (
+            ids.select(F.col(ids.columns[0]).alias("_id"))
+            .observe(obs, F.count(F.lit(1)).alias("__n"))
+            .localCheckpoint(eager=True)
+        )
+        n_rows = obs.get["__n"]
         if not detach:
             # one shuffle-free broadcast endpoint pass (r10, VERDICT r9 #5
-            # — see _validate_no_dangling for why the observe fold loses)
-            self._validate_no_dangling(idcol)
+            # — see _validate_no_dangling for why the observe fold loses),
+            # row-gated (ADVICE r10)
+            self._validate_no_dangling(idcol, n_rows)
         for label in list(self.catalog._nodes):
             base = self.catalog.node(label).df
             self.catalog.register_node(

@@ -215,19 +215,23 @@ def _mini_write_engine(spark):
 
 
 def test_plain_delete_job_budget(spark):
-    # round-10 (VERDICT r9 #5): a plain DELETE statement schedules no more
-    # jobs than r9's (3 here: broadcast build of the delete set, the
-    # endpoint probe, result materialization) and the probe plan must
-    # stream the endpoint union with NO shuffle — the observe-fold
-    # alternative was prototyped and measured WORSE (it re-executes the
-    # delete-set MATCH plan; see graph_store._validate_no_dangling).
+    # round-10 (VERDICT r9 #5) pinned 3 jobs; round-11 budgets 4: the
+    # delete set is now checkpointed once (job 1, with the Observation
+    # that row-gates the probe's broadcast riding it — ADVICE r10), so the
+    # MATCH+distinct plan executes exactly ONCE instead of once per
+    # consumer (the probe's broadcast build, job 2, and every per-label
+    # anti-join now read cached blocks). One more job, strictly less work
+    # than the r10 shape whenever the store has >= 1 label table. The
+    # probe still streams the endpoint union with NO shuffle — the
+    # observe-fold alternative re-executes the delete-set MATCH plan and
+    # was measured worse (see graph_store._validate_no_dangling).
     eng = _mini_write_engine(spark)
     n = _jobs_during(
         spark,
         lambda: eng.query("MATCH (a:A {k: 3}) DELETE a"),
         "plain-delete-budget",
     )
-    assert n <= 3, f"plain DELETE scheduled {n} jobs (budget 3)"
+    assert n <= 4, f"plain DELETE scheduled {n} jobs (budget 4)"
 
 
 def test_plain_delete_probe_is_broadcast_semi(spark):
@@ -240,8 +244,12 @@ def test_plain_delete_probe_is_broadcast_semi(spark):
     ids = eng.dataframe("MATCH (a:A {k: 3}) RETURN a").sparkSession.createDataFrame(
         [("n1",)], "_id string"
     )
-    probe = eng.store._dangling_probe(ids)
+    probe = eng.store._dangling_probe(ids, n_rows=1)
     assert probe is not None
+    # without a measured count the hint must NOT be applied (ADVICE r10:
+    # unconditional broadcast breaks on 8 GB-limit delete sets)
+    big = eng.store._dangling_probe(ids, n_rows=10_000_001)
+    assert "ResolvedHint" not in big._jdf.queryExecution().logical().toString()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         probe.explain("formatted")

@@ -1252,6 +1252,12 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
     union of per-user chains (in/out degree <= 1), so the only multi-term
     float sum is the dangling mass — differences ~1e-15, far inside the
     round-6 the gate applies on both sides.
+
+    LIMIT-boundary assumption (ADVICE r10): both sides take the top 20 by
+    (round-6 rank DESC, id) — an exact round-6 tie straddling rank 20/21
+    would resolve by the id tiebreak identically on both sides, so the cut
+    is deterministic; a tie in unrounded rank that rounds apart cannot
+    occur here (differences are ~1e-15 vs a 5e-7 rounding step).
     """
     one_minus_d = repr(1.0 - damping)
 

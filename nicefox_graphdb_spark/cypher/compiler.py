@@ -17,6 +17,7 @@ entire edge tables at compile time (see catalog.EdgeTable).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 from dataclasses import dataclass, replace
 
@@ -3667,7 +3668,24 @@ class CypherToSpark:
         return state
 
     def compile_delete(self, state: CompileState, d: ast.Delete) -> CompileState:
-        self._clause_pos = d.pos
+        with self._clause_at(d.pos):
+            return self._compile_delete(state, d)
+
+    @contextlib.contextmanager
+    def _clause_at(self, pos):
+        """Scope `_clause_pos` (the position runtime MERGE/DELETE errors
+        anchor to) to one clause: restored on exit so a later clause in a
+        multi-clause query can't inherit a stale earlier position (ADVICE
+        r10). Raise sites read it before the restore runs, so propagating
+        errors keep the right anchor."""
+        prev = getattr(self, "_clause_pos", None)
+        self._clause_pos = pos
+        try:
+            yield
+        finally:
+            self._clause_pos = prev
+
+    def _compile_delete(self, state: CompileState, d: ast.Delete) -> CompileState:
         df = state.require_df()
         for expr in d.exprs:
             if not isinstance(expr, ast.Var):
@@ -3709,8 +3727,11 @@ class CypherToSpark:
 
     def compile_merge(self, state: CompileState, m: ast.Merge) -> CompileState:
         # runtime MERGE-null / checkpoint errors locate the clause (r10,
-        # VERDICT r9 #6)
-        self._clause_pos = m.pos
+        # VERDICT r9 #6); scoped so multi-clause queries can't leak it
+        with self._clause_at(m.pos):
+            return self._compile_merge(state, m)
+
+    def _compile_merge(self, state: CompileState, m: ast.Merge) -> CompileState:
         state = self._ensure_df(state)
         elements = m.path.elements
         if any(

@@ -76,16 +76,6 @@ def _is_string(dtype: Optional[T.DataType]) -> bool:
     return isinstance(dtype, T.StringType)
 
 
-def _pos_sfx(pos_or_expr) -> str:
-    """' (line L, col C)' when the AST node carries a parse position —
-    semantic errors then locate the offending identifier like the
-    reference's structured parse errors (round-9, VERDICT r8 #8)."""
-    pos = getattr(pos_or_expr, "pos", pos_or_expr)
-    if isinstance(pos, tuple) and len(pos) == 2:
-        return f" (line {pos[0]}, col {pos[1]})"
-    return ""
-
-
 def widen_prop_dtype(a: T.DataType, b: T.DataType) -> T.DataType:
     """Union dtype for one property key bound by several entity-branch
     arms (coalesce(a, b).k / CASE arms / _branched_entity_cols): equal

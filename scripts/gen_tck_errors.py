@@ -326,7 +326,7 @@ err_at("pos: merge second line locates clause",
        "MATCH (a:EA)\nMERGE (n:EX {p: null})", "MERGE", setup=SETUP_SMALL)
 err_at("pos: plain delete with relationships",
        "MATCH (a:EA) DELETE a", "DELETE", setup=SETUP_REL)
-err_at("pos: detach keyword locates delete",
+err_at("pos: delete on second line locates clause",
        "MATCH (a:EA)\nDELETE a", "DELETE", setup=SETUP_REL)
 err_at("pos: limit negative param",
        "MATCH (n:EA) RETURN n.k AS k LIMIT $c", "$c", setup=SETUP_SMALL,

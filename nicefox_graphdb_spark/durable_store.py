@@ -267,19 +267,25 @@ class DurableTableStore:
 
     def checkpoint_with_buckets(
         self, keys: DataFrame, id_col: str = "_id"
-    ) -> tuple[DataFrame, list[int]]:
+    ) -> tuple[DataFrame, list[int], int]:
         """Materialize an update/delete row set ONCE (localCheckpoint) and
-        collect its distinct bucket ids on the SAME job via ``observe`` —
-        the pruning metadata rides the materialization instead of
-        re-executing the (often join-heavy) source plan once for the
-        bucket probe and again for every downstream read/rewrite."""
+        collect its distinct bucket ids AND row count on the SAME job via
+        ``observe`` — the pruning metadata rides the materialization
+        instead of re-executing the (often join-heavy) source plan once
+        for the bucket probe and again for every downstream read/rewrite.
+        The count row-gates the membership probes' broadcast hints (a
+        checkpointed frame reports MaxValue plan stats, so the planner
+        can't see how small the key set really is)."""
         from pyspark.sql import Observation
 
         obs = Observation()
         ck = keys.observe(
-            obs, F.collect_set(self.bucket_col(F.col(id_col))).alias("b")
+            obs,
+            F.collect_set(self.bucket_col(F.col(id_col))).alias("b"),
+            F.count(F.lit(1)).alias("n"),
         ).localCheckpoint(eager=True)
-        return ck, sorted(obs.get["b"])
+        got = obs.get
+        return ck, sorted(got["b"]), got["n"]
 
     def schema_of(self, key: str) -> T.StructType:
         return T.StructType.fromJson(self.manifest["tables"][key]["schema"])
@@ -765,7 +771,7 @@ class DurableGraph(MutableGraph):
     ) -> None:
         if not self.catalog.has_label(label):
             return
-        updates, touched = self.tables.checkpoint_with_buckets(updates)
+        updates, touched, _n = self.tables.checkpoint_with_buckets(updates)
         if touched:
             self._adopt_node(label)
             key = node_key(label)
@@ -787,12 +793,12 @@ class DurableGraph(MutableGraph):
         if not self.catalog.has_label(label):
             return
         idcol = ids.select(F.col(ids.columns[0]).alias("_id"))
-        idcol, touched = self.tables.checkpoint_with_buckets(idcol)
+        idcol, touched, n_ids = self.tables.checkpoint_with_buckets(idcol)
         if touched:
             self._adopt_node(label)
             key = node_key(label)
             keep = self.tables.read_table(key, touched).join(
-                idcol, on="_id", how="left_anti"
+                self._gated_keys(idcol, n_ids), on="_id", how="left_anti"
             )
             self.tables.replace_buckets(key, touched, keep)
             self._refresh_node(label)
@@ -802,14 +808,15 @@ class DurableGraph(MutableGraph):
         # checkpoint FIRST: the dangling probe, per-label membership
         # probes, anti-joins, and detach scans all reuse the materialized
         # id set instead of re-running its source plan per action
-        idcol, touched = self.tables.checkpoint_with_buckets(
+        idcol, touched, n_ids = self.tables.checkpoint_with_buckets(
             ids.select(F.col(ids.columns[0]).alias("_id"))
         )
         if not detach:
             # one shuffle-free broadcast endpoint pass against the frozen
             # ids (r10, VERDICT r9 #5 — see graph_store._validate_no_dangling
-            # for why this beats the observe-on-checkpoint fold here)
-            self._validate_no_dangling(idcol)
+            # for why this beats the observe-on-checkpoint fold here),
+            # row-gated on the count riding the checkpoint job (r11)
+            self._validate_no_dangling(idcol, n_ids)
         # same hash ring for every table → the deleted ids' buckets are the
         # only buckets that can contain them, in every label table
         labels = list(self.catalog._nodes)
@@ -821,14 +828,14 @@ class DurableGraph(MutableGraph):
                 # the membership probe job
                 len(labels) > 1
                 and self.catalog.node(label).df.select("_id")
-                .join(idcol, on="_id", how="left_semi")
+                .join(self._gated_keys(idcol, n_ids), on="_id", how="left_semi")
                 .isEmpty()
             ):
                 continue  # label holds none of the ids: no adopt, no rewrite
             self._adopt_node(label)
             key = node_key(label)
             keep = self.tables.read_table(key, touched).join(
-                idcol, on="_id", how="left_anti"
+                self._gated_keys(idcol, n_ids), on="_id", how="left_anti"
             )
             self.tables.replace_buckets(key, touched, keep)
             self._refresh_node(label)
@@ -837,14 +844,16 @@ class DurableGraph(MutableGraph):
                 et = self.catalog._edges[i]
                 # edges bucket by edge _id, endpoints are the predicate:
                 # one scan finds which buckets hold incident edges
+                src_keys = self._gated_keys(
+                    idcol.withColumnRenamed("_id", "_src"), n_ids
+                )
+                dst_keys = self._gated_keys(
+                    idcol.withColumnRenamed("_id", "_dst"), n_ids
+                )
                 incident = et.df.join(
-                    idcol.withColumnRenamed("_id", "_src"),
-                    on="_src", how="left_semi",
+                    src_keys, on="_src", how="left_semi"
                 ).unionByName(
-                    et.df.join(
-                        idcol.withColumnRenamed("_id", "_dst"),
-                        on="_dst", how="left_semi",
-                    )
+                    et.df.join(dst_keys, on="_dst", how="left_semi")
                 )
                 e_touched = self.tables.touched_buckets(incident)
                 if not e_touched:
@@ -852,14 +861,8 @@ class DurableGraph(MutableGraph):
                 key = self._adopt_edge(i)
                 kept = (
                     self.tables.read_table(key, e_touched)
-                    .join(
-                        idcol.withColumnRenamed("_id", "_src"),
-                        on="_src", how="left_anti",
-                    )
-                    .join(
-                        idcol.withColumnRenamed("_id", "_dst"),
-                        on="_dst", how="left_anti",
-                    )
+                    .join(src_keys, on="_src", how="left_anti")
+                    .join(dst_keys, on="_dst", how="left_anti")
                 )
                 self.tables.replace_buckets(key, e_touched, kept)
                 self._refresh_edge(et.type, et.src_label, et.dst_label)
@@ -884,12 +887,13 @@ class DurableGraph(MutableGraph):
     def update_edge_props(
         self, eids: DataFrame, updates: DataFrame, replace_all: bool = False
     ) -> None:
-        updates, touched = self.tables.checkpoint_with_buckets(updates)
+        updates, touched, n_upd = self.tables.checkpoint_with_buckets(updates)
         if touched:
             for i in range(len(self.catalog._edges)):
                 et = self.catalog._edges[i]
                 if et.df.select("_id").join(
-                    updates.select("_id"), on="_id", how="left_semi"
+                    self._gated_keys(updates.select("_id"), n_upd),
+                    on="_id", how="left_semi",
                 ).isEmpty():
                     continue  # no matching edge here: no adopt, no rewrite
                 key = self._adopt_edge(i)
@@ -904,19 +908,19 @@ class DurableGraph(MutableGraph):
         self._bump()
 
     def delete_edges(self, eids: DataFrame) -> None:
-        idcol, touched = self.tables.checkpoint_with_buckets(
+        idcol, touched, n_ids = self.tables.checkpoint_with_buckets(
             eids.select(F.col(eids.columns[0]).alias("_id"))
         )
         if touched:
             for i in range(len(self.catalog._edges)):
                 et = self.catalog._edges[i]
                 if et.df.select("_id").join(
-                    idcol, on="_id", how="left_semi"
+                    self._gated_keys(idcol, n_ids), on="_id", how="left_semi"
                 ).isEmpty():
                     continue
                 key = self._adopt_edge(i)
                 kept = self.tables.read_table(key, touched).join(
-                    idcol, on="_id", how="left_anti"
+                    self._gated_keys(idcol, n_ids), on="_id", how="left_anti"
                 )
                 self.tables.replace_buckets(key, touched, kept)
                 self._refresh_edge(et.type, et.src_label, et.dst_label)

@@ -296,10 +296,18 @@ class MutableGraph:
         endpoints = endpoint_parts[0]
         for p in endpoint_parts[1:]:
             endpoints = endpoints.unionByName(p)
-        probe_ids = idcol
+        return endpoints.join(
+            self._gated_keys(idcol, n_rows), on="_id", how="left_semi"
+        )
+
+    def _gated_keys(self, keys: DataFrame, n_rows: int | None) -> DataFrame:
+        """Row-gated broadcast hint for a materialized key set: hint only
+        when the measured count is known small (checkpointed frames report
+        MaxValue stats, so the planner would otherwise shuffle both sides);
+        unknown or large counts leave the planner's join standing."""
         if n_rows is not None and n_rows <= self.BROADCAST_DELETE_ROWS:
-            probe_ids = F.broadcast(idcol)
-        return endpoints.join(probe_ids, on="_id", how="left_semi")
+            return F.broadcast(keys)
+        return keys
 
     def delete_nodes(self, ids: DataFrame, detach: bool = False) -> None:
         from pyspark.sql import Observation

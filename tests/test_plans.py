@@ -306,3 +306,53 @@ def test_decontaminate_plans_no_expand(spark):
     # semantics unchanged: doc 1 shares the 'a b'/'b c' 2-shingles with doc 3
     rows = {r["doc_id"]: (r["hits"], r["n_bench_docs"]) for r in out.collect()}
     assert rows == {1: (2, 1)}
+
+
+def test_gated_keys_hint_is_row_gated(spark):
+    # ADVICE r10 symmetry: every durable membership/anti-join probe routes
+    # through GraphStore._gated_keys — hint only below the row gate, the
+    # planner's join above it (checkpointed key sets report MaxValue stats,
+    # so an unconditional hint risks the 8 GB broadcast limit).
+    from nicefox_graphdb_spark.catalog import GraphCatalog
+    from nicefox_graphdb_spark.graph_store import MutableGraph
+
+    store = MutableGraph(spark, GraphCatalog(spark))
+    keys = spark.range(3).selectExpr("cast(id as string) AS _id")
+    hinted = store._gated_keys(keys, 3)
+    unhinted_big = store._gated_keys(keys, store.BROADCAST_DELETE_ROWS + 1)
+    unhinted_unknown = store._gated_keys(keys, None)
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count("Hint")
+
+    assert hints(hinted) == 1
+    assert hints(unhinted_big) == 0 and hints(unhinted_unknown) == 0
+
+
+def test_durable_statement_job_budgets(spark, tmp_path):
+    # Durable MERGE/DELETE statements get the same job-budget pinning as
+    # plain DELETE (VERDICT r10 #5): the checkpoint-with-buckets job
+    # carries the probe gate count, membership probes broadcast the frozen
+    # key set, and the atomic commit's write jobs stay bounded. Budgets are
+    # measured values + 2 headroom for AQE stage-count jitter.
+    from nicefox_graphdb_spark import CypherEngine, GraphCatalog
+
+    eng = CypherEngine(
+        spark, GraphCatalog(spark), data_path=str(tmp_path / "g")
+    )
+    eng.query("CREATE (a:U {n: 'a'})-[:R]->(b:V {n: 'b'})")
+    eng.query("CREATE (:U {n: 'c'})")
+    budgets = {
+        "durable-plain-delete": (
+            lambda: eng.query("MATCH (n:U {n: 'c'}) DELETE n"), 14),
+        "durable-detach-delete": (
+            lambda: eng.query("MATCH (n:U {n: 'a'}) DETACH DELETE n"), 18),
+        "durable-merge-onmatch": (
+            lambda: eng.query("MERGE (v:V {n: 'b'}) ON MATCH SET v.seen = 1"),
+            14),
+        "durable-merge-oncreate": (
+            lambda: eng.query("MERGE (v:V {n: 'zz'}) ON CREATE SET v.c = 2"),
+            8),
+    }
+    for tag, (fn, budget) in budgets.items():
+        n = _jobs_during(spark, fn, tag)
+        assert n <= budget, f"{tag} scheduled {n} jobs (budget {budget})"

@@ -94,9 +94,17 @@ class GraphCatalog:
     # the engine's plan cache keys on it for invalidation (the analogue of
     # the reference's prepared-statement cache, src/db.ts:580-625)
     version: int = 0
+    # (version, labels-or-None) → the aligned union-scan DataFrame.
+    # Building the union re-aligns every label table's schema column by
+    # column (~2 s of py4j round-trips on a 6-label catalog, the single
+    # hottest compile cost measured in r11); DataFrames are immutable
+    # plans, so reusing the object across compiles of the same catalog
+    # version is free. Entries from older versions are dropped on write.
+    _union_cache: dict = field(default_factory=dict)
 
     def touch(self) -> None:
         self.version += 1
+        self._union_cache.clear()
 
     # -- registration -----------------------------------------------------
     def register_node(self, label: str, df: DataFrame) -> None:
@@ -174,6 +182,10 @@ class GraphCatalog:
         """A single scan over one-or-more label tables with a common schema:
         ``_id, _label`` + union-of-props (missing props NULL of the right
         type). Used for untyped ``(n)`` scans and multi-label predicates."""
+        key = (self.version, tuple(labels) if labels else None)
+        cached = self._union_cache.get(key)
+        if cached is not None:
+            return cached
         tables = (
             [self.node(lbl) for lbl in labels] if labels else list(self._nodes.values())
         )
@@ -207,6 +219,7 @@ class GraphCatalog:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        self._union_cache[key] = out
         return out
 
     def labels_of(self, label: str) -> list[str]:

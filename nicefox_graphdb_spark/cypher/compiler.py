@@ -81,12 +81,23 @@ class CypherToSpark:
         params: dict | None = None,
         max_hops: int = vl.DEFAULT_MAX_HOPS,
         store=None,  # MutableGraph for write clauses
+        fragment_cache: dict | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.params = params or {}
         self.max_hops = max_hops
         self.store = store
+        # engine-owned structural cache of scan fragments: a node/edge scan
+        # is a pure function of (var, labels/types/direction, catalog
+        # version, multi_label_dirty) — no parameter value ever reaches it
+        # (pattern `{k: $v}` filters apply AFTER the scan) — so hot query
+        # SHAPES reuse the fragment DataFrames across compiles even when
+        # the param values differ (VERDICT r10 #6). DataFrames are
+        # immutable plans and VarInfo is treated immutably throughout the
+        # compiler, so sharing the objects is safe; Catalyst still sees
+        # per-query filters and prunes/pushes down per plan as usual.
+        self._fragment_cache = fragment_cache if fragment_cache is not None else {}
         self._sym = itertools.count()
         # (colname, desc) sort keys established by the immediately-preceding
         # sorted WITH — consumed by ordered collect() (reference
@@ -381,6 +392,20 @@ class CypherToSpark:
         self, var: str, labels: list[str]
     ) -> tuple[DataFrame, VarInfo]:
         """A renamed scan of the label's table (or a union scan)."""
+        key = (
+            "n", var, tuple(labels),
+            self.catalog.version, self.catalog.multi_label_dirty,
+        )
+        hit = self._fragment_cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._node_scan_uncached(var, labels)
+        self._fragment_cache[key] = out
+        return out
+
+    def _node_scan_uncached(
+        self, var: str, labels: list[str]
+    ) -> tuple[DataFrame, VarInfo]:
         if len(labels) > 1:
             # multi-label intersection: nodes present in every label table
             base_df, info = self._node_scan(var, [labels[0]])
@@ -456,6 +481,33 @@ class CypherToSpark:
         return df
 
     def _edge_scan(
+        self,
+        var: str,
+        types: list[str],
+        direction: str,
+        left_labels: list[str] | None,
+        right_labels: list[str] | None,
+        fuse_var: str | None = None,
+    ) -> tuple[DataFrame | None, VarInfo, VarInfo | None]:
+        key = (
+            "e", var,
+            tuple(types) if types else None,
+            direction,
+            tuple(left_labels) if left_labels else None,
+            tuple(right_labels) if right_labels else None,
+            fuse_var,
+            self.catalog.version, self.catalog.multi_label_dirty,
+        )
+        hit = self._fragment_cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._edge_scan_uncached(
+            var, types, direction, left_labels, right_labels, fuse_var
+        )
+        self._fragment_cache[key] = out
+        return out
+
+    def _edge_scan_uncached(
         self,
         var: str,
         types: list[str],

@@ -181,6 +181,17 @@ class CypherEngine(ClientOps):
         # So varying-value calls recompile by design; repeat values reuse
         # the plan. cache_stats exposes hits/misses for tests and tuning.
         self.cache_stats = {"plan_hits": 0, "misses": 0}
+        # Structural tier (VERDICT r10 #6): value-INDEPENDENT scan
+        # fragments (node/edge table scans keyed on var + labels/types +
+        # catalog version — parameters never reach a scan) are shared
+        # across compiles, so a hot query shape with varying param values
+        # skips rebuilding its scan DataFrames and pays only the
+        # filter/join/projection compile. Keys embed the catalog version;
+        # the whole dict is dropped on version change (one live version at
+        # a time) and on overflow.
+        self._fragment_cache: dict = {}
+        self._fragment_cache_version = -1
+        self._fragment_cache_cap = 1024
 
     @property
     def catalog(self) -> GraphCatalog:
@@ -210,12 +221,19 @@ class CypherEngine(ClientOps):
                 self.cache_stats["plan_hits"] += 1
                 return self._plan_cache[key]
         self.cache_stats["misses"] += 1
+        if (
+            self.catalog.version != self._fragment_cache_version
+            or len(self._fragment_cache) > self._fragment_cache_cap
+        ):
+            self._fragment_cache = {}
+            self._fragment_cache_version = self.catalog.version
         compiler = CypherToSpark(
             self.spark,
             self.catalog,
             params=params,
             max_hops=self.max_hops,
             store=self.store,
+            fragment_cache=self._fragment_cache,
         )
         if writes and self.store is not None:
             # query-scoped atomicity (reference: one transaction per query,

@@ -78,3 +78,31 @@ def test_unhashable_params_skip_cache(engine):
     a = engine.dataframe(q, {"xs": [1, 2, 3]})
     b = engine.dataframe(q, {"xs": [1, 2, 3]})
     assert a is b
+
+
+def test_fragment_cache_reuses_scans_across_param_values(spark):
+    # Structural tier (r11): same query shape with DIFFERENT param values
+    # recompiles (value-keyed plan cache misses by design) but reuses the
+    # value-independent scan fragments — and still answers correctly.
+    eng = CypherEngine(spark, GraphCatalog(spark), mutable=True)
+    eng.query("CREATE (:F {k: 1, v: 'a'}), (:F {k: 2, v: 'b'})")
+    q = "MATCH (n:F) WHERE n.k = $k RETURN n.v AS v"
+    assert eng.query(q, {"k": 1}) == [{"v": "a"}]
+    frags = dict(eng._fragment_cache)
+    assert frags, "scan fragment not cached"
+    assert eng.query(q, {"k": 2}) == [{"v": "b"}]
+    # the second compile reused the SAME fragment objects (no rebuild)
+    for key, val in frags.items():
+        assert eng._fragment_cache[key] is val
+
+
+def test_fragment_cache_invalidated_by_writes(spark):
+    eng = CypherEngine(spark, GraphCatalog(spark), mutable=True)
+    eng.query("CREATE (:G {k: 1})")
+    q = "MATCH (n:G) WHERE n.k = $k RETURN count(*) AS c"
+    assert eng.query(q, {"k": 1}) == [{"c": 1}]
+    keys_before = set(eng._fragment_cache)
+    eng.query("CREATE (:G {k: 1})")  # bumps catalog version
+    assert eng.query(q, {"k": 1}) == [{"c": 2}]
+    # stale-version fragments were dropped, fresh ones keyed anew
+    assert not (set(eng._fragment_cache) & keys_before)

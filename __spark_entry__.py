@@ -472,17 +472,40 @@ def _tables(spark: SparkSession, sf_dir: str):
     return _TABLES_CACHE[key]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    # single-file scans are ONE partition, so per-row-heavy token work runs
+    # single-threaded without this; a no-op for scans already at least as
+    # wide as the configured parallelism (guide §2.5 — r11)
+    from nicefox_graphdb_spark.operators.common import spread_scan
+
+    return spread_scan(df)
+
+
 def _p_text_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from nicefox_graphdb_spark.operators import text as tx
 
     docs = _tables(spark, sf_dir)["documents"]
+    # ONE tokenization per row: token count + quality score ride the same
+    # let-bound token array through an inline() generator (a projection
+    # struct would be split back into two evaluations by
+    # SimplifyExtractValueOps; Generate is an optimizer barrier). Measured
+    # r11: 498 ms -> 311 ms at sf0.1, byte-identical results.
     return (
-        docs.select(
+        _spread(docs).select(
             "source",
-            tx.token_count(F.col("text")).alias("tc"),
-            tx.quality_score(F.col("text")).alias("q"),
+            F.inline(
+                F.array(
+                    tx.let_tokens(
+                        F.col("text"),
+                        lambda toks: F.struct(
+                            F.size(toks).cast("long").alias("tc"),
+                            tx.quality_score_of(toks).alias("q"),
+                        ),
+                    )
+                )
+            ),
         )
         .groupBy("source")
         .agg(
@@ -519,7 +542,7 @@ def _p_lang_id(spark, sf_dir):
 
     docs = _tables(spark, sf_dir)["documents"]
     return (
-        docs.select(tx.lang_id(F.col("text")).alias("lang_pred"))
+        _spread(docs).select(tx.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count("*").alias("cnt"))
         .orderBy("lang_pred")
@@ -1131,7 +1154,7 @@ def _p_pack_chunks(spark, sf_dir):
     from nicefox_graphdb_spark.operators import pipeline as pl
     from nicefox_graphdb_spark.operators import text as tx
 
-    docs = _tables(spark, sf_dir)["documents"].select(
+    docs = _spread(_tables(spark, sf_dir)["documents"]).select(
         "doc_id", tx.token_count(F.col("text")).alias("tc")
     )
     packed = pl.pack_chunks(docs, "doc_id", "tc", window=512)

@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 from nicefox_graphdb_spark.operators.text import tokens
 
 
+# _shuffle_partitions: used to re-spread CPU-heavy verify stages whose
+# inputs AQE would coalesce to one task by byte size; spread_scan
+# parallelizes the per-row shingle/signature work over single-file scans.
+from nicefox_graphdb_spark.operators.common import (  # noqa: E402
+    shuffle_partitions as _shuffle_partitions,
+    spread_scan as _spread_scan,
+)
+
+
 # -- shingling -------------------------------------------------------------
 def char_shingles(col: Column, n: int = 5) -> Column:
     """Distinct character n-grams of a string (ARRAY<STRING>)."""
@@ -87,7 +96,8 @@ def jaccard_pairs(
     prune candidates before the exact verify. All three optimizations are
     lossless — the SQL oracle computes the naive full join and must agree.
     """
-    base = df.select(F.col(id_col).alias("id"), shingles_col.alias("sh"))
+    # single-file scans tokenize+shingle+hash on ONE task otherwise (r11)
+    base = _spread_scan(df).select(F.col(id_col).alias("id"), shingles_col.alias("sh"))
     if max_shingle_freq is not None:
         # drop ultra-common shingles corpus-wide (lossy cap for hot keys —
         # disable for exact-parity runs)
@@ -146,6 +156,10 @@ def jaccard_pairs(
     # quadratic join blowup disappears instead of being capped.
     inv = base.select("id", F.explode("hsh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count("*").alias("f"))
+    # sz rides the same aggregation as the canon array (inv has exactly one
+    # row per (id, shingle), so count(*) == size of the shingle set): one
+    # fewer join against base on the prefix path (r11 — was
+    # base.select(id, sz) ⋈ canon, an extra Exchange pair at corpus scale).
     canon = (
         inv.join(freq, on="shingle")
         .groupBy("id")
@@ -153,15 +167,15 @@ def jaccard_pairs(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("f", "shingle"))),
                 lambda x: x.getField("shingle"),
-            ).alias("canon")
+            ).alias("canon"),
+            F.count("*").cast("int").alias("sz"),
         )
     )
     prefix_len = (
         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
     )
     pref = (
-        base.select("id", "sz")
-        .join(canon, on="id")
+        canon
         .withColumn("__prefix", F.slice("canon", 1, F.greatest(prefix_len, F.lit(1))))
         .select(
             "id",
@@ -193,6 +207,15 @@ def jaccard_pairs(
         .where((F.col("id_a") < F.col("id_b")) & size_ok & pos_ok)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # AQE coalesces the dedup's shuffle output by BYTE size — candidate
+        # rows are 16 bytes, so low thresholds (495k candidates at t=0.2,
+        # sf0.1 ≈ 8 MB) collapse to ONE task and the per-pair
+        # array_intersect verify below runs single-threaded (measured r11:
+        # 3.9 s -> 1.3 s end-to-end with the spread restored). Repartition
+        # to the session's configured shuffle parallelism: scale-adaptive
+        # (cluster-sized conf), round-robin balances verify cost per task,
+        # and the shuffled payload is only the 16-byte id pairs.
+        .repartition(_shuffle_partitions(df))
     )
     # hashed arrays re-attached per CANDIDATE only — never shuffled through
     # the inverted-index fan-out; |A∪B| = |A|+|B|-|A∩B| saves the
@@ -259,7 +282,10 @@ def minhash_lsh_pairs(
 
     obs = Observation()
     base = (
-        df.select(F.col(id_col).alias("id"), shingles_col.alias("sh"))
+        # spread first: the k min-hash folds are the operator's heaviest
+        # per-row work and a single-file scan would run them on one task
+        _spread_scan(df)
+        .select(F.col(id_col).alias("id"), shingles_col.alias("sh"))
         .select("id", "sh", minhash_signature(F.col("sh"), k).alias("sig"))
         # hashed shingles for the verify: long-array intersect + arithmetic
         # union beats string-array intersect/union (same trick as
@@ -309,6 +335,10 @@ def minhash_lsh_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # re-spread for the CPU-bound exact-Jaccard verify: AQE coalesces
+        # the 16-byte candidate rows to one task by byte size (see
+        # jaccard_pairs — measured 3x there)
+        .repartition(_shuffle_partitions(df))
     )
     full_a = base.select(
         F.col("id").alias("id_a"), F.col("hsh").alias("h_a"), F.col("sz").alias("za")
@@ -381,7 +411,10 @@ def simhash_pairs(
     larger max_hamming trades recall for candidate volume.
     """
     base = (
-        df.select(F.col(id_col).alias("id"), tokens_col.alias("toks"))
+        # spread first: the 64-bit-vote fold is heavy per row and a
+        # single-file scan would run it on one task
+        _spread_scan(df)
+        .select(F.col(id_col).alias("id"), tokens_col.alias("toks"))
         .select("id", simhash_votes(F.col("toks")).alias("votes"))
         .select("id", pack_votes(F.col("votes")).alias("sig"))
     )

@@ -82,14 +82,40 @@ def connected_components(
     50+ rounds on a randomly-labeled 99-chain), which is why the star
     phases remain the distributed fallback.
     """
-    verts = _vertices(edges, vertices)
+    # Materialize the canonicalized edges ONCE (self-loops kept so the
+    # vertex set stays exact) with the non-loop row count riding the same
+    # job as an Observation: the input lineage — often a window/join
+    # pipeline, not a bare scan — previously re-executed three times (the
+    # pre-loop count, the first contraction, and the final _vertices join).
+    # r11, guide §5 (localCheckpoint to cut lineage) — measured 3.0 s →
+    # ~2.2 s on the 100k-event gate.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    canon0 = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.col("u") != F.col("v"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("__edges"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_edges = int(obs.get["__edges"])
+    verts = (
+        _vertices(canon0.select(F.col("u").alias("src"), F.col("v").alias("dst")), None)
+        if vertices is None
+        else _vertices(edges, vertices)
+    )
     # canonical (u < v), self-loops dropped. NO distinct here: union-find is
     # idempotent under duplicate edges, so the pre-pass needs no shuffle at
     # all — dedup happens on the (much smaller) star-forest mapping that
     # each contraction emits.
-    e = edges.select(
-        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).where(F.col("u") != F.col("v"))
+    e = canon0.where(F.col("u") != F.col("v"))
 
     # Per-partition union-find pre-contraction (mapInPandas, Arrow batches):
     # each partition's edge subset collapses to a spanning star forest in one
@@ -158,7 +184,7 @@ def connected_components(
     # partition the pass reaches the global fixpoint and the star-phase
     # loop below exits on its first convergence check. Star phases remain
     # the fallback for residuals too big to coalesce further.
-    rows = e.count()  # narrow count over the scan — no shuffle
+    rows = n_edges  # rode the canon0 checkpoint job — no extra pass (r11)
     solved = False
     while rows:
         nparts = max(1, e.rdd.getNumPartitions())
@@ -243,6 +269,10 @@ def pagerank(
     Per superstep: contributions = rank/out_degree routed along edges; new
     rank = (1-d) + d * (incoming + dangling mass / N). Rank sum stays N.
     """
+    # materialize the edge input once: every superstep joins `edges`, so a
+    # computed lineage (window/join pipelines) would otherwise re-execute
+    # n_iter times (r11; the GraphX equivalent caches the edge RDD)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     verts = _vertices(edges, vertices)
     n = verts.count()
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
@@ -253,13 +283,27 @@ def pagerank(
         F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
         F.lit(1.0).alias("rank"),
     )
+    from pyspark.sql import Observation
+
     for i in range(n_iter):
-        # dangling mass as a 1-row aggregate FRAME folded into the superstep
-        # (broadcast nested-loop with one row) — a driver-side collect here
-        # would schedule an extra job per superstep over the whole lineage
-        dang = state.where(F.col("out_degree") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
-        )
+        # Checkpoint the superstep ONCE and ride the dangling-mass sum on
+        # the same job as an Observation (r11). The previous shape — a
+        # 1-row dangling aggregate FRAME broadcast into the next superstep
+        # — scheduled a broadcast-build job per iteration that re-executed
+        # the whole un-checkpointed state lineage (quadratic re-execution
+        # between the every-4th checkpoints). One job per superstep now;
+        # the observed sum is the same partial-aggregated double the
+        # broadcast frame produced (float-sum order was never deterministic
+        # across partitions — the oracle's round-6 tolerance covers both).
+        obs = Observation()
+        state = state.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))),
+                F.lit(0.0),
+            ).alias("__dang"),
+        ).localCheckpoint(eager=True)
+        dang = float(obs.get["__dang"])
         contribs = (
             edges.join(state, edges["src"] == state["id"])
             .where(F.col("out_degree") > 0)
@@ -273,7 +317,6 @@ def pagerank(
         state = (
             state.select("id", "out_degree")
             .join(contribs, on="id", how="left")
-            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 "out_degree",
@@ -282,13 +325,11 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce("incoming", F.lit(0.0))
-                        + F.col("__dang") / F.lit(float(n))
+                        + F.lit(dang) / F.lit(float(n))
                     )
                 ).alias("rank"),
             )
         )
-        if i % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
-            state = state.localCheckpoint(eager=True)
     return state.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -299,10 +340,15 @@ def label_propagation(
 ) -> DataFrame:
     """Community detection by synchronous label propagation (mode of
     neighbor labels; min-label tie-break keeps it deterministic)."""
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # materialized once: `sym` is joined every iteration (r11)
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
-    state = _vertices(edges, vertices).withColumn("label", F.col("id"))
+    state = _vertices(sym, vertices).withColumn("label", F.col("id"))
     for i in range(max_iter):
         votes = (
             sym.join(state, sym["src"] == state["id"])
@@ -346,6 +392,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("src") < F.col("dst"))
         .distinct()
+        # und feeds THREE consumers (degree agg, the oriented join, and the
+        # closing-edge lookup): materialize once instead of re-running the
+        # input lineage + distinct per consumer (r11)
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("src").alias("id"))
@@ -392,11 +442,16 @@ def shortest_path_lengths(
 ) -> DataFrame:
     """Unweighted single/multi-source shortest path lengths via frontier
     BFS with visited-set pruning (each vertex settled once per source)."""
+    # materialize the edge input once: every hop joins `edges`, so a
+    # computed lineage would otherwise re-execute max_hops times (r11)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     src0 = sources.select(F.col(sources.columns[0]).alias("start"))
     settled = src0.select(
         "start", F.col("start").alias("id"), F.lit(0).alias("dist")
     )
     frontier = settled
+    from pyspark.sql import Observation
+
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(edges, frontier["id"] == edges["src"])
@@ -404,9 +459,16 @@ def shortest_path_lengths(
             .distinct()
             .join(settled.select("start", "id"), on=["start", "id"], how="left_anti")
         )
-        if hop % CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # Checkpoint EVERY hop with the frontier size riding the same job:
+        # the isEmpty() convergence probe otherwise executes the hop's full
+        # join+distinct+anti plan, and the un-checkpointed lineage then
+        # re-executed it again inside the next hop (r11 — one job per hop
+        # now, and the settled union reads materialized frontiers).
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("__n")).localCheckpoint(
+            eager=True
+        )
+        if not obs.get["__n"]:
             break
         settled = settled.unionByName(nxt)
         frontier = nxt

@@ -149,7 +149,11 @@ def decontaminate(
     post-explode postings turn out small) instead of OOMing the driver
     with a forced broadcast. Unknown estimates take the no-hint path.
     """
-    train = train_df.select(
+    from nicefox_graphdb_spark.operators.common import spread_scan
+
+    # spread: the train-side shingle explode is the heavy per-row work and
+    # a single-file scan would run it on one task (no-op at corpus scale)
+    train = spread_scan(train_df).select(
         F.col(id_col).alias("_tid"), F.explode(shingles_col).alias("_s")
     )
     bench = bench_df.select(

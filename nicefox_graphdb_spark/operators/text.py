@@ -36,6 +36,20 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+def let_tokens(col: Column, body) -> Column:
+    """Let-bind the tokenizer output: evaluate ``tokens(col)`` ONCE and feed
+    the bound array to ``body(toks)``.
+
+    Catalyst does no common-subexpression elimination across higher-order-
+    function lambda boundaries (HOFs are CodegenFallback), so an expression
+    that references ``tokens(col)`` k times re-runs the regex split k times
+    per row — measured r11: quality_score paid ~3x one tokenization and
+    lang_id ~8x. Wrapping the consumers in a one-element-array transform
+    (the same trick as dedup.word_shingles) makes the split a single
+    evaluation at identical arithmetic, so oracle parity is unaffected."""
+    return F.get(F.transform(F.array(tokens(col)), body), 0)
+
+
 def token_count(col: Column) -> Column:
     """Word-token count (regex tokenizer)."""
     return F.size(tokens(col)).cast("long")
@@ -50,28 +64,31 @@ def char_count(col: Column) -> Column:
     return F.length(col).cast("long")
 
 
-def stopword_ratio(col: Column) -> Column:
-    toks = tokens(col)
+def _stopword_ratio_of(toks: Column) -> Column:
     hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def mean_token_length(col: Column) -> Column:
-    toks = tokens(col)
+def _mean_token_length_of(toks: Column) -> Column:
     total = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column) -> Column:
-    """Deterministic [0,1] quality heuristic: stopword density + length +
-    lexical shape (the usual cheap pre-filter before expensive model scoring).
-    """
-    toks = tokens(col)
+def stopword_ratio(col: Column) -> Column:
+    return let_tokens(col, _stopword_ratio_of)
+
+
+def mean_token_length(col: Column) -> Column:
+    return let_tokens(col, _mean_token_length_of)
+
+
+def quality_score_of(toks: Column) -> Column:
+    """quality_score over an already-bound token array (see let_tokens)."""
     n = F.size(toks)
-    stop = stopword_ratio(col)
-    meanlen = mean_token_length(col)
+    stop = _stopword_ratio_of(toks)
+    meanlen = _mean_token_length_of(toks)
     score = (
         F.least(stop * 5.0, F.lit(1.0)) * 0.4
         + F.least(n / 100.0, F.lit(1.0)) * 0.3
@@ -80,21 +97,41 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 4)
 
 
-def lang_score(col: Column, lang: str) -> Column:
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: stopword density + length +
+    lexical shape (the usual cheap pre-filter before expensive model scoring).
+    One tokenization per row (let-bound; was ~3x before r11)."""
+    return let_tokens(col, quality_score_of)
+
+
+def _lang_score_of(toks: Column, lang: str) -> Column:
     markers = LANG_MARKERS[lang]
-    return F.size(F.filter(tokens(col), lambda t: t.isin(markers))).cast("long")
+    return F.size(F.filter(toks, lambda t: t.isin(markers))).cast("long")
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    return let_tokens(col, lambda toks: _lang_score_of(toks, lang))
 
 
 def lang_id(col: Column) -> Column:
     """Marker-vote language ID; ties resolve by LANG_PRIORITY; all-zero →
-    'und'."""
-    scores = {lang: lang_score(col, lang) for lang in LANG_PRIORITY}
-    best = F.greatest(*scores.values())
-    expr = None
-    for lang in LANG_PRIORITY:
-        cond = scores[lang] == best
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return F.when(best == 0, F.lit("und")).otherwise(expr)
+    'und'. One tokenization per row (let-bound; the 5-language vote paid
+    ~8x before r11)."""
+
+    def vote(toks: Column) -> Column:
+        scores = {lang: _lang_score_of(toks, lang) for lang in LANG_PRIORITY}
+        best = F.greatest(*scores.values())
+        expr = None
+        for lang in LANG_PRIORITY:
+            cond = scores[lang] == best
+            expr = (
+                F.when(cond, F.lit(lang))
+                if expr is None
+                else expr.when(cond, F.lit(lang))
+            )
+        return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+    return let_tokens(col, vote)
 
 
 def repetition_ratio(col: Column, n: int = 2) -> Column:
@@ -121,7 +158,11 @@ def fingerprint(col: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (near-dup-robust to shuffling/whitespace/case). NULL for a
     token-less document (also DuckDB's natural result — array_to_string of
-    an empty list is NULL there, caught by the differential fuzzer)."""
-    toks = tokens(col)
-    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
-    return F.when(F.size(toks) > 0, F.md5(canon))
+    an empty list is NULL there, caught by the differential fuzzer).
+    One tokenization per row (let-bound; was 2x before r11)."""
+
+    def fp(toks: Column) -> Column:
+        canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+        return F.when(F.size(toks) > 0, F.md5(canon))
+
+    return let_tokens(col, fp)

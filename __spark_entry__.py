@@ -653,9 +653,10 @@ def _p_embed_topk(spark, sf_dir):
     )
     # one fused fold per row (a·b and a·a share the pass; qn precomputed on
     # the broadcast 1-row side) — same sequential summation order as the
-    # DuckDB oracle's list_inner_product
+    # DuckDB oracle's list_inner_product. _spread: the interpreted fold is
+    # the per-row cost and a single-file scan would run it on one task (r11)
     return (
-        emb.where(F.col("vec_id") != 0)
+        _spread(emb.where(F.col("vec_id") != 0))
         .crossJoin(q)
         .select(
             F.col("vec_id").alias("id"),

@@ -285,9 +285,15 @@ class CypherToSpark:
                 )
                 for c in q.clauses
             ):
-                # write-only query: empty result set
-                return self.spark.createDataFrame(
-                    [], T.StructType([T.StructField("_rows", T.LongType())])
+                # write-only query: empty result set. Built from a 0-row
+                # 1-partition range: a bare createDataFrame([], schema)
+                # parallelizes the empty seq over defaultParallelism EMPTY
+                # partitions, so every write statement's final collect
+                # launched a 32-task no-op job (~300 ms each, measured in
+                # the r11 event log — the single largest fixed cost of the
+                # write bench).
+                return self.spark.range(0, 0, 1, 1).select(
+                    F.col("id").alias("_rows")
                 )
             raise CypherCompileError("query must end with RETURN")
         return final

@@ -480,7 +480,10 @@ def embedding_neardup_pairs(
                 f"{max_rows}. Use similarity.ann_neardup_pairs or "
                 f"minhash_lsh_pairs for corpus-scale near-dup."
             )
-    base = df.select(
+    # spread: the O(N²) fold work parallelizes with the LEFT side's
+    # partitioning (the right side broadcasts through the nested-loop
+    # join); a single-file scan would run every pair on one task (r11)
+    base = _spread_scan(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),  # precomputed: O(N·d), not O(N²·d)

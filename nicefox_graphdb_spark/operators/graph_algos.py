@@ -189,15 +189,19 @@ def connected_components(
     while rows:
         nparts = max(1, e.rdd.getNumPartitions())
         target = min(max(1, -(-rows // _CC_ROWS_PER_PART)), nparts)
-        e = _contract(e.coalesce(target) if target < nparts else e)
-        new_rows = e.count()
+        src = e.coalesce(target) if target < nparts else e
         if target == 1:
-            # the whole residual passed through ONE union-find: the output
+            # the whole residual passes through ONE union-find: the output
             # is min-rooted disjoint stars by construction — global
-            # fixpoint, no star phases and no convergence probes needed
+            # fixpoint. No star phases, no convergence probes, and (r11)
+            # no dedup/checkpoint/count either: the UF emits each member
+            # node exactly once with root < node, and the single consumer
+            # below (the assign join) reads it once.
+            e = src.mapInPandas(_local_contract, "u string, v string")
             solved = True
-            rows = new_rows
             break
+        e = _contract(src)
+        new_rows = e.count()
         if new_rows >= rows:
             rows = new_rows
             break

@@ -74,6 +74,8 @@ class CompileState:
 
 
 class CypherToSpark:
+    _last_created_n: int | None = None
+
     def __init__(
         self,
         spark: SparkSession,
@@ -292,9 +294,16 @@ class CypherToSpark:
                 # launched a 32-task no-op job (~300 ms each, measured in
                 # the r11 event log — the single largest fixed cost of the
                 # write bench).
-                return self.spark.range(0, 0, 1, 1).select(
+                out = self.spark.range(0, 0, 1, 1).select(
                     F.col("id").alias("_rows")
                 )
+                # provably empty constant: engine.query() returns [] without
+                # collect()ing — the collect of this frame was still one
+                # Spark job + ~100-250 ms of planning/event-bus latency per
+                # write statement (r12 event-log trace); the mutations
+                # themselves already ran eagerly during compilation
+                out._nf_write_only_empty = True
+                return out
             raise CypherCompileError("query must end with RETURN")
         return final
 
@@ -4239,10 +4248,24 @@ class CypherToSpark:
             tmp = f"__mk_{k}"
             df = df.withColumn(tmp, tc.col)
             key_tmp[k] = tmp
+        n_input = None
         if key_tmp:
-            df = df.localCheckpoint(eager=True)
+            # the binding-row count rides the checkpoint as an Observation
+            # (zero extra jobs) and row-gates the broadcast hints on every
+            # key/id re-attach below — the checkpoint itself reports
+            # MaxValue stats, so the planner alone would shuffle both sides
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs, F.count(F.lit(1)).alias("__n")
+            ).localCheckpoint(eager=True)
+            n_input = obs.get["__n"]
         table = self._merge_node_table(labels)
         key_names = list(props)
+        key_types = {k: tc.dtype for k, tc in props.items()}
+        created = None
+        appended = False
         if key_tmp:
             keys = df.select(
                 *[F.col(tmp).alias(k) for k, tmp in key_tmp.items()]
@@ -4252,11 +4275,46 @@ class CypherToSpark:
                 if all(k in table.columns for k in key_names)
                 else keys
             )
-            created, created_empty = self._checkpoint_created(
-                missing_keys.withColumn("_id", F.expr("uuid()")),
-                list(key_tmp),
-                "Cannot merge node using null property value",
+            new_rows = missing_keys.withColumn("_id", F.expr("uuid()"))
+            folded = (
+                self._fold_on_create(var, label, new_rows, key_types, on_create)
+                if on_create
+                else None
             )
+            if len(labels) <= 1 and (not on_create or folded is not None):
+                # fused fast path (r12): with at most one label and a
+                # foldable (or absent) ON CREATE, nothing consumes the
+                # created set after the append — so the append write itself
+                # freezes the uuids and carries the count + null-key probe,
+                # deleting the separate freezing checkpoint (one
+                # materialization instead of two; see
+                # MutableGraph.append_nodes_counted)
+                n_created = self.store.append_nodes_counted(
+                    label,
+                    folded if folded is not None else new_rows,
+                    n_rows_bound=n_input,
+                    null_check_cols=tuple(key_names),
+                    err="Cannot merge node using null property value",
+                    err_pos=getattr(self, "_clause_pos", None),
+                )
+                self._last_created_n = n_created
+                created_empty = n_created == 0
+                appended = True
+            else:
+                created, created_empty = self._checkpoint_created(
+                    new_rows,
+                    list(key_tmp),
+                    "Cannot merge node using null property value",
+                )
+                # refold over the CHECKPOINTED frame — the frozen uuids,
+                # not the plan that would re-draw them
+                folded = (
+                    self._fold_on_create(
+                        var, label, created, key_types, on_create
+                    )
+                    if on_create and not created_empty
+                    else None
+                )
         else:
             # keyless MERGE (a) / (a:L): one global match-else-create —
             # create ONE bare node iff no node matches the label set AND at
@@ -4282,25 +4340,24 @@ class CypherToSpark:
                 [],
                 "unreachable",
             )
-        key_types = {k: tc.dtype for k, tc in props.items()}
-        folded = (
-            self._fold_on_create(var, label, created, key_types, on_create)
-            if on_create and not created_empty
-            else None
-        )
-        if not created_empty:
+            folded = (
+                self._fold_on_create(var, label, created, key_types, on_create)
+                if on_create and not created_empty
+                else None
+            )
+        if not appended and not created_empty:
             # ON CREATE SET folded into the insert rows = ONE write instead
             # of append + per-row rewrite (the dominant job count of a MERGE
             # upsert storm); empty create sets skip the write entirely
             self.store.append_nodes(label, folded if folded is not None else created)
             self._merge_add_extra_labels(labels, created.select("_id"))
         # ON CREATE / ON MATCH SET on the two disjoint id sets
-        created_ids = created.select("_id")
+        created_ids = created.select("_id") if created is not None else None
         if keys is None:
             matched_ids = table.select("_id")
         elif all(k in table.columns for k in key_names):
             matched_ids = table.join(
-                keys, on=key_names, how="left_semi"
+                self._gated(keys, n_input), on=key_names, how="left_semi"
             ).select("_id")
         else:
             matched_ids = self.spark.createDataFrame(
@@ -4350,8 +4407,16 @@ class CypherToSpark:
         scope.bind(info)
         new_state = CompileState(df=out, scope=scope)
         if on_create and folded is None and not created_empty:
-            new_state = self._apply_merge_sets(new_state, var, created_ids, on_create)
-        new_state = self._apply_merge_sets(new_state, var, matched_ids, on_match)
+            new_state = self._apply_merge_sets(
+                new_state,
+                var,
+                self._gated(created_ids, self._last_created_n),
+                on_create,
+            )
+        # matched_ids ≤ the distinct binding keys ≤ the observed input rows
+        new_state = self._apply_merge_sets(
+            new_state, var, self._gated(matched_ids, n_input), on_match
+        )
         return new_state
 
     def _fold_on_create(
@@ -4417,6 +4482,20 @@ class CypherToSpark:
             *[F.col(pcol(var, k)).alias(k) for k in prop_types],
         )
 
+    # a materialized key/id set up to this many rows gets an explicit
+    # broadcast hint when re-attached by join: checkpointed frames report
+    # MaxValue plan stats, so the planner would otherwise shuffle BOTH
+    # sides of a probe whose build side is measurably tiny (same row-gated
+    # policy as durable_store._gated_keys; counts ride the checkpoint jobs
+    # as Observations, so the gate costs zero extra jobs). Oversized sets
+    # keep the planner's shuffle join — the correct corpus-scale shape.
+    _BROADCAST_KEYS_ROWS = 1_000_000
+
+    def _gated(self, df: DataFrame, n_rows: int | None) -> DataFrame:
+        if n_rows is not None and n_rows <= self._BROADCAST_KEYS_ROWS:
+            return F.broadcast(df)
+        return df
+
     def _checkpoint_created(
         self, frame: DataFrame, key_cols: list[str], err: str
     ) -> tuple[DataFrame, bool]:
@@ -4425,7 +4504,10 @@ class CypherToSpark:
         zero follow-up probe jobs (the pattern durable_store._write_files
         uses for write stats). Null key values always land in the created
         set, since null never equals a stored key — raising here is the
-        runtime MERGE-null check (reference src/translator.ts:829-842)."""
+        runtime MERGE-null check (reference src/translator.ts:829-842).
+
+        The measured row count is kept on ``self._last_created_n`` for
+        broadcast gating by the caller (``_gated``)."""
         from pyspark.sql import Observation
 
         from nicefox_graphdb_spark.graph_store import CypherRuntimeError
@@ -4444,6 +4526,7 @@ class CypherToSpark:
             raise CypherRuntimeError(
                 err, pos=getattr(self, "_clause_pos", None)
             )
+        self._last_created_n = row["__n"]
         return created, row["__n"] == 0
 
     def _apply_merge_sets(

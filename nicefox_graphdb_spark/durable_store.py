@@ -351,17 +351,22 @@ class DurableTableStore:
     def _write_files(
         self, key: str, df: DataFrame, touched: list[int] | None = None,
         force_fanout: bool = False, est_bytes: int | None = None,
-    ) -> list[dict]:
-        """Write rows bucketed by ``_id``; returns new manifest file
-        entries. Nothing is visible until the manifest commits.
+        extra_metrics: list | None = None,
+    ) -> tuple[list[dict], dict | None]:
+        """Write rows bucketed by ``_id``; returns (new manifest file
+        entries, the small-path observation row or None). Nothing is
+        visible until the manifest commits.
 
         Small frames (by plan-stats estimate) write ONE file from one task;
         its exact bucket set, row count, and the touched-set contract check
-        ride the write via ``observe`` — zero extra jobs. Large frames
-        shuffle once on the bucket key (AQE rebalance sizes the tasks) into
-        bucket-exclusive files. With ``touched``, rows outside the touched
-        buckets raise BEFORE anything moves into the table directory or the
-        manifest mutates."""
+        ride the write via ``observe`` — zero extra jobs; ``extra_metrics``
+        lets a caller ride its own validation aggregates on the same job
+        (they come back in the returned row). Large frames shuffle once on
+        the bucket key (AQE rebalance sizes the tasks) into bucket-exclusive
+        files (extra metrics are not computed there — callers needing them
+        must pre-materialize instead). With ``touched``, rows outside the
+        touched buckets raise BEFORE anything moves into the table
+        directory or the manifest mutates."""
         from pyspark.sql import Observation
 
         est = None
@@ -381,9 +386,17 @@ class DurableTableStore:
                 metrics.append(
                     F.max(~F.col("__bucket").isin(touched)).alias("stray")
                 )
+            if extra_metrics:
+                metrics.extend(extra_metrics)
             (
+                # coalesce(1), not repartition(1): the narrow merge skips a
+                # round-robin Exchange plus its sortBeforeRepartition local
+                # sort (~100 ms/write measured at bench scale, guide §2.4 —
+                # "remove shuffles outright"). The single task reads every
+                # upstream partition; fine by construction, this path is
+                # size-gated at small_write_bytes.
                 bucketed.observe(obs, *metrics)
-                .repartition(1)
+                .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(staging)
             )
@@ -396,7 +409,7 @@ class DurableTableStore:
                 )
             if got["rows"] == 0:
                 self.fs.rmtree(staging)
-                return []
+                return [], got
             self.fs.makedirs(ddir)
             for fn in self.fs.listdir(staging):
                 if not fn.endswith(".parquet"):
@@ -414,7 +427,7 @@ class DurableTableStore:
                     }
                 )
             self.fs.rmtree(staging)
-            return entries
+            return entries, got
         (
             # REBALANCE (AQE) sizes write tasks by data volume: a skewed
             # bucket may split into several files (fine — entries are a
@@ -454,14 +467,50 @@ class DurableTableStore:
                     {"name": name, "buckets": [b], "rows": None, "bytes": size}
                 )
         self.fs.rmtree(staging)
-        return entries
+        return entries, None
 
     def append(self, key: str, df: DataFrame) -> None:
         """Add files; existing files untouched. Buckets whose exclusive
         files (or the table's shared files) exceed compact_threshold are
         compacted back into bucket-exclusive files in this commit."""
+        new, _ = self._write_files(key, df)
+        self.manifest["tables"][key]["files"].extend(new)
+        self.maybe_compact(key)
+
+    def append_counted(
+        self, key: str, df: DataFrame, est_bytes: int,
+        extra_metrics: list | None = None,
+    ) -> dict | None:
+        """Append with the write job's own observation returned to the
+        caller (``rows`` plus any ``extra_metrics``) — lets a caller whose
+        frame carries fresh nondeterministic ids (uuid()) skip a separate
+        freezing checkpoint: the single write IS the materialization.
+        ``est_bytes`` must be a caller-measured bound routing the write
+        down the small single-file path (the un-checkpointed plan's own
+        Catalyst stats are opaque); a bound over ``small_write_bytes``
+        returns None without writing — callers fall back to the
+        checkpoint-then-append path. The manifest is NOT touched here:
+        callers validate their extra metrics first, then publish the
+        returned entries via ``publish_append`` — a raise in between
+        leaves only orphaned (vacuum-able) files behind."""
+        if est_bytes > self.small_write_bytes:
+            return None
+        new, got = self._write_files(
+            key, df, est_bytes=est_bytes, extra_metrics=extra_metrics
+        )
+        return (new, got)
+
+    def publish_append(self, key: str, entries: list[dict]) -> None:
+        """Reference freshly written files in the manifest (the second half
+        of ``append_counted``, after caller-side validation)."""
+        if entries:
+            self.manifest["tables"][key]["files"].extend(entries)
+            self.maybe_compact(key)
+
+    def maybe_compact(self, key: str) -> None:
+        """Compact when shared or per-bucket file counts exceed the
+        threshold (split out of append so every append flavor shares it)."""
         files = self.manifest["tables"][key]["files"]
-        files.extend(self._write_files(key, df))
         shared = [e for e in files if e["buckets"] is None or len(e["buckets"]) != 1]
         if len(shared) > self.compact_threshold:
             self._compact_shared(key)
@@ -485,7 +534,7 @@ class DurableTableStore:
         df = self.spark.read.schema(self.schema_of(key)).parquet(
             *(os.path.join(ddir, e["name"]) for e in shared)
         )
-        new = self._write_files(key, df, force_fanout=True)
+        new, _ = self._write_files(key, df, force_fanout=True)
         names = {e["name"] for e in shared}
         t["files"] = [e for e in t["files"] if e["name"] not in names] + new
 
@@ -506,7 +555,7 @@ class DurableTableStore:
         df = self.spark.read.schema(self.schema_of(key)).parquet(
             *(os.path.join(ddir, e["name"]) for e in old)
         )
-        new = self._write_files(key, df, force_fanout=True)
+        new, _ = self._write_files(key, df, force_fanout=True)
         names = {e["name"] for e in old}
         t["files"] = [e for e in t["files"] if e["name"] not in names] + new
 
@@ -575,7 +624,7 @@ class DurableTableStore:
             est = int(sum(e["bytes"] for e in drop) * 1.5)
         # validate-before-mutate: _write_files raises on stray rows before
         # anything moves; the manifest only changes after every write lands
-        new = self._write_files(key, df, touched=touched, est_bytes=est)
+        new, _ = self._write_files(key, df, touched=touched, est_bytes=est)
         if caller_obs is not None and caller_obs.get.get("stray"):
             # written files stay orphaned (vacuum-able); manifest untouched
             raise ValueError(
@@ -765,6 +814,66 @@ class DurableGraph(MutableGraph):
         self.tables.append(key, self._align(rows, cols))
         self._refresh_node(label)
         self._bump()
+
+    # a measured row bound at most this takes the fused single-write path
+    # (with the coarse width estimate below it stays far under
+    # small_write_bytes for any realistic column count); bigger appends
+    # fall back to checkpoint-then-append, which parallelizes
+    SMALL_APPEND_ROWS = 100_000
+
+    def append_nodes_counted(
+        self,
+        label: str,
+        rows: DataFrame,
+        n_rows_bound: int | None = None,
+        null_check_cols: tuple[str, ...] = (),
+        err: str = "Cannot merge node using null property value",
+        err_pos=None,
+    ) -> int:
+        """Fused append: the durable write itself freezes the generated
+        ids and carries the row count + null-key probe as its own
+        Observation — ONE materialization where the base path pays a
+        freezing checkpoint AND a write (r12; the write statement's
+        dominant fixed cost). Row-gated: only a caller-measured small
+        bound may skip the checkpoint, since the un-checkpointed plan's
+        Catalyst stats are opaque (fresh uuids over a join); large appends
+        keep the parallel checkpoint-then-append shape."""
+        from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+        if n_rows_bound is None or n_rows_bound > self.SMALL_APPEND_ROWS:
+            return super().append_nodes_counted(
+                label, rows, n_rows_bound, null_check_cols, err, err_pos
+            )
+        self.ensure_label(label)
+        key = node_key(label)
+        cols = self._merged_cols(key, rows)
+        extra = []
+        if null_check_cols:
+            anynull = None
+            for k in null_check_cols:
+                c = F.col(k).isNull()
+                anynull = c if anynull is None else anynull | c
+            extra.append(F.max(anynull).alias("__has_null"))
+        # coarse per-row width bound: id + bucket + per-column slack
+        est = 4096 + n_rows_bound * (48 + 32 * len(cols))
+        res = self.tables.append_counted(
+            key, self._align(rows, cols), est_bytes=est, extra_metrics=extra
+        )
+        if res is None:  # bound exceeded small_write_bytes after all
+            return super().append_nodes_counted(
+                label, rows, n_rows_bound, null_check_cols, err, err_pos
+            )
+        entries, got = res
+        if null_check_cols and got.get("__has_null"):
+            # written file stays orphaned (vacuum-able) — the manifest was
+            # never touched, so the store stays fully consistent
+            raise CypherRuntimeError(err, pos=err_pos)
+        if got["rows"]:
+            self.tables.set_schema(key, cols)
+            self.tables.publish_append(key, entries)
+            self._refresh_node(label)
+            self._bump()
+        return got["rows"]
 
     def update_node_props(
         self, label: str, updates: DataFrame, replace_all: bool = False

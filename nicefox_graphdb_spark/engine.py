@@ -265,6 +265,10 @@ class CypherEngine(ClientOps):
     def query(self, cypher: str, params: dict | None = None) -> list[dict]:
         """Execute and return rows as dicts (reference result format)."""
         df = self.dataframe(cypher, params)
+        if getattr(df, "_nf_write_only_empty", False):
+            # write-only statement: the result frame is a constant 0-row
+            # range (compiler.compile_query) — skip the collect job
+            return []
         entity_cols = getattr(df, "_nf_entity_cols", frozenset())
         return [
             {

@@ -164,6 +164,42 @@ class MutableGraph:
         self.catalog.register_node(label, new_df)
         self._bump()
 
+    def append_nodes_counted(
+        self,
+        label: str,
+        rows: DataFrame,
+        n_rows_bound: int | None = None,
+        null_check_cols: tuple[str, ...] = (),
+        err: str = "Cannot merge node using null property value",
+        err_pos=None,
+    ) -> int:
+        """Append rows whose plan may carry nondeterministic ids (uuid())
+        and return how many were appended; raise ``err`` when any
+        ``null_check_cols`` value is null (the MERGE null-key contract).
+        Nothing is appended when the set is empty. Base implementation:
+        one observe-carrying checkpoint freezes the ids, then a plain
+        append — DurableGraph overrides this so the durable write itself
+        freezes the ids (one materialization instead of two).
+        ``n_rows_bound`` is a caller-measured upper bound on the row count
+        (used by the durable override to size the write)."""
+        from pyspark.sql import Observation
+
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        if null_check_cols:
+            anynull = None
+            for k in null_check_cols:
+                c = F.col(k).isNull()
+                anynull = c if anynull is None else anynull | c
+            aggs.append(F.max(anynull).alias("__has_null"))
+        obs = Observation()
+        ck = rows.observe(obs, *aggs).localCheckpoint(eager=True)
+        got = obs.get
+        if null_check_cols and got.get("__has_null"):
+            raise CypherRuntimeError(err, pos=err_pos)
+        if got["__n"]:
+            self.append_nodes(label, ck)
+        return got["__n"]
+
     def update_node_props(
         self, label: str, updates: DataFrame, replace_all: bool = False
     ) -> None:

@@ -30,8 +30,20 @@ def shuffle_partitions(df: DataFrame) -> int:
 def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin repartition an under-parallelized input up to the
     session's shuffle parallelism; inputs already at least that wide pass
-    through untouched (no shuffle at corpus scale)."""
+    through untouched (no shuffle at corpus scale).
+
+    The width probe (``df.rdd.getNumPartitions()``) is only taken on
+    non-adaptive plans: an exchange-bearing (AQE-wrapped) input would have
+    its upstream shuffle stages EXECUTED by the probe — once for the probe
+    and again for the real job (ADVICE r11). Such an input is already at
+    the configured shuffle width anyway, so it passes through untouched."""
     n = n or shuffle_partitions(df)
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            return df
+    except Exception:  # noqa: BLE001 — probe only; fall through to the RDD
+        pass
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

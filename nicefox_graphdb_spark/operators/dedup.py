@@ -206,16 +206,20 @@ def jaccard_pairs(
         a.join(b, on="shingle")
         .where((F.col("id_a") < F.col("id_b")) & size_ok & pos_ok)
         .select("id_a", "id_b")
+        # ONE exchange for dedup + verify spread (r12; was dropDuplicates'
+        # own shuffle PLUS an unconditional round-robin respread — ADVICE
+        # r11 flagged the extra shuffle as overhead on the corpus-scale
+        # path). The explicit pair-key repartition at the configured
+        # parallelism (a) is the exchange dropDuplicates needs anyway, so
+        # it reuses the partitioning, (b) pins the partition count so AQE
+        # cannot byte-coalesce the 16-byte candidate rows to ONE task
+        # before the CPU-bound array_intersect verify (the r11 bug:
+        # 495k pairs ≈ 8 MB -> single-threaded verify), and (c) is
+        # near-uniform — candidate pairs are almost all distinct, so the
+        # pair hash spreads evenly. Measured r12: verify phase
+        # 1.79 s -> 1.08 s at sf0.1/t=0.2.
+        .repartition(_shuffle_partitions(df), "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        # AQE coalesces the dedup's shuffle output by BYTE size — candidate
-        # rows are 16 bytes, so low thresholds (495k candidates at t=0.2,
-        # sf0.1 ≈ 8 MB) collapse to ONE task and the per-pair
-        # array_intersect verify below runs single-threaded (measured r11:
-        # 3.9 s -> 1.3 s end-to-end with the spread restored). Repartition
-        # to the session's configured shuffle parallelism: scale-adaptive
-        # (cluster-sized conf), round-robin balances verify cost per task,
-        # and the shuffled payload is only the 16-byte id pairs.
-        .repartition(_shuffle_partitions(df))
     )
     # hashed arrays re-attached per CANDIDATE only — never shuffled through
     # the inverted-index fan-out; |A∪B| = |A|+|B|-|A∩B| saves the
@@ -334,11 +338,12 @@ def minhash_lsh_pairs(
         left.join(right, on=["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        # one exchange for dedup + verify spread — see jaccard_pairs: the
+        # pair-key repartition is the shuffle dropDuplicates needs anyway,
+        # with the partition count pinned so AQE cannot byte-coalesce the
+        # candidates to one task before the CPU-bound verify (r12)
+        .repartition(_shuffle_partitions(df), "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        # re-spread for the CPU-bound exact-Jaccard verify: AQE coalesces
-        # the 16-byte candidate rows to one task by byte size (see
-        # jaccard_pairs — measured 3x there)
-        .repartition(_shuffle_partitions(df))
     )
     full_a = base.select(
         F.col("id").alias("id_a"), F.col("hsh").alias("h_a"), F.col("sz").alias("za")

@@ -14,10 +14,66 @@ sets are derived or passed explicitly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nicefox_graphdb_spark.operators.common import shuffle_partitions
+
 CHECKPOINT_EVERY = 4
+
+
+def _reliable_every_k() -> int:
+    """Reliable-checkpoint cadence for the iterative algorithms (0 = off).
+
+    The per-iteration lineage cuts use ``localCheckpoint`` —
+    executor-storage-backed and non-replayable, so on a real cluster an
+    executor loss mid-run aborts the job (the same trade GraphX makes).
+    Set ``NICEFOX_RELIABLE_CHECKPOINT_EVERY_K=k`` (with
+    ``sparkContext.setCheckpointDir`` pointing at durable storage) to
+    route every k-th iteration's cut through the reliable checkpoint
+    path instead: replayable across executor loss, at the cost of a
+    distributed write. Off by default locally — the bench's single host
+    has no executor to lose."""
+    try:
+        return int(
+            os.environ.get("NICEFOX_RELIABLE_CHECKPOINT_EVERY_K", "0") or 0
+        )
+    except ValueError:
+        return 0
+
+
+def _cut(df: DataFrame, i: int = 0) -> DataFrame:
+    """One per-iteration lineage cut (guide §5): localCheckpoint, or the
+    reliable checkpoint on every k-th iteration when the durability knob
+    is set (``_reliable_every_k``)."""
+    k = _reliable_every_k()
+    if k and (i + 1) % k == 0:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _cut_copartitioned(df: DataFrame, i: int = 0) -> DataFrame:
+    """Lineage cut that RECORDS the frame's hash partitioning on the
+    checkpointed RDD. Under AQE the executed plan's root is
+    AdaptiveSparkPlanExec, which reports UnknownPartitioning —
+    ``Dataset.checkpoint`` then stamps the new LogicalRDD Unknown and
+    every downstream same-key join re-shuffles the frame from scratch.
+    Disabling AQE for just this action keeps the physical plan's
+    HashPartitioning visible, so per-superstep ``edges ⋈ state`` joins
+    reuse BOTH sides' recorded partitioning (zero join Exchange — the
+    co-partitioned GraphX shape; AQE coalesce/skew handling is traded
+    away for the superstep job, whose shuffle count this removes). The
+    conf flip is session-scoped; the only callers are the
+    single-threaded driver iteration loops below."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _cut(df, i)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 # per-partition edge-row budget for the local union-find contraction in
@@ -250,11 +306,11 @@ def connected_components(
         )
         return member_center.isEmpty()
 
-    for _ in range(max_iter if not solved else 0):
+    for it in range(max_iter if not solved else 0):
         if _is_disjoint_stars(e):
             break
         e = _phase(e, large=True)
-        e = _phase(e, large=False).localCheckpoint(eager=True)
+        e = _cut(_phase(e, large=False), it)
     # fixpoint: e is a union of stars rooted at each component's min id
     assign = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
     return verts.join(assign, on="id", how="left").select(
@@ -273,19 +329,33 @@ def pagerank(
     Per superstep: contributions = rank/out_degree routed along edges; new
     rank = (1-d) + d * (incoming + dangling mass / N). Rank sum stays N.
     """
-    # materialize the edge input once: every superstep joins `edges`, so a
-    # computed lineage (window/join pipelines) would otherwise re-execute
-    # n_iter times (r11; the GraphX equivalent caches the edge RDD)
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # Materialize the edge input once, HASH-PARTITIONED on the superstep
+    # join key (r12; r11 checkpointed it unpartitioned): every superstep
+    # joins `edges` on src, so one setup shuffle here replaces an edges
+    # Exchange in all n_iter superstep jobs — the co-partitioned GraphX
+    # shape. The checkpoint records the partitioning (_cut_copartitioned),
+    # which a plain localCheckpoint under AQE loses.
+    n_part = shuffle_partitions(edges)
+    edges = _cut_copartitioned(
+        edges.select("src", "dst").repartition(n_part, "src")
+    )
     verts = _vertices(edges, vertices)
     n = verts.count()
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_degree")
     )
-    state = verts.join(out_deg, on="id", how="left").select(
-        "id",
-        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-        F.lit(1.0).alias("rank"),
+    state = (
+        verts.join(out_deg, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.lit(1.0).alias("rank"),
+        )
+        # hash(id, n_part) — recorded by the superstep cuts below, so the
+        # state side of both per-superstep joins never re-shuffles either.
+        # Iterations ≥ 1 inherit hash(id, n_part) from the rank-update
+        # join's streamed side, so only this setup repartition is explicit.
+        .repartition(n_part, "id")
     )
     from pyspark.sql import Observation
 
@@ -300,16 +370,28 @@ def pagerank(
         # broadcast frame produced (float-sum order was never deterministic
         # across partitions — the oracle's round-6 tolerance covers both).
         obs = Observation()
-        state = state.observe(
-            obs,
-            F.coalesce(
-                F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))),
-                F.lit(0.0),
-            ).alias("__dang"),
-        ).localCheckpoint(eager=True)
+        state = _cut_copartitioned(
+            state.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("__dang"),
+            ),
+            i,
+        )
         dang = float(obs.get["__dang"])
+        # shuffle_hash on the co-partitioned sides: the planner's stats
+        # otherwise BROADCAST the full vertex state every superstep (a
+        # driver collect + hash-relation build per iteration — measured
+        # 14.6 s -> 8.8 s for 5 supersteps on the x10 graph with the hint).
+        # With both sides' hash partitioning recorded by the checkpoints,
+        # the SHJ needs NO exchange; the build side is one partition's
+        # share of the vertex state (vertices / n_part — the standard
+        # Pregel per-worker memory bound, near-uniform under id hashing).
+        hs = state.hint("shuffle_hash")
         contribs = (
-            edges.join(state, edges["src"] == state["id"])
+            edges.join(hs, edges["src"] == hs["id"])
             .where(F.col("out_degree") > 0)
             .select(
                 F.col("dst").alias("id"),
@@ -320,7 +402,7 @@ def pagerank(
         )
         state = (
             state.select("id", "out_degree")
-            .join(contribs, on="id", how="left")
+            .join(contribs.hint("shuffle_hash"), on="id", how="left")
             .select(
                 "id",
                 "out_degree",
@@ -344,7 +426,11 @@ def label_propagation(
 ) -> DataFrame:
     """Community detection by synchronous label propagation (mode of
     neighbor labels; min-label tie-break keeps it deterministic)."""
-    # materialized once: `sym` is joined every iteration (r11)
+    # materialized once: `sym` is joined every iteration (r11). NOT
+    # co-partitioned on src (unlike pagerank): recording sym's hash(src)
+    # partitioning flipped the per-iteration state join from broadcast to
+    # a full state shuffle — measured r12: 17.0 s -> 48.0 s on the x10
+    # graph, reverted.
     sym = (
         edges.select("src", "dst")
         .unionByName(
@@ -373,7 +459,7 @@ def label_propagation(
             "id", F.coalesce("new_label", F.col("label")).alias("label")
         )
         if i % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
-            state = state.localCheckpoint(eager=True)
+            state = _cut(state, i)
     return state
 
 
@@ -447,7 +533,11 @@ def shortest_path_lengths(
     """Unweighted single/multi-source shortest path lengths via frontier
     BFS with visited-set pruning (each vertex settled once per source)."""
     # materialize the edge input once: every hop joins `edges`, so a
-    # computed lineage would otherwise re-execute max_hops times (r11)
+    # computed lineage would otherwise re-execute max_hops times (r11).
+    # NOT co-partitioned on src (unlike pagerank): the frontier side is
+    # broadcast-small every hop, so the planner never uses the edge-side
+    # partitioning — measured r12: the setup repartition alone regressed
+    # the gate +6% at x10 / +13% at sf0.1, reverted.
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     src0 = sources.select(F.col(sources.columns[0]).alias("start"))
     settled = src0.select(
@@ -469,9 +559,7 @@ def shortest_path_lengths(
         # re-executed it again inside the next hop (r11 — one job per hop
         # now, and the settled union reads materialized frontiers).
         obs = Observation()
-        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("__n")).localCheckpoint(
-            eager=True
-        )
+        nxt = _cut(nxt.observe(obs, F.count(F.lit(1)).alias("__n")), hop)
         if not obs.get["__n"]:
             break
         settled = settled.unionByName(nxt)

@@ -236,6 +236,11 @@ class CypherToSpark:
         self._vl_max_rows = self._limit_bound_for_traversal(q)
         self._structural_only = self._structural_only_vars(q)
         for i, clause in enumerate(q.clauses):
+            # a write clause in terminal position can never have its
+            # bindings read by a later clause — write fast paths use this
+            # to skip uuid-freezing checkpoints (the durable write itself
+            # materializes the ids)
+            self._terminal_write_clause = i == len(q.clauses) - 1
             if not isinstance(clause, (ast.With, ast.Return)):
                 self._last_order = None  # joins/explodes invalidate row order
             if isinstance(clause, ast.Match):
@@ -3415,8 +3420,26 @@ class CypherToSpark:
 
     def compile_create(self, state: CompileState, c: ast.Create) -> CompileState:
         state = self._ensure_df(state)
-        for path in c.paths:
-            state = self._create_path(state, path)
+        # Terminal single-node CREATE against a store whose appends
+        # materialize (durable parquet write): the uuid-freezing
+        # checkpoint is redundant — the append write IS the single
+        # materialization of the fresh ids, and terminal position means
+        # no later clause (and no result projection — write-only) can
+        # re-read the unfrozen binding (r12; one Spark action instead of
+        # two per CREATE statement, ~150-250 ms of per-action fixed cost).
+        # Scope is deliberately one path with one node: a second node or
+        # an edge in the same clause may reference the first node's id.
+        self._fuse_create = (
+            getattr(self, "_terminal_write_clause", False)
+            and len(c.paths) == 1
+            and len(c.paths[0].elements) == 1
+            and getattr(self.store, "appends_materialize", False)
+        )
+        try:
+            for path in c.paths:
+                state = self._create_path(state, path)
+        finally:
+            self._fuse_create = False
         return state
 
     def _create_path(self, state: CompileState, path: ast.PatternPath) -> CompileState:
@@ -3452,7 +3475,9 @@ class CypherToSpark:
         for k, tc in props.items():
             df = df.withColumn(pcol(var, k), tc.col)
             prop_types[k] = tc.dtype or T.StringType()
-        df = df.localCheckpoint(eager=True)  # freeze the generated uuids
+        fused = getattr(self, "_fuse_create", False) and len(np_.labels) <= 1
+        if not fused:
+            df = df.localCheckpoint(eager=True)  # freeze the generated uuids
         rows = df.select(
             F.col(vcol(var, "id")).alias("_id"),
             *[F.col(pcol(var, k)).alias(k) for k in props],

@@ -815,6 +815,13 @@ class DurableGraph(MutableGraph):
         self._refresh_node(label)
         self._bump()
 
+    # appends write parquet and re-register from files, so a frame whose
+    # plan carries nondeterministic columns (uuid()) is materialized by
+    # the append itself — compiler fast paths may skip their freezing
+    # checkpoint (the in-memory MutableGraph keeps the LAZY plan in the
+    # catalog, where an unfrozen uuid() would re-draw per read: False)
+    appends_materialize = True
+
     # a measured row bound at most this takes the fused single-write path
     # (with the coarse width estimate below it stays far under
     # small_write_bytes for any realistic column count); bigger appends

